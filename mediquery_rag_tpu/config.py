@@ -1,0 +1,137 @@
+"""Typed, centralized configuration.
+
+Replaces the reference's ``config/settings.py`` constants module
+(reference: config/settings.py:10-95). The reference leaked magic numbers
+(k=5 in nodes.py:93 vs unused RETRIEVAL_K=4 in settings.py:80 vs k=3 default
+in medical_engine.py:64); here every knob lives in one frozen dataclass tree
+and the retrieval k is resolved deliberately to a single value.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Retrieval-engine knobs (the TPU-native replacement of Chroma/hnswlib)."""
+
+    dim: int = 768                  # embedding dim (shaw/dmeta-embedding-zh is 768-d)
+    top_k: int = 5                  # reference graph path uses k=5 (nodes.py:93)
+    dtype: str = "bfloat16"         # corpus storage dtype: float32 | bfloat16 | int8
+    metric: str = "cosine"          # cosine | dot
+    # Pallas kernel tiling
+    query_tile: int = 128           # rows of the query block per kernel step
+    corpus_tile: int = 2048         # corpus rows scored per kernel step
+    # IVF
+    ivf_nlist: int = 1024           # number of coarse centroids
+    ivf_nprobe: int = 32            # clusters probed per query
+    ivf_kmeans_iters: int = 10
+    ivf_sample: int = 262144        # max training sample for k-means
+    # sharding
+    mesh_axis: str = "shard"        # corpus-shard mesh axis name
+
+
+@dataclass(frozen=True)
+class EmbedderConfig:
+    """TPU embedding model (replaces OllamaEmbeddings dmeta-zh, medical_engine.py:43)."""
+
+    vocab_size: int = 16384
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_dim: int = 3072
+    max_len: int = 512
+    dropout: float = 0.0
+    dtype: str = "bfloat16"         # activation dtype
+    pooling: str = "mean"           # mean | cls
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Contrastive trainer for the embedder."""
+
+    batch_size: int = 256
+    lr: float = 1e-4
+    weight_decay: float = 0.01
+    warmup_steps: int = 100
+    temperature: float = 0.05       # InfoNCE temperature
+    mesh_shape: Tuple[int, int] = (1, 1)   # (data, model)
+    remat: bool = True
+
+
+@dataclass(frozen=True)
+class GraphConfig:
+    """Self-RAG workflow caps (reference: settings.py:82, s_c.py:40)."""
+
+    max_retrieval_loops: int = 3
+    grade_docs: int = 2             # reference grades only the first 2 docs (core/utils.py:64)
+    web_results: int = 3
+
+
+@dataclass(frozen=True)
+class MemoryConfig:
+    """Two-tier memory thresholds (reference: settings.py:40-42)."""
+
+    summarize_after_messages: int = 16
+    keep_recent_messages: int = 6
+    summary_truncate_chars: int = 500
+
+
+@dataclass(frozen=True)
+class ConsultationConfig:
+    max_followup_rounds: int = 3    # reference: structured_consultation.py:40
+    risk_fail_mode: str = "low"     # LLM-triage parse failure: "low" (reference
+    #                                 fail-open, s_c.py:914-919) or "medium"
+    #                                 (clinically safer). Explicit design decision
+    #                                 flagged in SURVEY §5.
+
+
+@dataclass(frozen=True)
+class PathsConfig:
+    data_dir: str = "data"
+    corpus_file: str = "data/medical_data.txt"
+    index_dir: str = "index_db"
+    user_data_dir: str = "user_data"
+    chat_db: str = "user_data/chat_history.sqlite"
+    profile_db: str = "user_data/profiles.sqlite"
+    review_dir: str = "user_data/reviews"
+
+
+@dataclass(frozen=True)
+class Config:
+    engine: EngineConfig = field(default_factory=EngineConfig)
+    embedder: EmbedderConfig = field(default_factory=EmbedderConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    graph: GraphConfig = field(default_factory=GraphConfig)
+    memory: MemoryConfig = field(default_factory=MemoryConfig)
+    consultation: ConsultationConfig = field(default_factory=ConsultationConfig)
+    paths: PathsConfig = field(default_factory=PathsConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT = Config()
+
+
+def load(root: str | None = None) -> Config:
+    """Return the default config, with paths rooted at ``root`` if given."""
+    cfg = DEFAULT
+    if root:
+        p = cfg.paths
+        cfg = cfg.replace(
+            paths=PathsConfig(
+                data_dir=os.path.join(root, p.data_dir),
+                corpus_file=os.path.join(root, p.corpus_file),
+                index_dir=os.path.join(root, p.index_dir),
+                user_data_dir=os.path.join(root, p.user_data_dir),
+                chat_db=os.path.join(root, p.chat_db),
+                profile_db=os.path.join(root, p.profile_db),
+                review_dir=os.path.join(root, p.review_dir),
+            )
+        )
+    return cfg

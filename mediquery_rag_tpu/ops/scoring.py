@@ -1,0 +1,200 @@
+"""Pallas tiled scoring + fused top-k — the hot primitive of the engine.
+
+This replaces the hnswlib C++ graph search that the reference reached through
+``vectorstore.similarity_search(q, k=5)`` (reference: src/agents/nodes.py:93,
+src/medical_engine.py:52). Instead of a pointer-chasing ANN graph — a poor fit
+for a systolic-array machine — the TPU-native design is brute-force done
+right: the corpus lives in HBM as a ``[N, D]`` matrix, the kernel streams it
+through VMEM tile by tile, scores each tile on the MXU (``Q @ C_tile^T``),
+and folds a *running top-k* per query into VMEM — never materializing the
+``[B, N]`` score matrix in HBM. At 10M x 768 the kernel is HBM-bandwidth
+bound, which is the speed-of-light for exact search.
+
+Design notes
+------------
+- grid = (num_query_tiles, num_corpus_tiles), corpus minor: for a fixed query
+  block the corpus tiles stream sequentially while the output block (the
+  running top-k) stays resident in VMEM (classic Pallas accumulator pattern).
+- top-k fold: k iterative max-extractions over the concatenated
+  ``[running k | tile scores]`` row. All VPU-friendly ops (max / compare /
+  select / min-index via iota) — no gather, no sort.
+- k is padded to the lane width (128) so column writes stay tile-aligned;
+  callers slice ``[:, :k]``.
+- corpus rows are padded to the tile size at index build time; padded rows are
+  masked to -inf via a *static* ``n_valid`` (shapes are static under jit, so a
+  new corpus size is a new compile — that is the XLA model, embraced).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+_BIG_I32 = jnp.iinfo(jnp.int32).max
+LANE = 128
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _extract_topk_rows(cat_s, cat_i, k, out_s_ref, out_i_ref):
+    """k max-extractions from rows of (cat_s, cat_i) into out refs' cols 0..k-1."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, cat_s.shape, 1)
+    for t in range(k):
+        m = jnp.max(cat_s, axis=1, keepdims=True)                    # [B, 1]
+        is_m = cat_s == m
+        first_pos = jnp.min(jnp.where(is_m, pos, _BIG_I32), axis=1, keepdims=True)
+        first = pos == first_pos                                     # [B, W] one-hot
+        sel_i = jnp.sum(jnp.where(first, cat_i, 0), axis=1)          # [B]
+        out_s_ref[:, t] = m[:, 0]
+        out_i_ref[:, t] = sel_i
+        cat_s = jnp.where(first, NEG_INF, cat_s)
+
+
+def _flat_topk_kernel(q_ref, c_ref, out_s_ref, out_i_ref, *, k, tile_c, n_valid):
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _init():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.zeros_like(out_i_ref)
+
+    # MXU: [Bq, D] x [Tc, D]^T -> [Bq, Tc] in f32
+    scores = jax.lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + ci * tile_c
+    scores = jnp.where(col < n_valid, scores, NEG_INF)
+
+    cat_s = jnp.concatenate([out_s_ref[:, :k].astype(jnp.float32), scores], axis=1)
+    cat_i = jnp.concatenate([out_i_ref[:, :k], col], axis=1)
+    _extract_topk_rows(cat_s, cat_i, k, out_s_ref, out_i_ref)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_valid", "query_tile", "corpus_tile", "interpret")
+)
+def _flat_search_padded(
+    q_pad: jax.Array,
+    corpus_pad: jax.Array,
+    *,
+    k: int,
+    n_valid: int,
+    query_tile: int,
+    corpus_tile: int,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array]:
+    bq, d = q_pad.shape
+    nc = corpus_pad.shape[0]
+    grid = (bq // query_tile, nc // corpus_tile)
+    kp = LANE  # k padded to one lane tile
+
+    kern = functools.partial(
+        _flat_topk_kernel, k=k, tile_c=corpus_tile, n_valid=n_valid
+    )
+    out_s, out_i = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((query_tile, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((corpus_tile, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((query_tile, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile, kp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bq, kp), jnp.float32),
+            jax.ShapeDtypeStruct((bq, kp), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bq * d * nc,
+            bytes_accessed=bq * d * q_pad.dtype.itemsize
+            + nc * d * corpus_pad.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_pad, corpus_pad)
+    return out_s, out_i
+
+
+def flat_search(
+    queries: jax.Array,
+    corpus_padded: jax.Array,
+    k: int,
+    *,
+    n_valid: int | None = None,
+    query_tile: int = 128,
+    corpus_tile: int = 2048,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k dot-product search: fused Pallas scoring + selection.
+
+    Args:
+      queries: ``[B, D]`` query matrix (L2-normalized by the caller for cosine).
+      corpus_padded: ``[N_pad, D]`` corpus, rows padded to a multiple of
+        ``corpus_tile`` (``engine.FlatIndex`` stores it this way).
+      k: neighbors to return (k <= 128).
+      n_valid: number of real corpus rows (defaults to ``N_pad``).
+      interpret: force Pallas interpreter mode; default = auto (interpret
+        off-TPU so the suite runs on the 8-device CPU mesh).
+
+    Returns:
+      (scores ``[B, k]`` f32 desc-sorted, indices ``[B, k]`` i32).
+    """
+    if k > LANE:
+        raise ValueError(f"k={k} > {LANE} not supported by the fused kernel")
+    b, d = queries.shape
+    n_pad = corpus_padded.shape[0]
+    if n_pad % corpus_tile:
+        raise ValueError(f"corpus rows {n_pad} not a multiple of tile {corpus_tile}")
+    n_valid = n_pad if n_valid is None else n_valid
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    query_tile = min(query_tile, _round_up(max(b, 16), 16))
+    bq = _round_up(b, query_tile)
+    q = queries.astype(corpus_padded.dtype)
+    if bq != b:
+        q = jnp.pad(q, ((0, bq - b), (0, 0)))
+
+    s, i = _flat_search_padded(
+        q, corpus_padded,
+        k=k, n_valid=n_valid,
+        query_tile=query_tile, corpus_tile=corpus_tile,
+        interpret=interpret,
+    )
+    return s[:b, :k], i[:b, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def flat_search_xla(
+    queries: jax.Array, corpus: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Naive XLA path: materialize ``[B, N]`` scores, then ``lax.top_k``.
+
+    Correctness oracle for the fused kernel and the measured baseline for
+    ``bench.py``'s ``vs_baseline``.
+    """
+    scores = jax.lax.dot_general(
+        queries.astype(corpus.dtype), corpus,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jax.lax.top_k(scores, k)
