@@ -1,0 +1,156 @@
+"""IVF (inverted-file) index: coarse quantization on TPU.
+
+Replaces Chroma's HNSW ANN at scale (BASELINE config 3: 1M x 768, nlist
+sweep). Build = on-device spherical k-means (ops/kmeans.py) + a one-pass
+bucket layout; there is no graph to construct, so build time is a few Lloyd
+matmul iterations at MXU speed. Search = tiny centroid matmul + top-nprobe,
+then the Pallas probe kernel (ops/ivf_kernel.py) which DMAs only the probed
+buckets out of HBM.
+
+When to use vs FlatIndex (a real TPU trade-off, not a CPU-ism): the flat
+kernel reads all N rows once per *batch*, the IVF kernel reads
+B * nprobe * cap rows. IVF therefore wins at small batch / large N
+(low-latency serving); flat wins at large batch (bulk scoring). The engine
+exposes both and `app` picks per call site.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mediquery_rag_tpu.config import EngineConfig
+from mediquery_rag_tpu.engine.flat import l2_normalize
+from mediquery_rag_tpu.ops.kmeans import assign_clusters, kmeans
+from mediquery_rag_tpu.ops.ivf_kernel import ivf_probe_search
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass
+class IVFIndex:
+    centroids: jax.Array     # [nlist, D] f32
+    buckets: jax.Array       # [nlist * cap, D] storage dtype
+    bucket_ids: jax.Array    # [nlist, cap] i32 global doc id, -1 = empty
+    n: int
+    cap: int
+    cfg: EngineConfig
+
+    @classmethod
+    def build(
+        cls,
+        vectors,
+        cfg: EngineConfig = EngineConfig(),
+        *,
+        key: jax.Array | None = None,
+    ) -> "IVFIndex":
+        v = jnp.asarray(vectors)
+        n, d = v.shape
+        nlist = min(cfg.ivf_nlist, max(1, n // 8))
+        if cfg.metric == "cosine":
+            v = l2_normalize(v.astype(jnp.float32))
+        v32 = v.astype(jnp.float32)
+
+        key = jax.random.PRNGKey(0) if key is None else key
+        sample = v32
+        if n > cfg.ivf_sample:
+            idx = jax.random.choice(key, n, (cfg.ivf_sample,), replace=False)
+            sample = v32[idx]
+        cents = kmeans(sample, key, nlist=nlist, iters=cfg.ivf_kmeans_iters)
+        assign = np.asarray(assign_clusters(v32, cents))
+
+        # bucket layout (host, one pass over ids only — build-time)
+        counts = np.bincount(assign, minlength=nlist)
+        cap = _round_up(max(int(counts.max()), 32), 32)
+        order = np.argsort(assign, kind="stable")
+        bucket_ids = np.full((nlist, cap), -1, dtype=np.int32)
+        pos = np.zeros(nlist, dtype=np.int64)
+        cluster_of = assign[order]
+        # vectorized fill: position within cluster = rank among same cluster
+        ranks = np.arange(n) - np.concatenate(([0], np.cumsum(counts)))[cluster_of]
+        bucket_ids[cluster_of, ranks] = order.astype(np.int32)
+        flat_rows = bucket_ids.reshape(-1)
+        storage = jnp.dtype(cfg.dtype)
+        gathered = np.zeros((nlist * cap, d), dtype=np.float32)
+        valid = flat_rows >= 0
+        gathered[valid] = np.asarray(v32)[flat_rows[valid]]
+        buckets = jnp.asarray(gathered, dtype=storage)
+
+        return cls(
+            centroids=cents,
+            buckets=buckets,
+            bucket_ids=jnp.asarray(bucket_ids),
+            n=n,
+            cap=cap,
+            cfg=cfg,
+        )
+
+    def search(self, queries, k: int | None = None, nprobe: int | None = None):
+        k = self.cfg.top_k if k is None else k
+        nprobe = self.cfg.ivf_nprobe if nprobe is None else nprobe
+        nprobe = min(nprobe, self.centroids.shape[0])
+        q = jnp.asarray(queries)
+        squeeze = q.ndim == 1
+        if squeeze:
+            q = q[None, :]
+        if self.cfg.metric == "cosine":
+            q = l2_normalize(q.astype(jnp.float32))
+        cs = jnp.dot(q.astype(jnp.float32), self.centroids.T,
+                     preferred_element_type=jnp.float32)
+        _, probe_ids = jax.lax.top_k(cs, nprobe)
+        s, i = ivf_probe_search(
+            probe_ids.astype(jnp.int32),
+            q.astype(self.buckets.dtype),
+            self.buckets,
+            self.bucket_ids,
+            k=k,
+        )
+        if squeeze:
+            return s[0], i[0]
+        return s, i
+
+    @property
+    def nbytes(self) -> int:
+        return (
+            self.buckets.size * self.buckets.dtype.itemsize
+            + self.centroids.size * 4
+            + self.bucket_ids.size * 4
+        )
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.savez(
+            os.path.join(path, "ivf.npz"),
+            centroids=np.asarray(self.centroids),
+            buckets=np.asarray(self.buckets.astype(jnp.float32)),
+            bucket_ids=np.asarray(self.bucket_ids),
+        )
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {"n": self.n, "cap": self.cap, "kind": "ivf", "cfg": self.cfg.__dict__},
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "IVFIndex":
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        cfg = EngineConfig(**{**EngineConfig().__dict__, **meta["cfg"]})
+        z = np.load(os.path.join(path, "ivf.npz"))
+        return cls(
+            centroids=jnp.asarray(z["centroids"]),
+            buckets=jnp.asarray(z["buckets"], dtype=jnp.dtype(cfg.dtype)),
+            bucket_ids=jnp.asarray(z["bucket_ids"]),
+            n=meta["n"],
+            cap=meta["cap"],
+            cfg=cfg,
+        )

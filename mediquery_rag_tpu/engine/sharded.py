@@ -1,0 +1,99 @@
+"""Sharded flat index: corpus rows distributed over a device mesh.
+
+The multi-chip scale path (BASELINE config 5: 10M x 768 on v5e-8). Each chip
+holds ``N/S`` rows in its HBM and scores only its shard with the fused Pallas
+kernel; the tiny per-shard top-k lists are merged via all-gather over ICI
+(parallel/collectives.py). This is the TP-of-the-database pattern from
+SURVEY §2c — the corpus axis is the sharded axis, queries are replicated.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from mediquery_rag_tpu.config import EngineConfig
+from mediquery_rag_tpu.engine.flat import l2_normalize, _round_up
+from mediquery_rag_tpu.ops.scoring import flat_search
+from mediquery_rag_tpu.parallel.collectives import sharded_topk_merge
+
+
+@dataclass
+class ShardedFlatIndex:
+    corpus: jax.Array          # [N_pad, D] sharded over mesh axis (rows)
+    n: int                     # global valid rows
+    cfg: EngineConfig
+    mesh: Mesh
+
+    @classmethod
+    def build(cls, vectors, mesh: Mesh, cfg: EngineConfig = EngineConfig()):
+        v = jnp.asarray(vectors)
+        n, d = v.shape
+        axis = cfg.mesh_axis
+        s = mesh.shape[axis]
+        if cfg.metric == "cosine":
+            v = l2_normalize(v.astype(jnp.float32))
+        v = v.astype(jnp.dtype(cfg.dtype))
+        # pad so each shard holds a whole number of corpus tiles
+        n_pad = _round_up(max(n, s * cfg.corpus_tile), s * cfg.corpus_tile)
+        if n_pad != n:
+            v = jnp.pad(v, ((0, n_pad - n), (0, 0)))
+        sharding = NamedSharding(mesh, P(axis, None))
+        v = jax.device_put(v, sharding)
+        return cls(corpus=v, n=n, cfg=cfg, mesh=mesh)
+
+    def search(self, queries, k: int | None = None):
+        """Global top-k over all shards. Queries replicated, ``[B, k]`` out."""
+        k = self.cfg.top_k if k is None else k
+        q = jnp.asarray(queries)
+        squeeze = q.ndim == 1
+        if squeeze:
+            q = q[None, :]
+        if self.cfg.metric == "cosine":
+            q = l2_normalize(q.astype(jnp.float32))
+        q = q.astype(self.corpus.dtype)
+        s, i = _sharded_search(
+            q, self.corpus, jnp.int32(self.n),
+            mesh=self.mesh, axis=self.cfg.mesh_axis, k=k,
+            query_tile=self.cfg.query_tile, corpus_tile=self.cfg.corpus_tile,
+        )
+        if squeeze:
+            return s[0], i[0]
+        return s, i
+
+    @property
+    def nbytes(self) -> int:
+        return self.corpus.size * self.corpus.dtype.itemsize
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "k", "query_tile", "corpus_tile"),
+)
+def _sharded_search(q, corpus, n_valid, *, mesh, axis, k, query_tile, corpus_tile):
+    per_shard = corpus.shape[0] // mesh.shape[axis]
+
+    def local(qb, shard, nv):
+        sid = jax.lax.axis_index(axis)
+        offset = sid * per_shard
+        # valid rows in this shard: clamp(n - offset, 0, per_shard)
+        local_valid = jnp.clip(nv[0] - offset, 0, per_shard)
+        s, i = flat_search(
+            qb, shard, k,
+            n_valid=local_valid,
+            query_tile=query_tile, corpus_tile=corpus_tile,
+        )
+        return sharded_topk_merge(s, i + offset, k, axis)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,  # pallas_call inside doesn't annotate vma
+    )(q, corpus, n_valid.reshape((1,)))

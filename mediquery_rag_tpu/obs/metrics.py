@@ -1,0 +1,114 @@
+"""Recall / QPS / latency measurement.
+
+``device_time`` exists because host-side timing lies twice on this stack:
+the axon relay adds ~30 ms per synchronous round trip, and
+``block_until_ready`` through the relay can return before execution.
+The honest method: run N iterations inside ONE jitted ``lax.scan`` whose
+carry depends on every iteration's output, fetch a scalar once, subtract a
+measured no-op round trip, divide by N.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def recall_at_k(found_idx, true_idx) -> float:
+    """Mean overlap fraction between found and ground-truth index lists.
+
+    Shapes [B, k] (or [k]); returns a float in [0, 1].
+    """
+    f = np.asarray(found_idx)
+    t = np.asarray(true_idx)
+    if f.ndim == 1:
+        f, t = f[None], t[None]
+    hits = 0
+    for r in range(f.shape[0]):
+        hits += len(set(f[r].tolist()) & set(t[r].tolist()))
+    return hits / (t.shape[0] * t.shape[1])
+
+
+def _scalarize(out) -> jax.Array:
+    leaves = jax.tree_util.tree_leaves(out)
+    acc = jnp.float32(0)
+    for leaf in leaves:
+        acc = acc + jnp.sum(leaf).astype(jnp.float32)
+    return acc
+
+
+def device_time(fn, stacked_inputs, *consts, iters: int | None = None,
+                reps: int = 3) -> float:
+    """Seconds per iteration of ``fn(x, *consts)`` measured on device.
+
+    ``stacked_inputs``: pytree whose leaves have a leading iteration axis.
+    Every iteration's output feeds a scalar accumulator so nothing can be
+    elided, cached, or reordered away by the relay.
+    """
+    first = jax.tree_util.tree_leaves(stacked_inputs)[0]
+    n = first.shape[0] if iters is None else iters
+
+    @jax.jit
+    def many(xs, *cs):
+        def body(acc, x):
+            return acc + _scalarize(fn(x, *cs)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), xs)
+        return acc
+
+    @jax.jit
+    def noop(xs):
+        return _scalarize(jax.tree_util.tree_map(lambda l: l.reshape(-1)[0], xs))
+
+    float(many(stacked_inputs, *consts))  # compile + warm
+    float(noop(stacked_inputs))
+
+    def best(f, *a):
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(*a))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    t_total = best(many, stacked_inputs, *consts)
+    t_rt = best(noop, stacked_inputs)
+    return max(t_total - t_rt, 1e-9) / n
+
+
+class Timer:
+    """Host-side wall-clock stage timer (for the agent/app layers, where
+    ~ms accuracy is fine). Collects p50/p99 per stage label."""
+
+    def __init__(self):
+        self.samples: dict[str, list[float]] = {}
+
+    @contextmanager
+    def stage(self, label: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.samples.setdefault(label, []).append(time.perf_counter() - t0)
+
+    def summary(self) -> dict[str, dict[str, float]]:
+        out = {}
+        for label, xs in self.samples.items():
+            a = np.asarray(xs)
+            out[label] = {
+                "count": len(xs),
+                "mean_s": float(a.mean()),
+                "p50_s": float(np.percentile(a, 50)),
+                "p99_s": float(np.percentile(a, 99)),
+            }
+        return out
+
+
+@contextmanager
+def trace(label: str):
+    """jax.profiler annotation wrapper (no-op overhead when not profiling)."""
+    with jax.profiler.TraceAnnotation(label):
+        yield

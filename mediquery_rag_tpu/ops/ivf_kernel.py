@@ -1,0 +1,139 @@
+"""Pallas IVF probe-and-score kernel: data-dependent bucket DMA.
+
+The TPU replacement for hnswlib's graph traversal (reference:
+medical_engine.py:52 via Chroma). Probed cluster ids — computed by a tiny
+centroid matmul + top-k — are passed as *scalar-prefetch* arguments, so each
+grid step's BlockSpec index_map selects which bucket to DMA from HBM into
+VMEM before the kernel body runs. The kernel only ever touches
+``B x nprobe x cap`` corpus rows instead of all N: that is where the >=10x
+QPS over brute force comes from at small batch (BASELINE configs 3/5).
+
+Grid = (B, nprobe), nprobe minor: for one query the probed buckets stream
+sequentially while its running top-k stays resident in VMEM (same
+accumulator pattern as ops/scoring.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mediquery_rag_tpu.ops.scoring import NEG_INF, _extract_topk_rows, _on_tpu, LANE
+
+
+def _ivf_kernel(pids_ref, q_ref, buckets_ref, bids_ref, out_s_ref, out_i_ref, *, k):
+    # Per-query arrays carry a singleton sublane axis ([B, 1, D] etc.) because
+    # TPU block shapes must tile the array dims; refs here are (1, 1, X).
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.zeros_like(out_i_ref)
+
+    q = q_ref[:].reshape(1, q_ref.shape[-1])            # [1, D]
+    # [1, D] x [cap, D]^T -> [1, cap]
+    scores = jax.lax.dot_general(
+        q, buckets_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ids = bids_ref[:].reshape(1, bids_ref.shape[-1])    # [1, cap], -1 = pad
+    scores = jnp.where(ids >= 0, scores, NEG_INF)
+
+    run_s = out_s_ref[:].reshape(1, -1)[:, :k].astype(jnp.float32)
+    run_i = out_i_ref[:].reshape(1, -1)[:, :k]
+    cat_s = jnp.concatenate([run_s, scores], axis=1)
+    cat_i = jnp.concatenate([run_i, ids], axis=1)
+    _extract_topk_rows(
+        cat_s, cat_i, k, out_s_ref.at[0], out_i_ref.at[0]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cap", "interpret"))
+def _ivf_probe_search(
+    probe_ids: jax.Array,   # [B, nprobe] i32 cluster ids
+    queries: jax.Array,     # [B, D] storage dtype
+    buckets: jax.Array,     # [nlist * cap, D] storage dtype
+    bucket_ids: jax.Array,  # [nlist, cap] i32 global doc ids, -1 = empty
+    *,
+    k: int,
+    cap: int,
+    interpret: bool,
+):
+    b, d = queries.shape
+    nlist = bucket_ids.shape[0]
+    nprobe = probe_ids.shape[1]
+    kp = LANE
+
+    q3 = queries.reshape(b, 1, d)
+    bids3 = bucket_ids.reshape(nlist, 1, cap)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nprobe),
+        in_specs=[
+            pl.BlockSpec((1, 1, d), lambda i, j, pids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap, d), lambda i, j, pids: (pids[i, j], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cap), lambda i, j, pids: (pids[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, kp), lambda i, j, pids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kp), lambda i, j, pids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    out_s, out_i = pl.pallas_call(
+        functools.partial(_ivf_kernel, k=k),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, kp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, kp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(probe_ids, q3, buckets, bids3)
+    return out_s[:, 0, :k], out_i[:, 0, :k]
+
+
+def ivf_probe_search(
+    probe_ids, queries, buckets, bucket_ids, *, k, interpret=None
+):
+    """Score each query against its probed buckets, fused top-k.
+
+    Returns (scores [B,k] f32, global doc indices [B,k] i32; -inf/0 rows
+    where fewer than k real docs were probed).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    cap = bucket_ids.shape[1]
+    return _ivf_probe_search(
+        probe_ids, queries, buckets, bucket_ids,
+        k=k, cap=cap, interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def ivf_probe_search_xla(probe_ids, queries, buckets, bucket_ids, *, k):
+    """Gather-based XLA oracle (memory-heavy; for tests/small shapes only)."""
+    nlist, cap = bucket_ids.shape
+    d = queries.shape[1]
+    bk = buckets.reshape(nlist, cap, d)
+    vecs = bk[probe_ids]                       # [B, nprobe, cap, D]
+    ids = bucket_ids[probe_ids]                # [B, nprobe, cap]
+    scores = jnp.einsum(
+        "bd,bpcd->bpc", queries.astype(jnp.float32), vecs.astype(jnp.float32)
+    )
+    scores = jnp.where(ids >= 0, scores, NEG_INF)
+    b = queries.shape[0]
+    flat_s = scores.reshape(b, -1)
+    flat_i = ids.reshape(b, -1)
+    vals, pos = jax.lax.top_k(flat_s, k)
+    return vals, jnp.take_along_axis(flat_i, pos, axis=-1)

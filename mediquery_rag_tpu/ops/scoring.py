@@ -57,7 +57,11 @@ def _extract_topk_rows(cat_s, cat_i, k, out_s_ref, out_i_ref):
         cat_s = jnp.where(first, NEG_INF, cat_s)
 
 
-def _flat_topk_kernel(q_ref, c_ref, out_s_ref, out_i_ref, *, k, tile_c, n_valid):
+def _flat_topk_kernel(nv_ref, q_ref, c_ref, out_s_ref, out_i_ref, *, k, tile_c):
+    # nv_ref is a scalar-prefetch arg: number of valid corpus rows. Traced (not
+    # static) so a resized corpus or a differently-filled shard does not force
+    # a recompile, and per-shard valid counts work under shard_map.
+    n_valid = nv_ref[0]
     ci = pl.program_id(1)
 
     @pl.when(ci == 0)
@@ -84,14 +88,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "n_valid", "query_tile", "corpus_tile", "interpret")
+    jax.jit, static_argnames=("k", "query_tile", "corpus_tile", "interpret")
 )
 def _flat_search_padded(
     q_pad: jax.Array,
     corpus_pad: jax.Array,
+    n_valid: jax.Array,
     *,
     k: int,
-    n_valid: int,
     query_tile: int,
     corpus_tile: int,
     interpret: bool,
@@ -101,24 +105,26 @@ def _flat_search_padded(
     grid = (bq // query_tile, nc // corpus_tile)
     kp = LANE  # k padded to one lane tile
 
-    kern = functools.partial(
-        _flat_topk_kernel, k=k, tile_c=corpus_tile, n_valid=n_valid
-    )
-    out_s, out_i = pl.pallas_call(
-        kern,
+    kern = functools.partial(_flat_topk_kernel, k=k, tile_c=corpus_tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((query_tile, d), lambda i, j: (i, 0),
+            pl.BlockSpec((query_tile, d), lambda i, j, nv: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((corpus_tile, d), lambda i, j: (j, 0),
+            pl.BlockSpec((corpus_tile, d), lambda i, j, nv: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((query_tile, kp), lambda i, j: (i, 0),
+            pl.BlockSpec((query_tile, kp), lambda i, j, nv: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((query_tile, kp), lambda i, j: (i, 0),
+            pl.BlockSpec((query_tile, kp), lambda i, j, nv: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
+    )
+    out_s, out_i = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((bq, kp), jnp.float32),
             jax.ShapeDtypeStruct((bq, kp), jnp.int32),
@@ -130,7 +136,7 @@ def _flat_search_padded(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q_pad, corpus_pad)
+    )(n_valid, q_pad, corpus_pad)
     return out_s, out_i
 
 
@@ -139,7 +145,7 @@ def flat_search(
     corpus_padded: jax.Array,
     k: int,
     *,
-    n_valid: int | None = None,
+    n_valid: int | jax.Array | None = None,
     query_tile: int = 128,
     corpus_tile: int = 2048,
     interpret: bool | None = None,
@@ -165,6 +171,7 @@ def flat_search(
     if n_pad % corpus_tile:
         raise ValueError(f"corpus rows {n_pad} not a multiple of tile {corpus_tile}")
     n_valid = n_pad if n_valid is None else n_valid
+    n_valid = jnp.asarray(n_valid, jnp.int32).reshape((1,))
     if interpret is None:
         interpret = not _on_tpu()
 
@@ -175,9 +182,8 @@ def flat_search(
         q = jnp.pad(q, ((0, bq - b), (0, 0)))
 
     s, i = _flat_search_padded(
-        q, corpus_padded,
-        k=k, n_valid=n_valid,
-        query_tile=query_tile, corpus_tile=corpus_tile,
+        q, corpus_padded, n_valid,
+        k=k, query_tile=query_tile, corpus_tile=corpus_tile,
         interpret=interpret,
     )
     return s[:b, :k], i[:b, :k]
