@@ -1,0 +1,16 @@
+"""TPU embedding models.
+
+Replaces the reference's out-of-process embedding inference
+(``OllamaEmbeddings(model="shaw/dmeta-embedding-zh")`` over HTTP to a GGML
+C++ daemon — reference medical_engine.py:43, ingest_medical.py:104) with an
+in-process JAX forward pass on TPU: a 768-d BERT-style encoder (the same
+architecture class as dmeta-embedding-zh), jit/pjit-compiled, batched.
+
+Also provides a deterministic hash-feature embedder so the full RAG stack
+runs (and is tested) without trained weights or network access.
+"""
+
+from mediquery_rag_tpu.models.tokenizer import HashCharTokenizer  # noqa: F401
+from mediquery_rag_tpu.models.embedder import Embedder, EmbedderParams  # noqa: F401
+from mediquery_rag_tpu.models.hash_embedder import HashingEmbedder  # noqa: F401
+from mediquery_rag_tpu.models.text_embedder import TextEmbedder  # noqa: F401

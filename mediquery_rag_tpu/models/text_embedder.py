@@ -1,0 +1,80 @@
+"""TextEmbedder: tokenizer + encoder + params behind one embed() call.
+
+The in-process replacement for the reference's HTTP round trip to Ollama per
+embedding call (medical_engine.py:43). Batches are padded to shape buckets
+(powers of two) so repeated calls hit the jit cache instead of recompiling —
+query batch sizes 1/8/64 are the BASELINE config-2 measurement points.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mediquery_rag_tpu.config import EmbedderConfig
+from mediquery_rag_tpu.models.embedder import Embedder
+from mediquery_rag_tpu.models.tokenizer import HashCharTokenizer
+
+
+def _bucket(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+class TextEmbedder:
+    def __init__(
+        self,
+        cfg: EmbedderConfig = EmbedderConfig(),
+        params=None,
+        key: jax.Array | None = None,
+    ):
+        self.cfg = cfg
+        self.model = Embedder(cfg)
+        self.tokenizer = HashCharTokenizer(cfg.vocab_size, cfg.max_len)
+        if params is None:
+            key = jax.random.PRNGKey(0) if key is None else key
+            params = self.model.init(key)
+        self.params = params
+        self._apply = jax.jit(lambda p, ids, mask: self.model.apply(p, ids, mask))
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.hidden
+
+    def embed(self, texts: Sequence[str]) -> np.ndarray:
+        """Returns [len(texts), hidden] L2-normalized f32 embeddings."""
+        if not texts:
+            return np.zeros((0, self.cfg.hidden), np.float32)
+        ids, mask = self.tokenizer.batch_encode(list(texts))
+        b = ids.shape[0]
+        bp = _bucket(b)
+        if bp != b:
+            ids = np.pad(ids, ((0, bp - b), (0, 0)))
+            mask = np.pad(mask, ((0, bp - b), (0, 0)))
+        out = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(out[:b])
+
+    def __call__(self, texts: Sequence[str]) -> np.ndarray:
+        return self.embed(texts)
+
+    # -- checkpointing -------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        flat, treedef = jax.tree_util.tree_flatten(self.params)
+        np.savez(
+            os.path.join(path, "params.npz"),
+            **{str(i): np.asarray(x) for i, x in enumerate(flat)},
+        )
+
+    def load_params(self, path: str) -> None:
+        z = np.load(os.path.join(path, "params.npz"))
+        flat, treedef = jax.tree_util.tree_flatten(self.params)
+        new_flat = [jnp.asarray(z[str(i)]) for i in range(len(flat))]
+        self.params = jax.tree_util.tree_unflatten(treedef, new_flat)
