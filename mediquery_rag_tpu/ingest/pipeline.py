@@ -1,0 +1,115 @@
+"""DocumentStore: the vectorstore equivalent (chunks + TPU index + embedder).
+
+Replaces ``Chroma.from_documents`` / ``vectorstore.similarity_search``
+(reference ingest_medical.py:104-110, nodes.py:93). Build embeds the whole
+corpus as batched TPU forward passes and constructs the index in one HBM
+pass; search embeds the query batch and calls the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+import numpy as np
+
+from mediquery_rag_tpu.config import EngineConfig
+from mediquery_rag_tpu.engine import FlatIndex, IVFIndex
+from mediquery_rag_tpu.ingest.parser import Chunk, parse_corpus_file
+
+
+@dataclass
+class RetrievedDoc:
+    text: str
+    metadata: dict
+    score: float
+
+
+class DocumentStore:
+    def __init__(self, chunks: list[Chunk], index, embedder: Callable):
+        self.chunks = chunks
+        self.index = index
+        self.embedder = embedder
+
+    def similarity_search(self, query: str, k: int = 5) -> list[RetrievedDoc]:
+        return self.batch_search([query], k)[0]
+
+    def batch_search(
+        self, queries: Sequence[str], k: int = 5
+    ) -> list[list[RetrievedDoc]]:
+        """Batched retrieval — the Self-RAG loop issues batched queries
+        straight into the engine (BASELINE north star)."""
+        k = min(k, len(self.chunks))
+        q = np.asarray(self.embedder(list(queries)))
+        scores, idx = self.index.search(q, k=k)
+        scores = np.asarray(scores)
+        idx = np.asarray(idx)
+        out = []
+        for r in range(len(queries)):
+            row = []
+            for j in range(k):
+                i = int(idx[r, j])
+                if i < 0 or scores[r, j] == -np.inf:
+                    continue
+                c = self.chunks[i]
+                row.append(RetrievedDoc(c.text, c.metadata, float(scores[r, j])))
+            out.append(row)
+        return out
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "chunks.jsonl"), "w", encoding="utf-8") as f:
+            for c in self.chunks:
+                f.write(json.dumps({
+                    "chunk_id": c.chunk_id, "title": c.title,
+                    "content": c.content, "source": c.source, "tags": c.tags,
+                }, ensure_ascii=False) + "\n")
+        self.index.save(os.path.join(path, "index"))
+
+    @classmethod
+    def load(cls, path: str, embedder: Callable) -> "DocumentStore":
+        chunks = []
+        with open(os.path.join(path, "chunks.jsonl"), encoding="utf-8") as f:
+            for line in f:
+                d = json.loads(line)
+                chunks.append(Chunk(**d))
+        ix_path = os.path.join(path, "index")
+        with open(os.path.join(ix_path, "meta.json")) as f:
+            kind = json.load(f)["kind"]
+        index = (IVFIndex if kind == "ivf" else FlatIndex).load(ix_path)
+        return cls(chunks, index, embedder)
+
+
+def build_document_store(
+    source: str | list[Chunk],
+    embedder: Callable,
+    cfg: EngineConfig | None = None,
+    *,
+    kind: str = "flat",
+    batch_size: int = 64,
+    mesh=None,
+) -> DocumentStore:
+    """Parse (if a path), embed in batches, build the index."""
+    chunks = parse_corpus_file(source) if isinstance(source, str) else source
+    if not chunks:
+        raise ValueError("empty corpus")
+    embs = []
+    for i in range(0, len(chunks), batch_size):
+        embs.append(np.asarray(embedder([c.text for c in chunks[i : i + batch_size]])))
+    vecs = np.concatenate(embs, axis=0)
+    if cfg is None:
+        cfg = EngineConfig(dim=vecs.shape[1])
+    if cfg.dim != vecs.shape[1]:
+        cfg = EngineConfig(**{**cfg.__dict__, "dim": vecs.shape[1]})
+    if kind == "ivf":
+        index = IVFIndex.build(vecs, cfg)
+    elif kind == "sharded":
+        from mediquery_rag_tpu.engine import ShardedFlatIndex
+        index = ShardedFlatIndex.build(vecs, mesh, cfg)
+    else:
+        index = FlatIndex.build(vecs, cfg)
+    return DocumentStore(chunks, index, embedder)
