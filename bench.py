@@ -1,0 +1,77 @@
+"""Headline benchmark: flat exact search QPS/chip at recall@10 (BASELINE).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+- corpus: 1M x 768 bf16 (the per-chip shard a v5e-8 would hold of the 10M
+  BASELINE config-5 corpus), query batch 64, k=10.
+- value: fused-Pallas-kernel QPS on the real chip.
+- vs_baseline: speedup over the measured naive XLA path (materialize [B,N]
+  scores + lax.top_k) on the same chip — the honest stand-in for the
+  reference's retrieval stack, which cannot run here (Chroma/hnswlib are
+  CPU-side C++; typical hnswlib throughput at this recall is O(1e3-1e4) QPS
+  on a full CPU host, see BASELINE.md).
+- recall@10 is computed against an f32 brute-force oracle on-device.
+
+Timing uses obs.metrics.device_time (scan-amortized, relay-proof — see
+.claude/skills/verify/SKILL.md for why naive timing lies here).
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+
+from mediquery_rag_tpu.obs.metrics import device_time, recall_at_k
+from mediquery_rag_tpu.ops.scoring import _flat_search_padded, flat_search, flat_search_xla
+
+N, D, B, K = 1_000_000, 768, 64, 10
+TC, QT = 2048, 64
+ITERS = 16
+
+
+def main() -> None:
+    key = jax.random.PRNGKey(0)
+    c = jax.random.normal(key, (N, D), dtype=jnp.float32)
+    c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+    c_bf16 = c.astype(jnp.bfloat16)
+    n_pad = -(-N // TC) * TC
+    c_pad = jnp.pad(c_bf16, ((0, n_pad - N), (0, 0)))
+
+    qs = jax.random.normal(jax.random.PRNGKey(1), (ITERS, B, D), dtype=jnp.float32)
+    qs = (qs / jnp.linalg.norm(qs, axis=-1, keepdims=True))
+
+    # recall vs f32 oracle
+    s, i = flat_search(qs[0], c_pad, K, n_valid=N, query_tile=QT, corpus_tile=TC)
+    _, i_ref = flat_search_xla(qs[0], c, K)
+    recall = recall_at_k(i, i_ref)
+
+    nv = jnp.asarray([N], jnp.int32)
+    t_pallas = device_time(
+        lambda q, cp: _flat_search_padded(
+            q.astype(jnp.bfloat16), cp, nv,
+            k=K, query_tile=QT, corpus_tile=TC, interpret=False,
+        ),
+        qs, c_pad,
+    )
+    t_xla = device_time(lambda q, cc: flat_search_xla(q, cc, K), qs, c_bf16)
+
+    qps = B / t_pallas
+    result = {
+        "metric": "flat_exact_search_qps_per_chip",
+        "value": round(qps, 1),
+        "unit": "QPS (1M x 768-d bf16, B=64, k=10, v5e chip)",
+        "vs_baseline": round(t_xla / t_pallas, 3),
+        "recall_at_10_vs_f32": recall,
+        "latency_ms_per_batch": round(t_pallas * 1e3, 3),
+        "xla_naive_ms_per_batch": round(t_xla * 1e3, 3),
+        "hbm_speed_of_light_ms": round(n_pad * D * 2 / 819e9 * 1e3, 3),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
