@@ -1,0 +1,101 @@
+"""Application wiring: build every component once, inject everywhere.
+
+Replaces the reference's module-level singleton init (medical_engine.py:43-60
++ main.py:29-51) with an explicit, testable context object. Key behavioral
+upgrade: no hard exit when a dependency is missing (the reference dies if
+./medical_db is absent, medical_engine.py:34-37) — the context degrades:
+missing index → build it from the corpus; no LLM server → FakeLLM notice;
+no web key → web search disabled.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from mediquery_rag_tpu.config import Config, load as load_config
+from mediquery_rag_tpu.graph import build_medical_graph, create_nodes
+from mediquery_rag_tpu.graph.engine import SqliteCheckpointer
+from mediquery_rag_tpu.app.memory import (
+    HITLManager, ProfileStore, UserProfileMarkdown,
+    extract_health_info, load_health_profile,
+)
+from mediquery_rag_tpu.ingest import DocumentStore, build_document_store
+from mediquery_rag_tpu.llm import FakeLLM, HTTPChatClient
+
+
+@dataclass
+class AppContext:
+    cfg: Config
+    llm: object
+    embedder: Callable
+    store: DocumentStore
+    profile_store: ProfileStore
+    hitl: HITLManager
+    graph_app: object
+    web_search: Callable | None = None
+
+    @classmethod
+    def build(
+        cls,
+        root: str = ".",
+        *,
+        fake_llm: bool = False,
+        use_tpu_embedder: bool | None = None,
+        llm_url: str = "http://localhost:11434",
+        web_search: Callable | None = None,
+    ) -> "AppContext":
+        cfg = load_config(root)
+
+        # embedder: TPU encoder when a TPU is present, hash fallback otherwise
+        if use_tpu_embedder is None:
+            try:
+                import jax
+                use_tpu_embedder = jax.default_backend() == "tpu"
+            except Exception:
+                use_tpu_embedder = False
+        if use_tpu_embedder:
+            from mediquery_rag_tpu.models import TextEmbedder
+            embedder = TextEmbedder(cfg.embedder)
+        else:
+            from mediquery_rag_tpu.models import HashingEmbedder
+            embedder = HashingEmbedder(cfg.embedder.hidden)
+
+        # document store: load checkpoint or build from corpus
+        idx = cfg.paths.index_dir
+        if os.path.exists(os.path.join(idx, "chunks.jsonl")):
+            store = DocumentStore.load(idx, embedder)
+        else:
+            store = build_document_store(cfg.paths.corpus_file, embedder)
+            try:
+                store.save(idx)
+            except OSError:
+                pass
+
+        llm = FakeLLM(default=(
+            "（演示模式：未连接本地 LLM 服务，回答为占位内容。"
+            "启动兼容 OpenAI 接口的本地服务后去掉 --fake-llm 即可。）"
+        )) if fake_llm else HTTPChatClient(llm_url)
+
+        os.makedirs(cfg.paths.user_data_dir, exist_ok=True)
+        profile_store = ProfileStore(
+            cfg.paths.profile_db,
+            markdown_sync=UserProfileMarkdown(
+                os.path.join(cfg.paths.user_data_dir, "profiles_md")),
+        )
+        hitl = HITLManager(cfg.paths.review_dir, profile_store)
+
+        checkpointer = SqliteCheckpointer(cfg.paths.chat_db)
+        nodes = create_nodes(
+            llm, store,
+            web_search=web_search,
+            extract_health=lambda q, uid: extract_health_info(
+                q, uid, llm, profile_store),
+            load_profile=lambda uid: load_health_profile(uid, profile_store),
+            cfg=cfg.graph,
+            top_k=cfg.engine.top_k,
+        )
+        graph_app = build_medical_graph(nodes, checkpointer)
+        return cls(cfg, llm, embedder, store, profile_store, hitl,
+                   graph_app, web_search)
