@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from mediquery_rag_tpu.obs.metrics import device_time, recall_at_k
-from mediquery_rag_tpu.ops.scoring import _flat_search_padded, flat_search, flat_search_xla
+from mediquery_rag_tpu.ops.scoring import flat_search, flat_search_xla
 
 N, D, B, K = 1_000_000, 768, 64, 10
 TC, QT = 2048, 64
@@ -33,41 +33,49 @@ ITERS = 16
 
 
 def main() -> None:
+    from mediquery_rag_tpu.ops.quant import int8_flat_search, quantize_rows
+
     key = jax.random.PRNGKey(0)
     c = jax.random.normal(key, (N, D), dtype=jnp.float32)
     c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
     c_bf16 = c.astype(jnp.bfloat16)
     n_pad = -(-N // TC) * TC
     c_pad = jnp.pad(c_bf16, ((0, n_pad - N), (0, 0)))
+    c8, cs = quantize_rows(c)
+    c8p = jnp.pad(c8, ((0, n_pad - N), (0, 0)))
+    csp = jnp.pad(cs, ((0, n_pad - N),))
 
     qs = jax.random.normal(jax.random.PRNGKey(1), (ITERS, B, D), dtype=jnp.float32)
     qs = (qs / jnp.linalg.norm(qs, axis=-1, keepdims=True))
 
     # recall vs f32 oracle
-    s, i = flat_search(qs[0], c_pad, K, n_valid=N, query_tile=QT, corpus_tile=TC)
     _, i_ref = flat_search_xla(qs[0], c, K)
-    recall = recall_at_k(i, i_ref)
+    _, i_bf = flat_search(qs[0], c_pad, K, n_valid=N, query_tile=QT, corpus_tile=TC)
+    recall_bf16 = recall_at_k(i_bf, i_ref)
+    _, i_i8 = int8_flat_search(qs[0], c8p, csp, K, n_valid=N, corpus_tile=TC)
+    recall_int8 = recall_at_k(i_i8, i_ref)
 
-    nv = jnp.asarray([N], jnp.int32)
-    t_pallas = device_time(
-        lambda q, cp: _flat_search_padded(
-            q.astype(jnp.bfloat16), cp, nv,
-            k=K, query_tile=QT, corpus_tile=TC, interpret=False,
-        ),
-        qs, c_pad,
-    )
+    t_bf16 = device_time(
+        lambda q, cp: flat_search(
+            q, cp, K, n_valid=N, query_tile=QT, corpus_tile=TC), qs, c_pad)
+    t_int8 = device_time(
+        lambda q, cp, sp: int8_flat_search(
+            q, cp, sp, K, n_valid=N, corpus_tile=TC), qs, c8p, csp)
     t_xla = device_time(lambda q, cc: flat_search_xla(q, cc, K), qs, c_bf16)
 
-    qps = B / t_pallas
     result = {
-        "metric": "flat_exact_search_qps_per_chip",
-        "value": round(qps, 1),
-        "unit": "QPS (1M x 768-d bf16, B=64, k=10, v5e chip)",
-        "vs_baseline": round(t_xla / t_pallas, 3),
-        "recall_at_10_vs_f32": recall,
-        "latency_ms_per_batch": round(t_pallas * 1e3, 3),
-        "xla_naive_ms_per_batch": round(t_xla * 1e3, 3),
-        "hbm_speed_of_light_ms": round(n_pad * D * 2 / 819e9 * 1e3, 3),
+        "metric": "exact_search_qps_per_chip_int8",
+        "value": round(B / t_int8, 1),
+        "unit": "QPS (1M x 768-d int8+scales, B=64, k=10, v5e chip)",
+        "vs_baseline": round(t_xla / t_int8, 3),
+        "recall_at_10_int8_vs_f32": recall_int8,
+        "recall_at_10_bf16_vs_f32": recall_bf16,
+        "int8_ms_per_batch": round(t_int8 * 1e3, 3),
+        "bf16_ms_per_batch": round(t_bf16 * 1e3, 3),
+        "bf16_qps": round(B / t_bf16, 1),
+        "xla_naive_bf16_ms_per_batch": round(t_xla * 1e3, 3),
+        "hbm_floor_ms_bf16": round(n_pad * D * 2 / 819e9 * 1e3, 3),
+        "hbm_floor_ms_int8": round(n_pad * (D + 4) / 819e9 * 1e3, 3),
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

@@ -1,0 +1,145 @@
+"""Int8 quantized scoring: half the HBM traffic of bf16.
+
+The flat kernel is HBM-bandwidth bound (ops/scoring.py), so storage dtype is
+the throughput lever: int8 corpus + per-row scales reads ~1/2 the bytes of
+bf16 per scan. Quantization is symmetric per-row (scale = max|x| / 127);
+the kernel runs the MXU in int8 x int8 -> int32 and rescales the tile with
+the row scales — recall parity vs f32 is asserted in tests and measured in
+the bench (BASELINE config 4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mediquery_rag_tpu.ops.scoring import (
+    LANE, NEG_INF, _merge_tile_sorted, _on_tpu, _round_up,
+)
+
+
+def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-row int8 quantization. Returns (q [N,D] i8, scale [N] f32)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _int8_topk_kernel(nv_ref, q_ref, qs_ref, c_ref, cs_ref,
+                      out_s_ref, out_i_ref, sc_ref, flag_ref, *, k, tile_c):
+    n_valid = nv_ref[0]
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _init():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.zeros_like(out_i_ref)
+
+    # MXU int8 path: [Bq, D] x [Tc, D]^T -> [Bq, Tc] i32
+    raw = jax.lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    # rescale: row scale of query x row scale of corpus tile
+    scores = raw.astype(jnp.float32) * qs_ref[:] * cs_ref[:].reshape(1, tile_c)
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + ci * tile_c
+    scores = jnp.where(col < n_valid, scores, NEG_INF)
+
+    _merge_tile_sorted(scores, col, k, out_s_ref, out_i_ref, sc_ref, flag_ref)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "query_tile", "corpus_tile", "interpret")
+)
+def _int8_search_padded(q8, qscale, c8, cscale, n_valid, *,
+                        k, query_tile, corpus_tile, interpret):
+    bq, d = q8.shape
+    nc = c8.shape[0]
+    grid = (bq // query_tile, nc // corpus_tile)
+    kp = LANE
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((query_tile, d), lambda i, j, nv: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile, 1), lambda i, j, nv: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((corpus_tile, d), lambda i, j, nv: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, corpus_tile), lambda i, j, nv: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((query_tile, kp), lambda i, j, nv: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile, kp), lambda i, j, nv: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((query_tile, corpus_tile), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    out_s, out_i = pl.pallas_call(
+        functools.partial(_int8_topk_kernel, k=k, tile_c=corpus_tile),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bq, kp), jnp.float32),
+            jax.ShapeDtypeStruct((bq, kp), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bq * d * nc,
+            bytes_accessed=bq * d + nc * d + nc * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_valid, q8, qscale, c8, cscale)
+    return out_s, out_i
+
+
+def int8_flat_search(
+    queries: jax.Array,
+    corpus_q: jax.Array,       # [N_pad, D] int8 (pad rows zero)
+    corpus_scale: jax.Array,   # [N_pad] f32
+    k: int,
+    *,
+    n_valid: int | jax.Array | None = None,
+    query_tile: int = 128,
+    corpus_tile: int = 2048,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k over an int8 corpus. Queries are quantized on the fly."""
+    if k > LANE:
+        raise ValueError(f"k={k} > {LANE}")
+    b, d = queries.shape
+    n_pad = corpus_q.shape[0]
+    if n_pad % corpus_tile:
+        raise ValueError(f"corpus rows {n_pad} % tile {corpus_tile} != 0")
+    n_valid = n_pad if n_valid is None else n_valid
+    n_valid = jnp.asarray(n_valid, jnp.int32).reshape((1,))
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    q8, qs = quantize_rows(queries)
+    query_tile = min(query_tile, _round_up(max(b, 32), 32))  # i8 sublane tile 32
+    bq = _round_up(b, query_tile)
+    if bq != b:
+        q8 = jnp.pad(q8, ((0, bq - b), (0, 0)))
+        qs = jnp.pad(qs, ((0, bq - b),))
+
+    s, i = _int8_search_padded(
+        q8, qs.reshape(bq, 1), corpus_q, corpus_scale.reshape(1, n_pad),
+        n_valid,
+        k=k, query_tile=query_tile, corpus_tile=corpus_tile,
+        interpret=interpret,
+    )
+    return s[:b, :k], i[:b, :k]

@@ -1,0 +1,91 @@
+"""Int8 quantized scoring tests (BASELINE config 4: recall parity vs f32)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mediquery_rag_tpu.config import EngineConfig
+from mediquery_rag_tpu.engine import FlatIndex
+from mediquery_rag_tpu.obs import recall_at_k
+from mediquery_rag_tpu.ops import flat_search_xla
+from mediquery_rag_tpu.ops.quant import int8_flat_search, quantize_rows
+
+
+def _vecs(n, d, seed=0):
+    x = jax.random.normal(jax.random.PRNGKey(seed), (n, d))
+    return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+
+class TestQuantizeRows:
+    def test_roundtrip_error_small(self):
+        x = _vecs(100, 64)
+        q, s = quantize_rows(x)
+        back = q.astype(jnp.float32) * s[:, None]
+        err = float(jnp.max(jnp.abs(back - x)))
+        assert err <= float(jnp.max(s)) * 0.51    # half-ulp of the scale
+
+    def test_range(self):
+        q, _ = quantize_rows(_vecs(50, 32) * 100)
+        assert int(q.max()) <= 127 and int(q.min()) >= -127
+
+    def test_zero_row_safe(self):
+        q, s = quantize_rows(jnp.zeros((4, 32)))
+        assert np.isfinite(np.asarray(s)).all()
+        assert (np.asarray(q) == 0).all()
+
+
+class TestInt8Search:
+    def test_recall_parity_vs_f32(self):
+        n, d, b, k = 4096, 128, 16, 10
+        c = _vecs(n, d, seed=1)
+        q = _vecs(b, d, seed=2)
+        c8, cs = quantize_rows(c)
+        tile = 512
+        n_pad = -(-n // tile) * tile
+        c8 = jnp.pad(c8, ((0, n_pad - n), (0, 0)))
+        cs = jnp.pad(cs, ((0, n_pad - n),))
+        s, i = int8_flat_search(q, c8, cs, k, n_valid=n, corpus_tile=tile)
+        _, i_ref = flat_search_xla(q, c, k)
+        rec = recall_at_k(i, i_ref)
+        assert rec >= 0.95, f"int8 recall@10 too low: {rec}"
+
+    def test_scores_close_to_f32(self):
+        n, d, b = 512, 64, 4
+        c = _vecs(n, d, seed=3)
+        q = _vecs(b, d, seed=4)
+        c8, cs = quantize_rows(c)
+        s, _ = int8_flat_search(q, c8, cs, 5, n_valid=n, corpus_tile=128)
+        s_ref, _ = flat_search_xla(q, c, 5)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                                   atol=0.02)   # ~1% of unit-norm dot range
+
+
+class TestFlatIndexInt8:
+    def test_build_search(self):
+        cfg = EngineConfig(dim=64, dtype="int8", corpus_tile=256, query_tile=32)
+        c = _vecs(2000, 64, seed=5)
+        idx = FlatIndex.build(c, cfg)
+        assert idx.corpus.dtype == jnp.int8
+        q = _vecs(8, 64, seed=6)
+        _, i = idx.search(q, k=10)
+        _, i_ref = flat_search_xla(q, c, 10)
+        assert recall_at_k(i, i_ref) >= 0.95
+
+    def test_memory_halved_vs_bf16(self):
+        c = _vecs(2048, 64, seed=7)
+        i8 = FlatIndex.build(c, EngineConfig(dim=64, dtype="int8", corpus_tile=256))
+        bf = FlatIndex.build(c, EngineConfig(dim=64, dtype="bfloat16", corpus_tile=256))
+        assert i8.nbytes < bf.nbytes * 0.6
+
+    def test_save_load_add(self, tmp_path):
+        cfg = EngineConfig(dim=64, dtype="int8", corpus_tile=256, query_tile=32)
+        c = _vecs(500, 64, seed=8)
+        idx = FlatIndex.build(c, cfg)
+        idx.save(str(tmp_path / "ix"))
+        idx2 = FlatIndex.load(str(tmp_path / "ix"))
+        assert idx2.corpus_scale is not None and idx2.n == 500
+        extra = _vecs(10, 64, seed=9)
+        idx3 = idx2.add(extra)
+        assert idx3.n == 510
+        _, i = idx3.search(extra[0], k=1)
+        assert int(i[0]) == 500
