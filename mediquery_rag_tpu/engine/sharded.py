@@ -20,6 +20,7 @@ from jax import shard_map
 from mediquery_rag_tpu.config import EngineConfig
 from mediquery_rag_tpu.engine.flat import l2_normalize, _round_up
 from mediquery_rag_tpu.ops.scoring import flat_search
+from mediquery_rag_tpu.ops.quant import int8_flat_search, quantize_rows
 from mediquery_rag_tpu.parallel.collectives import sharded_topk_merge
 
 
@@ -29,6 +30,7 @@ class ShardedFlatIndex:
     n: int                     # global valid rows
     cfg: EngineConfig
     mesh: Mesh
+    corpus_scale: jax.Array | None = None   # [N_pad] f32, int8 only (sharded)
 
     @classmethod
     def build(cls, vectors, mesh: Mesh, cfg: EngineConfig = EngineConfig()):
@@ -38,14 +40,21 @@ class ShardedFlatIndex:
         s = mesh.shape[axis]
         if cfg.metric == "cosine":
             v = l2_normalize(v.astype(jnp.float32))
-        v = v.astype(jnp.dtype(cfg.dtype))
         # pad so each shard holds a whole number of corpus tiles
         n_pad = _round_up(max(n, s * cfg.corpus_tile), s * cfg.corpus_tile)
+        scale = None
+        if cfg.dtype == "int8":
+            v, scale = quantize_rows(v)
+            if n_pad != n:
+                scale = jnp.pad(scale, ((0, n_pad - n),))
+            scale = jax.device_put(scale, NamedSharding(mesh, P(axis)))
+        else:
+            v = v.astype(jnp.dtype(cfg.dtype))
         if n_pad != n:
             v = jnp.pad(v, ((0, n_pad - n), (0, 0)))
         sharding = NamedSharding(mesh, P(axis, None))
         v = jax.device_put(v, sharding)
-        return cls(corpus=v, n=n, cfg=cfg, mesh=mesh)
+        return cls(corpus=v, n=n, cfg=cfg, mesh=mesh, corpus_scale=scale)
 
     def search(self, queries, k: int | None = None):
         """Global top-k over all shards. Queries replicated, ``[B, k]`` out."""
@@ -56,19 +65,30 @@ class ShardedFlatIndex:
             q = q[None, :]
         if self.cfg.metric == "cosine":
             q = l2_normalize(q.astype(jnp.float32))
-        q = q.astype(self.corpus.dtype)
-        s, i = _sharded_search(
-            q, self.corpus, jnp.int32(self.n),
-            mesh=self.mesh, axis=self.cfg.mesh_axis, k=k,
-            query_tile=self.cfg.query_tile, corpus_tile=self.cfg.corpus_tile,
-        )
+        if self.corpus_scale is not None:
+            s, i = _sharded_search_int8(
+                q, self.corpus, self.corpus_scale, jnp.int32(self.n),
+                mesh=self.mesh, axis=self.cfg.mesh_axis, k=k,
+                query_tile=self.cfg.query_tile,
+                corpus_tile=self.cfg.corpus_tile,
+            )
+        else:
+            s, i = _sharded_search(
+                q.astype(self.corpus.dtype), self.corpus, jnp.int32(self.n),
+                mesh=self.mesh, axis=self.cfg.mesh_axis, k=k,
+                query_tile=self.cfg.query_tile,
+                corpus_tile=self.cfg.corpus_tile,
+            )
         if squeeze:
             return s[0], i[0]
         return s, i
 
     @property
     def nbytes(self) -> int:
-        return self.corpus.size * self.corpus.dtype.itemsize
+        n = self.corpus.size * self.corpus.dtype.itemsize
+        if self.corpus_scale is not None:
+            n += self.corpus_scale.size * 4
+        return n
 
 
 @partial(
@@ -97,3 +117,31 @@ def _sharded_search(q, corpus, n_valid, *, mesh, axis, k, query_tile, corpus_til
         out_specs=(P(), P()),
         check_vma=False,  # pallas_call inside doesn't annotate vma
     )(q, corpus, n_valid.reshape((1,)))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "k", "query_tile", "corpus_tile"),
+)
+def _sharded_search_int8(q, corpus, scale, n_valid, *, mesh, axis, k,
+                         query_tile, corpus_tile):
+    per_shard = corpus.shape[0] // mesh.shape[axis]
+
+    def local(qb, shard, sh_scale, nv):
+        sid = jax.lax.axis_index(axis)
+        offset = sid * per_shard
+        local_valid = jnp.clip(nv[0] - offset, 0, per_shard)
+        s, i = int8_flat_search(
+            qb, shard, sh_scale, k,
+            n_valid=local_valid,
+            query_tile=query_tile, corpus_tile=corpus_tile,
+        )
+        return sharded_topk_merge(s, i + offset, k, axis)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(q, corpus, scale, n_valid.reshape((1,)))

@@ -82,6 +82,17 @@ class TestShardedFlatIndex:
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
         np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-5)
 
+    def test_int8_sharded_matches(self):
+        mesh = corpus_mesh(8)
+        cfg = EngineConfig(dim=64, dtype="int8", corpus_tile=256, query_tile=32)
+        c = _vecs(4000, 64, seed=20)
+        idx = ShardedFlatIndex.build(c, mesh, cfg)
+        assert idx.corpus_scale is not None
+        q = _vecs(5, 64, seed=21)
+        _, i = idx.search(q, k=10)
+        _, i_ref = flat_search_xla(q, c, 10)
+        assert recall_at_k(i, i_ref) >= 0.95
+
     def test_uneven_last_shard(self):
         """n not divisible by shards: trailing shards are partially padded."""
         mesh = corpus_mesh(8)
