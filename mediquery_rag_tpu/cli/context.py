@@ -62,11 +62,15 @@ class AppContext:
             from mediquery_rag_tpu.models import HashingEmbedder
             embedder = HashingEmbedder(cfg.embedder.hidden)
 
-        # document store: load checkpoint or build from corpus
+        # document store: load checkpoint or (re)build from corpus
         idx = cfg.paths.index_dir
+        store = None
         if os.path.exists(os.path.join(idx, "chunks.jsonl")):
-            store = DocumentStore.load(idx, embedder)
-        else:
+            try:
+                store = DocumentStore.load(idx, embedder)
+            except ValueError as e:       # embedder fingerprint mismatch
+                print(f"（索引与当前嵌入模型不匹配，重新构建：{e}）")
+        if store is None:
             store = build_document_store(cfg.paths.corpus_file, embedder)
             try:
                 store.save(idx)
@@ -77,6 +81,12 @@ class AppContext:
             "（演示模式：未连接本地 LLM 服务，回答为占位内容。"
             "启动兼容 OpenAI 接口的本地服务后去掉 --fake-llm 即可。）"
         )) if fake_llm else HTTPChatClient(llm_url)
+
+        # web search: explicit tool > Tavily-by-env-key > disabled
+        if web_search is None:
+            from mediquery_rag_tpu.llm.web import TavilyClient
+            tavily = TavilyClient(max_results=cfg.graph.web_results)
+            web_search = tavily if tavily.available else None
 
         os.makedirs(cfg.paths.user_data_dir, exist_ok=True)
         profile_store = ProfileStore(

@@ -25,6 +25,7 @@ BANNER = """
  1. 健康顾问（结构化问诊 + 个性化建议）
  2. 健康科普问答（自由提问）
  3. 处理人工审核队列（HITL）
+ 4. 查看健康档案
  q. 退出
 """
 
@@ -128,6 +129,40 @@ def run_science_qa(ctx: AppContext) -> None:
             print("  （对话历史已自动压缩）")
 
 
+def run_profile_view(ctx: AppContext) -> None:
+    """Show the two-tier profile for a phone number: consultation profile
+    (JSON) + extracted long-term records (SQLite), parity with the
+    reference's show_health_profile (ui/interface.py:487-555)."""
+    from mediquery_rag_tpu.app.memory import load_health_profile
+
+    phone = _input("请输入手机号：")
+    if not phone:
+        return
+    sc = StructuredConsultation(ctx.llm, data_dir=ctx.cfg.paths.user_data_dir)
+    profile = sc.identify_user(phone)
+    print(f"\n—— 基本档案（{profile.user_id[:8]}…）——")
+    if profile.name:
+        print(f"姓名：{profile.name}　年龄：{profile.age}　性别：{profile.gender}")
+        if profile.height_cm:
+            print(f"身高：{profile.height_cm} cm　体重：{profile.weight_kg} kg")
+        for label, v in (("慢性疾病", profile.chronic), ("过敏史", profile.allergy),
+                         ("长期用药", profile.medication)):
+            if v:
+                print(f"{label}：{v}")
+    else:
+        print("（尚无问诊档案）")
+    text = load_health_profile(profile.user_id, ctx.profile_store)
+    if text:
+        print("\n—— 对话中提取的健康记录 ——")
+        print(text)
+    hist = sc.get_history_summary(last_n=5, include_current=True)
+    if hist:
+        print("\n—— 最近问诊 ——")
+        for h in hist:
+            print(f"{h['date']}（{h['consult_type'] or '未分类'}）"
+                  f"：{h['chief_complaint'] or '—'}（风险 {h['risk_level']}）")
+
+
 def run_hitl_review(ctx: AppContext) -> None:
     stats = ctx.hitl.stats()
     print(f"审核队列：待审 {stats['pending']} / 已批准 {stats['approved']} "
@@ -151,3 +186,5 @@ def main_menu(ctx: AppContext) -> None:
             run_science_qa(ctx)
         elif choice == "3":
             run_hitl_review(ctx)
+        elif choice == "4":
+            run_profile_view(ctx)

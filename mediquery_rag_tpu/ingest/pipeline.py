@@ -8,12 +8,23 @@ pass; search embeds the query batch and calls the engine.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from dataclasses import dataclass
 from typing import Callable, Sequence
 
 import numpy as np
+
+_SENTINEL = "指纹校验：高血压与糖尿病"
+
+
+def embedder_fingerprint(embedder: Callable) -> str:
+    """Hash of the embedder's output on a fixed sentinel — detects loading an
+    index built with a *different* embedder (dims can match while the vector
+    spaces are unrelated, which would silently return garbage neighbors)."""
+    v = np.asarray(embedder([_SENTINEL])[0], dtype=np.float32)
+    return hashlib.sha1(np.round(v, 4).tobytes()).hexdigest()[:16]
 
 from mediquery_rag_tpu.config import EngineConfig
 from mediquery_rag_tpu.engine import FlatIndex, IVFIndex
@@ -68,6 +79,8 @@ class DocumentStore:
                     "chunk_id": c.chunk_id, "title": c.title,
                     "content": c.content, "source": c.source, "tags": c.tags,
                 }, ensure_ascii=False) + "\n")
+        with open(os.path.join(path, "store.json"), "w") as f:
+            json.dump({"embedder_fingerprint": embedder_fingerprint(self.embedder)}, f)
         self.index.save(os.path.join(path, "index"))
 
     @classmethod
@@ -77,6 +90,16 @@ class DocumentStore:
             for line in f:
                 d = json.loads(line)
                 chunks.append(Chunk(**d))
+        meta_path = os.path.join(path, "store.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                want = json.load(f).get("embedder_fingerprint")
+            got = embedder_fingerprint(embedder)
+            if want and got != want:
+                raise ValueError(
+                    f"index at {path} was built with a different embedder "
+                    f"(fingerprint {want} != {got}); rebuild the index or "
+                    "pass the matching embedder")
         ix_path = os.path.join(path, "index")
         with open(os.path.join(ix_path, "meta.json")) as f:
             kind = json.load(f)["kind"]

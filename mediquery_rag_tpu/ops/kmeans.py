@@ -23,7 +23,9 @@ def kmeans(
     *,
     nlist: int,
     iters: int = 10,
-    chunk: int = 65536,
+    chunk: int = 8192,
+    # chunk sizes the [chunk, nlist] one-hot HBM footprint of the centroid
+    # update; 8192 x 1024 f32 = 32 MB keeps the Lloyd scan bandwidth-sane
 ) -> jax.Array:
     """Spherical k-means. ``x``: [S, D] L2-normalized f32. Returns [nlist, D].
 

@@ -206,3 +206,18 @@ class TestExtractJson:
 
     def test_garbage_returns_none(self):
         assert extract_json("完全不是JSON") is None
+
+
+class TestWebClients:
+    def test_fake_web_search_records(self):
+        from mediquery_rag_tpu.llm.web import FakeWebSearch
+        ws = FakeWebSearch([{"title": "t", "content": "c", "url": "u"}])
+        assert ws("查询")[0]["title"] == "t"
+        assert ws.queries == ["查询"]
+
+    def test_tavily_without_key_is_safe(self, monkeypatch):
+        from mediquery_rag_tpu.llm.web import TavilyClient
+        monkeypatch.delenv("TAVILY_API_KEY", raising=False)
+        t = TavilyClient()
+        assert not t.available
+        assert t("任何查询") == []     # no key -> no network, empty results

@@ -71,3 +71,24 @@ class TestDocumentStore:
         assert [x.metadata["chunk_id"] for x in d1] == [
             x.metadata["chunk_id"] for x in d2
         ]
+
+
+class TestEmbedderFingerprint:
+    def test_mismatched_embedder_rejected(self, tmp_path):
+        store = build_document_store(CORPUS, HashingEmbedder(dim=256), CFG)
+        store.save(str(tmp_path / "s"))
+
+        class OtherEmbedder:
+            def __call__(self, texts):
+                import numpy as np
+                base = HashingEmbedder(dim=256)(texts)
+                return -base          # same dim, different space
+
+        with pytest.raises(ValueError, match="different embedder"):
+            DocumentStore.load(str(tmp_path / "s"), OtherEmbedder())
+
+    def test_matching_embedder_loads(self, tmp_path):
+        store = build_document_store(CORPUS, HashingEmbedder(dim=256), CFG)
+        store.save(str(tmp_path / "s"))
+        loaded = DocumentStore.load(str(tmp_path / "s"), HashingEmbedder(dim=256))
+        assert len(loaded.chunks) == 12
