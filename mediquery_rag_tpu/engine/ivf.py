@@ -66,22 +66,32 @@ class IVFIndex:
         cents = kmeans(sample, key, nlist=nlist, iters=cfg.ivf_kmeans_iters)
         assign = np.asarray(assign_clusters(v32, cents))
 
-        # bucket layout (host, one pass over ids only — build-time)
+        # bucket layout: id permutation on host (cheap, ints only), the
+        # [nlist*cap, D] vector gather on device at HBM bandwidth
         counts = np.bincount(assign, minlength=nlist)
         cap = _round_up(max(int(counts.max()), 32), 32)
         order = np.argsort(assign, kind="stable")
         bucket_ids = np.full((nlist, cap), -1, dtype=np.int32)
-        pos = np.zeros(nlist, dtype=np.int64)
         cluster_of = assign[order]
         # vectorized fill: position within cluster = rank among same cluster
         ranks = np.arange(n) - np.concatenate(([0], np.cumsum(counts)))[cluster_of]
         bucket_ids[cluster_of, ranks] = order.astype(np.int32)
-        flat_rows = bucket_ids.reshape(-1)
         storage = jnp.dtype(cfg.dtype)
-        gathered = np.zeros((nlist * cap, d), dtype=np.float32)
-        valid = flat_rows >= 0
-        gathered[valid] = np.asarray(v32)[flat_rows[valid]]
-        buckets = jnp.asarray(gathered, dtype=storage)
+        total = nlist * cap
+        chunk = 65536
+        pad_rows = _round_up(total, chunk)
+        flat_rows = np.full(pad_rows, -1, dtype=np.int32)
+        flat_rows[:total] = bucket_ids.reshape(-1)
+        # chunked gather: cast each chunk to the storage dtype immediately so
+        # the f32 intermediate stays ~chunk*D instead of nlist*cap*D (OOM at
+        # 1M x 768 otherwise)
+        def gather_chunk(rows):
+            g = jnp.take(v32, jnp.maximum(rows, 0), axis=0)
+            return jnp.where((rows >= 0)[:, None], g, 0.0).astype(storage)
+
+        parts = jax.lax.map(gather_chunk,
+                            jnp.asarray(flat_rows.reshape(-1, chunk)))
+        buckets = parts.reshape(pad_rows, d)[:total]
 
         return cls(
             centroids=cents,
