@@ -27,7 +27,7 @@ import numpy as np
 from mediquery_rag_tpu.config import EngineConfig
 from mediquery_rag_tpu.engine.flat import l2_normalize
 from mediquery_rag_tpu.ops.kmeans import assign_clusters, kmeans
-from mediquery_rag_tpu.ops.ivf_kernel import ivf_probe_search
+from mediquery_rag_tpu.ops.ivf_kernel import ivf_probe_search, ivf_probe_search_int8
 
 
 def _round_up(x: int, m: int) -> int:
@@ -42,6 +42,7 @@ class IVFIndex:
     n: int
     cap: int
     cfg: EngineConfig
+    bucket_scales: jax.Array | None = None   # [nlist, cap] f32, int8 only
 
     @classmethod
     def build(
@@ -76,22 +77,31 @@ class IVFIndex:
         # vectorized fill: position within cluster = rank among same cluster
         ranks = np.arange(n) - np.concatenate(([0], np.cumsum(counts)))[cluster_of]
         bucket_ids[cluster_of, ranks] = order.astype(np.int32)
-        storage = jnp.dtype(cfg.dtype)
+        int8 = cfg.dtype == "int8"
+        storage = jnp.int8 if int8 else jnp.dtype(cfg.dtype)
         total = nlist * cap
         chunk = 65536
         pad_rows = _round_up(total, chunk)
         flat_rows = np.full(pad_rows, -1, dtype=np.int32)
         flat_rows[:total] = bucket_ids.reshape(-1)
-        # chunked gather: cast each chunk to the storage dtype immediately so
-        # the f32 intermediate stays ~chunk*D instead of nlist*cap*D (OOM at
-        # 1M x 768 otherwise)
+        # chunked gather: cast/quantize each chunk to the storage dtype
+        # immediately so the f32 intermediate stays ~chunk*D instead of
+        # nlist*cap*D (OOM at 1M x 768 otherwise)
         def gather_chunk(rows):
             g = jnp.take(v32, jnp.maximum(rows, 0), axis=0)
-            return jnp.where((rows >= 0)[:, None], g, 0.0).astype(storage)
+            g = jnp.where((rows >= 0)[:, None], g, 0.0)
+            if int8:
+                from mediquery_rag_tpu.ops.quant import quantize_rows
+                q8, sc = quantize_rows(g)
+                return q8, sc
+            return g.astype(storage), jnp.zeros((rows.shape[0],), jnp.float32)
 
-        parts = jax.lax.map(gather_chunk,
-                            jnp.asarray(flat_rows.reshape(-1, chunk)))
+        parts, part_scales = jax.lax.map(
+            gather_chunk, jnp.asarray(flat_rows.reshape(-1, chunk)))
         buckets = parts.reshape(pad_rows, d)[:total]
+        scales = None
+        if int8:
+            scales = part_scales.reshape(pad_rows)[:total].reshape(nlist, cap)
 
         return cls(
             centroids=cents,
@@ -100,6 +110,7 @@ class IVFIndex:
             n=n,
             cap=cap,
             cfg=cfg,
+            bucket_scales=scales,
         )
 
     def search(self, queries, k: int | None = None, nprobe: int | None = None):
@@ -115,35 +126,53 @@ class IVFIndex:
         cs = jnp.dot(q.astype(jnp.float32), self.centroids.T,
                      preferred_element_type=jnp.float32)
         _, probe_ids = jax.lax.top_k(cs, nprobe)
-        s, i = ivf_probe_search(
-            probe_ids.astype(jnp.int32),
-            q.astype(self.buckets.dtype),
-            self.buckets,
-            self.bucket_ids,
-            k=k,
-        )
+        if self.bucket_scales is not None:
+            s, i = ivf_probe_search_int8(
+                probe_ids.astype(jnp.int32),
+                q.astype(jnp.float32),
+                self.buckets,
+                self.bucket_ids,
+                self.bucket_scales,
+                k=k,
+            )
+        else:
+            s, i = ivf_probe_search(
+                probe_ids.astype(jnp.int32),
+                q.astype(self.buckets.dtype),
+                self.buckets,
+                self.bucket_ids,
+                k=k,
+            )
         if squeeze:
             return s[0], i[0]
         return s, i
 
     @property
     def nbytes(self) -> int:
-        return (
+        nb = (
             self.buckets.size * self.buckets.dtype.itemsize
             + self.centroids.size * 4
             + self.bucket_ids.size * 4
         )
+        if self.bucket_scales is not None:
+            nb += self.bucket_scales.size * 4
+        return nb
 
     # -- persistence ---------------------------------------------------------
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        np.savez(
-            os.path.join(path, "ivf.npz"),
-            centroids=np.asarray(self.centroids),
-            buckets=np.asarray(self.buckets.astype(jnp.float32)),
-            bucket_ids=np.asarray(self.bucket_ids),
-        )
+        buckets = self.buckets
+        if buckets.dtype != jnp.int8:
+            buckets = buckets.astype(jnp.float32)   # npz has no bf16
+        arrays = {
+            "centroids": np.asarray(self.centroids),
+            "buckets": np.asarray(buckets),
+            "bucket_ids": np.asarray(self.bucket_ids),
+        }
+        if self.bucket_scales is not None:
+            arrays["bucket_scales"] = np.asarray(self.bucket_scales)
+        np.savez(os.path.join(path, "ivf.npz"), **arrays)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(
                 {"n": self.n, "cap": self.cap, "kind": "ivf", "cfg": self.cfg.__dict__},
@@ -156,11 +185,14 @@ class IVFIndex:
             meta = json.load(f)
         cfg = EngineConfig(**{**EngineConfig().__dict__, **meta["cfg"]})
         z = np.load(os.path.join(path, "ivf.npz"))
+        storage = jnp.int8 if cfg.dtype == "int8" else jnp.dtype(cfg.dtype)
         return cls(
             centroids=jnp.asarray(z["centroids"]),
-            buckets=jnp.asarray(z["buckets"], dtype=jnp.dtype(cfg.dtype)),
+            buckets=jnp.asarray(z["buckets"]).astype(storage),
             bucket_ids=jnp.asarray(z["bucket_ids"]),
             n=meta["n"],
             cap=meta["cap"],
             cfg=cfg,
+            bucket_scales=(jnp.asarray(z["bucket_scales"])
+                           if "bucket_scales" in z.files else None),
         )

@@ -120,6 +120,96 @@ def ivf_probe_search(
     )
 
 
+def _ivf_int8_kernel(pids_ref, q_ref, buckets_ref, bids_ref, bsc_ref,
+                     out_s_ref, out_i_ref, *, k):
+    """int8 variant: buckets int8 + per-row scales. The query is int8 too;
+    its per-query scale is a positive constant per row so it cannot change
+    the ranking — the caller rescales the returned top-k scores."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.zeros_like(out_i_ref)
+
+    q = q_ref[:].reshape(1, q_ref.shape[-1])                   # [1, D] i8
+    raw = jax.lax.dot_general(
+        q, buckets_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                          # [1, cap] i32
+    scales = bsc_ref[:].reshape(1, bsc_ref.shape[-1])          # [1, cap]
+    scores = raw.astype(jnp.float32) * scales
+    ids = bids_ref[:].reshape(1, bids_ref.shape[-1])
+    scores = jnp.where(ids >= 0, scores, NEG_INF)
+
+    run_s = out_s_ref[:].reshape(1, -1)[:, :k].astype(jnp.float32)
+    run_i = out_i_ref[:].reshape(1, -1)[:, :k]
+    cat_s = jnp.concatenate([run_s, scores], axis=1)
+    cat_i = jnp.concatenate([run_i, ids], axis=1)
+    _extract_topk_rows(cat_s, cat_i, k, out_s_ref.at[0], out_i_ref.at[0])
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cap", "interpret"))
+def _ivf_probe_search_int8(probe_ids, q8, buckets, bucket_ids, bucket_scales,
+                           *, k, cap, interpret):
+    b, d = q8.shape
+    nlist = bucket_ids.shape[0]
+    nprobe = probe_ids.shape[1]
+    kp = LANE
+
+    q3 = q8.reshape(b, 1, d)
+    bids3 = bucket_ids.reshape(nlist, 1, cap)
+    bsc3 = bucket_scales.reshape(nlist, 1, cap)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nprobe),
+        in_specs=[
+            pl.BlockSpec((1, 1, d), lambda i, j, pids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap, d), lambda i, j, pids: (pids[i, j], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cap), lambda i, j, pids: (pids[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cap), lambda i, j, pids: (pids[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, kp), lambda i, j, pids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kp), lambda i, j, pids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    out_s, out_i = pl.pallas_call(
+        functools.partial(_ivf_int8_kernel, k=k),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, kp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, kp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(probe_ids, q3, buckets, bids3, bsc3)
+    return out_s[:, 0, :k], out_i[:, 0, :k]
+
+
+def ivf_probe_search_int8(probe_ids, queries, buckets, bucket_ids,
+                          bucket_scales, *, k, interpret=None):
+    """int8 probe search. ``queries`` f32 [B, D] (quantized here);
+    returned scores are rescaled by the per-query scale."""
+    from mediquery_rag_tpu.ops.quant import quantize_rows
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    q8, qs = quantize_rows(queries)
+    cap = bucket_ids.shape[1]
+    s, i = _ivf_probe_search_int8(
+        probe_ids, q8, buckets, bucket_ids, bucket_scales,
+        k=k, cap=cap, interpret=interpret)
+    return s * qs[:, None], i
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def ivf_probe_search_xla(probe_ids, queries, buckets, bucket_ids, *, k):
     """Gather-based XLA oracle (memory-heavy; for tests/small shapes only)."""

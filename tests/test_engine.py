@@ -144,3 +144,32 @@ class TestIVFIndex:
         _, i1 = idx.search(q, k=5)
         _, i2 = idx2.search(q, k=5)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_int8_ivf(self):
+        cfg = EngineConfig(dim=64, dtype="int8", ivf_nlist=16,
+                           ivf_kmeans_iters=4)
+        c = _vecs(2000, 64, seed=30)
+        idx = IVFIndex.build(c, cfg)
+        assert idx.bucket_scales is not None
+        assert idx.buckets.dtype.name == "int8"
+        q = _vecs(6, 64, seed=31)
+        s, i = idx.search(q, k=5, nprobe=16)   # full probe = exact-ish
+        _, i_ref = flat_search_xla(q, c, 5)
+        assert recall_at_k(i, i_ref) >= 0.95
+        # rescaled scores approximate true cosine
+        s_ref, _ = flat_search_xla(q, c, 5)
+        import numpy as np
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=0.03)
+
+    def test_int8_ivf_save_load(self, tmp_path):
+        cfg = EngineConfig(dim=64, dtype="int8", ivf_nlist=8,
+                           ivf_kmeans_iters=3)
+        c = _vecs(500, 64, seed=32)
+        idx = IVFIndex.build(c, cfg)
+        idx.save(str(tmp_path / "i8"))
+        idx2 = IVFIndex.load(str(tmp_path / "i8"))
+        q = _vecs(3, 64, seed=33)
+        _, i1 = idx.search(q, k=4)
+        _, i2 = idx2.search(q, k=4)
+        import numpy as np
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
