@@ -13,3 +13,4 @@ indexes searched by Pallas kernels:
 from mediquery_rag_tpu.engine.flat import FlatIndex  # noqa: F401
 from mediquery_rag_tpu.engine.sharded import ShardedFlatIndex  # noqa: F401
 from mediquery_rag_tpu.engine.ivf import IVFIndex  # noqa: F401
+from mediquery_rag_tpu.engine.sharded_ivf import ShardedIVFIndex  # noqa: F401

@@ -1,0 +1,129 @@
+"""Sharded IVF: clusters partitioned across the device mesh.
+
+The low-latency path at multi-chip scale (BASELINE config 5 with IVF):
+centroids are replicated (tiny); each chip owns a contiguous range of
+clusters and holds only their buckets in HBM. A query's probe list is
+computed globally, then each chip serves the probes it owns — probes owned
+by other chips are routed to a reserved *empty sentinel bucket* (ids = -1,
+which the probe kernel masks natively), keeping shapes static. Per-chip
+partial top-k lists merge via the same all-gather-over-ICI pattern as the
+sharded flat index.
+
+Worst-case skew (all nprobe probes on one chip) degrades latency to the
+single-chip case, never correctness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from mediquery_rag_tpu.config import EngineConfig
+from mediquery_rag_tpu.engine.flat import l2_normalize
+from mediquery_rag_tpu.engine.ivf import IVFIndex
+from mediquery_rag_tpu.ops.ivf_kernel import ivf_probe_search
+from mediquery_rag_tpu.parallel.collectives import sharded_topk_merge
+
+
+@dataclass
+class ShardedIVFIndex:
+    centroids: jax.Array      # [nlist, D] f32, replicated
+    buckets: jax.Array        # [S*(per+1)*cap, D] rows sharded over mesh
+    bucket_ids: jax.Array     # [S*(per+1), cap] sharded; last bucket/shard empty
+    n: int
+    cap: int
+    nlist: int                # real clusters (pre-padding)
+    per_shard: int            # clusters per shard (excl. sentinel)
+    cfg: EngineConfig
+    mesh: Mesh
+
+    @classmethod
+    def build(cls, vectors, mesh: Mesh, cfg: EngineConfig = EngineConfig(),
+              *, key=None) -> "ShardedIVFIndex":
+        """Build the single-chip IVF layout, then scatter cluster ranges
+        (with one sentinel empty bucket per shard) across the mesh."""
+        axis = cfg.mesh_axis
+        s = mesh.shape[axis]
+        base = IVFIndex.build(vectors, cfg, key=key)
+        nlist, cap = base.bucket_ids.shape
+        d = base.buckets.shape[1]
+        per = -(-nlist // s)                       # clusters per shard
+
+        # host-side relayout: [s, per+1, cap, ...] with sentinel appended
+        bids = np.full((s, per + 1, cap), -1, dtype=np.int32)
+        bvecs = np.zeros((s, per + 1, cap, d),
+                         dtype=np.asarray(base.buckets[:1]).dtype)
+        src_ids = np.asarray(base.bucket_ids)
+        src_vecs = np.asarray(base.buckets).reshape(nlist, cap, d)
+        for sh in range(s):
+            lo, hi = sh * per, min((sh + 1) * per, nlist)
+            bids[sh, : hi - lo] = src_ids[lo:hi]
+            bvecs[sh, : hi - lo] = src_vecs[lo:hi]
+
+        sharding_b = NamedSharding(mesh, P(axis, None))
+        buckets = jax.device_put(
+            jnp.asarray(bvecs.reshape(s * (per + 1) * cap, d)),
+            sharding_b)
+        bucket_ids = jax.device_put(
+            jnp.asarray(bids.reshape(s * (per + 1), cap)), sharding_b)
+        return cls(
+            centroids=base.centroids, buckets=buckets, bucket_ids=bucket_ids,
+            n=base.n, cap=cap, nlist=nlist, per_shard=per, cfg=cfg, mesh=mesh,
+        )
+
+    def search(self, queries, k: int | None = None, nprobe: int | None = None):
+        k = self.cfg.top_k if k is None else k
+        nprobe = self.cfg.ivf_nprobe if nprobe is None else nprobe
+        nprobe = min(nprobe, self.nlist)
+        q = jnp.asarray(queries)
+        squeeze = q.ndim == 1
+        if squeeze:
+            q = q[None, :]
+        if self.cfg.metric == "cosine":
+            q = l2_normalize(q.astype(jnp.float32))
+        s, i = _sharded_ivf_search(
+            q.astype(self.buckets.dtype), self.centroids, self.buckets,
+            self.bucket_ids,
+            mesh=self.mesh, axis=self.cfg.mesh_axis, k=k, nprobe=nprobe,
+            per_shard=self.per_shard, cap=self.cap,
+        )
+        if squeeze:
+            return s[0], i[0]
+        return s, i
+
+    @property
+    def nbytes(self) -> int:
+        return (self.buckets.size * self.buckets.dtype.itemsize
+                + self.bucket_ids.size * 4 + self.centroids.size * 4)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "k", "nprobe",
+                                   "per_shard", "cap"))
+def _sharded_ivf_search(q, cents, buckets, bucket_ids, *, mesh, axis, k,
+                        nprobe, per_shard, cap):
+    def local(qb, cents_r, bk, bids):
+        sid = jax.lax.axis_index(axis)
+        cs = jnp.dot(qb.astype(jnp.float32), cents_r.T,
+                     preferred_element_type=jnp.float32)
+        _, pid = jax.lax.top_k(cs, nprobe)               # global cluster ids
+        lo = sid * per_shard
+        local_pid = pid - lo
+        mine = (local_pid >= 0) & (local_pid < per_shard)
+        # foreign probes -> the sentinel empty bucket (index per_shard)
+        local_pid = jnp.where(mine, local_pid, per_shard).astype(jnp.int32)
+        s, i = ivf_probe_search(local_pid, qb, bk, bids, k=k)
+        return sharded_topk_merge(s, i, k, axis)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P(axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(q, cents, buckets, bucket_ids)

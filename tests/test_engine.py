@@ -173,3 +173,37 @@ class TestIVFIndex:
         _, i2 = idx2.search(q, k=4)
         import numpy as np
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+class TestShardedIVF:
+    def test_matches_single_chip_ivf(self):
+        from mediquery_rag_tpu.engine.sharded_ivf import ShardedIVFIndex
+        mesh = corpus_mesh(8)
+        key = jax.random.PRNGKey(40)
+        centers = jax.random.normal(key, (32, 64))
+        asg = jax.random.randint(jax.random.PRNGKey(41), (3000,), 0, 32)
+        c = centers[asg] + 0.3 * jax.random.normal(jax.random.PRNGKey(42), (3000, 64))
+        c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+        cfg = EngineConfig(dim=64, dtype="float32", ivf_nlist=32,
+                           ivf_kmeans_iters=5)
+        base = IVFIndex.build(c, cfg, key=jax.random.PRNGKey(0))
+        sharded = ShardedIVFIndex.build(c, mesh, cfg, key=jax.random.PRNGKey(0))
+        q = c[:8] + 0.05 * jax.random.normal(jax.random.PRNGKey(43), (8, 64))
+        s1, i1 = base.search(q, k=10, nprobe=8)
+        s2, i2 = sharded.search(q, k=10, nprobe=8)
+        # same centroids (same key) => same probes => identical results
+        np.testing.assert_array_equal(np.sort(np.asarray(i1), axis=1),
+                                      np.sort(np.asarray(i2), axis=1))
+
+    def test_full_probe_exact(self):
+        from mediquery_rag_tpu.engine.sharded_ivf import ShardedIVFIndex
+        mesh = corpus_mesh(8)
+        c = _vecs(2000, 64, seed=44)
+        cfg = EngineConfig(dim=64, dtype="float32", ivf_nlist=16,
+                           ivf_kmeans_iters=4)
+        idx = ShardedIVFIndex.build(c, mesh, cfg)
+        q = _vecs(5, 64, seed=45)
+        _, i = idx.search(q, k=5, nprobe=16)
+        _, i_ref = flat_search_xla(q, c, 5)
+        np.testing.assert_array_equal(np.sort(np.asarray(i), axis=1),
+                                      np.sort(np.asarray(i_ref), axis=1))
