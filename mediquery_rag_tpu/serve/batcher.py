@@ -58,7 +58,12 @@ class BatchingSearchService:
 
     def _loop(self) -> None:
         while not self._stop.is_set():
-            item = self._q.get()
+            try:
+                # bounded wait so a sentinel consumed mid-batch can't leave
+                # the collector blocked past shutdown
+                item = self._q.get(timeout=0.2)
+            except queue.Empty:
+                continue
             if item is None:
                 continue
             batch = [item]

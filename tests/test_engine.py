@@ -207,3 +207,42 @@ class TestShardedIVF:
         _, i_ref = flat_search_xla(q, c, 5)
         np.testing.assert_array_equal(np.sort(np.asarray(i), axis=1),
                                       np.sort(np.asarray(i_ref), axis=1))
+
+
+class TestTuning:
+    def test_tune_nprobe_finds_cheapest(self):
+        from mediquery_rag_tpu.engine.tuning import tune_nprobe
+        key = jax.random.PRNGKey(50)
+        centers = jax.random.normal(key, (32, 64))
+        asg = jax.random.randint(jax.random.PRNGKey(51), (3000,), 0, 32)
+        c = centers[asg] + 0.3 * jax.random.normal(jax.random.PRNGKey(52), (3000, 64))
+        c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+        cfg = EngineConfig(dim=64, dtype="float32", ivf_nlist=32, ivf_kmeans_iters=5)
+        iv = IVFIndex.build(c, cfg)
+        flat = FlatIndex.build(c, CFG)
+        q = c[:16] + 0.05 * jax.random.normal(jax.random.PRNGKey(53), (16, 64))
+        out = tune_nprobe(iv, flat, q, k=10, target_recall=0.95)
+        assert out["recall"] >= 0.95
+        assert out["nprobe"] <= 16          # clustered data needs few probes
+        # sweep is monotone-ish: the chosen nprobe is the first passing one
+        for np_, rec in out["sweep"][:-1]:
+            assert rec < 0.95 or np_ == out["nprobe"]
+
+
+class TestIVFKernelVsOracle:
+    def test_probe_kernel_matches_gather_oracle(self):
+        from mediquery_rag_tpu.ops.ivf_kernel import (
+            ivf_probe_search, ivf_probe_search_xla)
+        cfg = EngineConfig(dim=64, dtype="float32", ivf_nlist=16,
+                           ivf_kmeans_iters=3)
+        c = _vecs(1500, 64, seed=60)
+        iv = IVFIndex.build(c, cfg)
+        q = _vecs(6, 64, seed=61)
+        cs = q @ iv.centroids.T
+        _, pid = jax.lax.top_k(cs, 4)
+        pid = pid.astype(jnp.int32)
+        qs = q.astype(iv.buckets.dtype)
+        s1, i1 = ivf_probe_search(pid, qs, iv.buckets, iv.bucket_ids, k=5)
+        s2, i2 = ivf_probe_search_xla(pid, qs, iv.buckets, iv.bucket_ids, k=5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
