@@ -48,16 +48,25 @@ class AppContext:
     ) -> "AppContext":
         cfg = load_config(root)
 
-        # embedder: TPU encoder when a TPU is present, hash fallback otherwise
+        # embedder selection: a *trained* TPU encoder when a checkpoint
+        # exists (models/train.py writes one), else the lexical hash
+        # embedder — random encoder weights embed worse than hashing, so
+        # "TPU-by-default" would hurt retrieval quality, not help it.
+        ckpt = os.path.join(root, "checkpoints", "embedder")
         if use_tpu_embedder is None:
             try:
                 import jax
-                use_tpu_embedder = jax.default_backend() == "tpu"
+                use_tpu_embedder = (jax.default_backend() == "tpu"
+                                    and os.path.exists(
+                                        os.path.join(ckpt, "params.npz")))
             except Exception:
                 use_tpu_embedder = False
         if use_tpu_embedder:
             from mediquery_rag_tpu.models import TextEmbedder
-            embedder = TextEmbedder(cfg.embedder)
+            if os.path.exists(os.path.join(ckpt, "config.json")):
+                embedder = TextEmbedder.from_checkpoint(ckpt)
+            else:
+                embedder = TextEmbedder(cfg.embedder)
         else:
             from mediquery_rag_tpu.models import HashingEmbedder
             embedder = HashingEmbedder(cfg.embedder.hidden)

@@ -66,15 +66,35 @@ class TextEmbedder:
     # -- checkpointing -------------------------------------------------------
 
     def save(self, path: str) -> None:
+        import json
+
         os.makedirs(path, exist_ok=True)
         flat, treedef = jax.tree_util.tree_flatten(self.params)
         np.savez(
             os.path.join(path, "params.npz"),
             **{str(i): np.asarray(x) for i, x in enumerate(flat)},
         )
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(self.cfg.__dict__, f)
 
     def load_params(self, path: str) -> None:
         z = np.load(os.path.join(path, "params.npz"))
         flat, treedef = jax.tree_util.tree_flatten(self.params)
+        if len(z.files) != len(flat):
+            raise ValueError(
+                f"checkpoint at {path} has {len(z.files)} arrays but this "
+                f"architecture has {len(flat)} — construct the TextEmbedder "
+                "with from_checkpoint() or the matching EmbedderConfig")
         new_flat = [jnp.asarray(z[str(i)]) for i in range(len(flat))]
         self.params = jax.tree_util.tree_unflatten(treedef, new_flat)
+
+    @classmethod
+    def from_checkpoint(cls, path: str) -> "TextEmbedder":
+        """Rebuild with the architecture recorded at save time."""
+        import json
+
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = EmbedderConfig(**json.load(f))
+        te = cls(cfg)
+        te.load_params(path)
+        return te
