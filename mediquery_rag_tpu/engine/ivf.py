@@ -27,7 +27,9 @@ import numpy as np
 from mediquery_rag_tpu.config import EngineConfig
 from mediquery_rag_tpu.engine.flat import l2_normalize
 from mediquery_rag_tpu.ops.kmeans import assign_clusters, kmeans
-from mediquery_rag_tpu.ops.ivf_kernel import ivf_probe_search, ivf_probe_search_int8
+from mediquery_rag_tpu.ops.ivf_kernel import (
+    ivf_batch_search, ivf_probe_search, ivf_probe_search_int8,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -113,7 +115,12 @@ class IVFIndex:
             bucket_scales=scales,
         )
 
-    def search(self, queries, k: int | None = None, nprobe: int | None = None):
+    def search(self, queries, k: int | None = None, nprobe: int | None = None,
+               *, batched: bool | None = None):
+        """Probe search. ``batched=None`` auto-picks the kernel layout:
+        query-major (one bucket DMA per (query, probe); minimal latency at
+        B=1) vs bucket-major (deduped bucket DMAs, whole-batch MXU matmuls;
+        wins from a handful of queries up — see ops/ivf_kernel.py)."""
         k = self.cfg.top_k if k is None else k
         nprobe = self.cfg.ivf_nprobe if nprobe is None else nprobe
         nprobe = min(nprobe, self.centroids.shape[0])
@@ -126,7 +133,23 @@ class IVFIndex:
         cs = jnp.dot(q.astype(jnp.float32), self.centroids.T,
                      preferred_element_type=jnp.float32)
         _, probe_ids = jax.lax.top_k(cs, nprobe)
-        if self.bucket_scales is not None:
+        if batched is None:
+            # bucket-major pays off once the expected DMA dedup factor
+            # draws/E[unique] exceeds ~2.3, which for uniform probes happens
+            # at draws >= 2*nlist (measured tie on v5e at both B=64/nlist=512
+            # and B=256/nlist=2048 — benchmarks/ivf_batch.py; skewed probe
+            # distributions only shift the crossover in bucket-major's favor)
+            batched = q.shape[0] * nprobe >= 2 * self.centroids.shape[0]
+        if batched:
+            s, i = ivf_batch_search(
+                probe_ids.astype(jnp.int32),
+                q.astype(jnp.float32),
+                self.buckets,
+                self.bucket_ids,
+                k=k,
+                bucket_scales=self.bucket_scales,
+            )
+        elif self.bucket_scales is not None:
             s, i = ivf_probe_search_int8(
                 probe_ids.astype(jnp.int32),
                 q.astype(jnp.float32),

@@ -27,7 +27,9 @@ from jax import shard_map
 from mediquery_rag_tpu.config import EngineConfig
 from mediquery_rag_tpu.engine.flat import l2_normalize
 from mediquery_rag_tpu.engine.ivf import IVFIndex
-from mediquery_rag_tpu.ops.ivf_kernel import ivf_probe_search
+from mediquery_rag_tpu.ops.ivf_kernel import (
+    ivf_batch_search, ivf_probe_search, ivf_probe_search_int8,
+)
 from mediquery_rag_tpu.parallel.collectives import sharded_topk_merge
 
 
@@ -42,6 +44,7 @@ class ShardedIVFIndex:
     per_shard: int            # clusters per shard (excl. sentinel)
     cfg: EngineConfig
     mesh: Mesh
+    bucket_scales: jax.Array | None = None   # [S*(per+1), cap] f32, int8 only
 
     @classmethod
     def build(cls, vectors, mesh: Mesh, cfg: EngineConfig = EngineConfig(),
@@ -61,10 +64,15 @@ class ShardedIVFIndex:
                          dtype=np.asarray(base.buckets[:1]).dtype)
         src_ids = np.asarray(base.bucket_ids)
         src_vecs = np.asarray(base.buckets).reshape(nlist, cap, d)
+        int8 = base.bucket_scales is not None
+        bscales = np.zeros((s, per + 1, cap), np.float32) if int8 else None
+        src_scales = np.asarray(base.bucket_scales) if int8 else None
         for sh in range(s):
             lo, hi = sh * per, min((sh + 1) * per, nlist)
             bids[sh, : hi - lo] = src_ids[lo:hi]
             bvecs[sh, : hi - lo] = src_vecs[lo:hi]
+            if int8:
+                bscales[sh, : hi - lo] = src_scales[lo:hi]
 
         sharding_b = NamedSharding(mesh, P(axis, None))
         buckets = jax.device_put(
@@ -72,12 +80,18 @@ class ShardedIVFIndex:
             sharding_b)
         bucket_ids = jax.device_put(
             jnp.asarray(bids.reshape(s * (per + 1), cap)), sharding_b)
+        scales = None
+        if int8:
+            scales = jax.device_put(
+                jnp.asarray(bscales.reshape(s * (per + 1), cap)), sharding_b)
         return cls(
             centroids=base.centroids, buckets=buckets, bucket_ids=bucket_ids,
             n=base.n, cap=cap, nlist=nlist, per_shard=per, cfg=cfg, mesh=mesh,
+            bucket_scales=scales,
         )
 
-    def search(self, queries, k: int | None = None, nprobe: int | None = None):
+    def search(self, queries, k: int | None = None, nprobe: int | None = None,
+               *, batched: bool | None = None):
         k = self.cfg.top_k if k is None else k
         nprobe = self.cfg.ivf_nprobe if nprobe is None else nprobe
         nprobe = min(nprobe, self.nlist)
@@ -87,11 +101,19 @@ class ShardedIVFIndex:
             q = q[None, :]
         if self.cfg.metric == "cosine":
             q = l2_normalize(q.astype(jnp.float32))
+        if batched is None:
+            # same crossover rule as IVFIndex.search (draws >= 2*nlist; the
+            # per-shard dedup ratio matches the global one in expectation)
+            batched = q.shape[0] * nprobe >= 2 * self.nlist
+        int8 = self.bucket_scales is not None
+        scales = (self.bucket_scales if int8
+                  else jnp.zeros((0, self.cap), jnp.float32))
         s, i = _sharded_ivf_search(
-            q.astype(self.buckets.dtype), self.centroids, self.buckets,
-            self.bucket_ids,
+            q.astype(jnp.float32), self.centroids, self.buckets,
+            self.bucket_ids, scales,
             mesh=self.mesh, axis=self.cfg.mesh_axis, k=k, nprobe=nprobe,
-            per_shard=self.per_shard, cap=self.cap,
+            per_shard=self.per_shard, cap=self.cap, batched=batched,
+            int8=int8,
         )
         if squeeze:
             return s[0], i[0]
@@ -104,26 +126,32 @@ class ShardedIVFIndex:
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "k", "nprobe",
-                                   "per_shard", "cap"))
-def _sharded_ivf_search(q, cents, buckets, bucket_ids, *, mesh, axis, k,
-                        nprobe, per_shard, cap):
-    def local(qb, cents_r, bk, bids):
+                                   "per_shard", "cap", "batched", "int8"))
+def _sharded_ivf_search(q, cents, buckets, bucket_ids, scales, *, mesh, axis,
+                        k, nprobe, per_shard, cap, batched, int8):
+    def local(qb, cents_r, bk, bids, bsc):
         sid = jax.lax.axis_index(axis)
-        cs = jnp.dot(qb.astype(jnp.float32), cents_r.T,
-                     preferred_element_type=jnp.float32)
+        cs = jnp.dot(qb, cents_r.T, preferred_element_type=jnp.float32)
         _, pid = jax.lax.top_k(cs, nprobe)               # global cluster ids
         lo = sid * per_shard
         local_pid = pid - lo
         mine = (local_pid >= 0) & (local_pid < per_shard)
         # foreign probes -> the sentinel empty bucket (index per_shard)
         local_pid = jnp.where(mine, local_pid, per_shard).astype(jnp.int32)
-        s, i = ivf_probe_search(local_pid, qb, bk, bids, k=k)
+        if batched:
+            s, i = ivf_batch_search(local_pid, qb, bk, bids, k=k,
+                                    bucket_scales=bsc if int8 else None)
+        elif int8:
+            s, i = ivf_probe_search_int8(local_pid, qb, bk, bids, bsc, k=k)
+        else:
+            s, i = ivf_probe_search(local_pid, qb.astype(bk.dtype), bk, bids,
+                                    k=k)
         return sharded_topk_merge(s, i, k, axis)
 
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis, None)),
+        in_specs=(P(), P(), P(axis, None), P(axis, None), P(axis, None)),
         out_specs=(P(), P()),
         check_vma=False,
-    )(q, cents, buckets, bucket_ids)
+    )(q, cents, buckets, bucket_ids, scales)

@@ -22,7 +22,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mediquery_rag_tpu.ops.scoring import NEG_INF, _extract_topk_rows, _on_tpu, LANE
+from mediquery_rag_tpu.ops.scoring import (
+    LANE, NEG_INF, _extract_topk_rows, _merge_tile_sorted, _on_tpu,
+)
 
 
 def _ivf_kernel(pids_ref, q_ref, buckets_ref, bids_ref, out_s_ref, out_i_ref, *, k):
@@ -208,6 +210,213 @@ def ivf_probe_search_int8(probe_ids, queries, buckets, bucket_ids,
         probe_ids, q8, buckets, bucket_ids, bucket_scales,
         k=k, cap=cap, interpret=interpret)
     return s * qs[:, None], i
+
+
+# -- bucket-major batched probe search ---------------------------------------
+#
+# The per-query kernel above runs grid (B, nprobe): each step is a
+# [1, D] x [D, cap] matmul and buckets probed by several queries are DMA'd
+# once *per query*. The bucket-major layout inverts the loop: deduplicate the
+# probed cluster ids, then for each unique bucket score the ENTIRE query
+# batch ([B, D] x [D, cap], a real MXU matmul) and fold rows into per-query
+# running top-k accumulators that stay resident in VMEM for the whole grid.
+# HBM bucket traffic drops from B*nprobe to n_unique blocks.
+#
+# Measured trade-off (benchmarks/ivf_batch.py, v5e): the per-step top-k merge
+# runs over the whole [B, cap] score tile, so bucket-major only wins once the
+# DMA dedup factor covers that cost — crossover at draws B*nprobe ~ 2*nlist,
+# then 2-4x faster by draws ~ 4*nlist (high-nprobe / high-recall regimes,
+# large batches, or skewed probe distributions). ``IVFIndex.search`` picks
+# the layout automatically.
+
+
+def _ivf_batch_kernel(uniq_ref, probe_ref, q_ref, buckets_ref, bids_ref,
+                      out_s_ref, out_i_ref, sc_ref, flag_ref, *, k):
+    u = pl.program_id(0)
+    uid = uniq_ref[u]
+
+    @pl.when(u == 0)
+    def _init():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.zeros_like(out_i_ref)
+
+    @pl.when(uid >= 0)
+    def _body():
+        # [B, D] x [cap, D]^T -> [B, cap] on the MXU
+        scores = jax.lax.dot_general(
+            q_ref[:], buckets_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ids = bids_ref[:].reshape(1, bids_ref.shape[-1])     # [1, cap]
+        # rows whose probe list contains this bucket participate; others -inf
+        probed = jnp.any(probe_ref[:] == uid, axis=1, keepdims=True)  # [B, 1]
+        scores = jnp.where(ids >= 0, scores, NEG_INF)
+        scores = jnp.where(probed, scores, NEG_INF)
+        col = jnp.broadcast_to(ids, scores.shape)
+        _merge_tile_sorted(scores, col, k, out_s_ref, out_i_ref,
+                           sc_ref, flag_ref)
+
+
+def _ivf_batch_int8_kernel(uniq_ref, probe_ref, q_ref, buckets_ref, bids_ref,
+                           bsc_ref, out_s_ref, out_i_ref, sc_ref, flag_ref,
+                           *, k):
+    """int8 bucket-major variant: i8 x i8 -> i32 MXU, per-doc-row rescale.
+    Per-query scales are positive constants per row (rank-preserving); the
+    caller rescales the returned top-k scores."""
+    u = pl.program_id(0)
+    uid = uniq_ref[u]
+
+    @pl.when(u == 0)
+    def _init():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.zeros_like(out_i_ref)
+
+    @pl.when(uid >= 0)
+    def _body():
+        raw = jax.lax.dot_general(
+            q_ref[:], buckets_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                                    # [B, cap] i32
+        scales = bsc_ref[:].reshape(1, bsc_ref.shape[-1])    # [1, cap]
+        scores = raw.astype(jnp.float32) * scales
+        ids = bids_ref[:].reshape(1, bids_ref.shape[-1])
+        probed = jnp.any(probe_ref[:] == uid, axis=1, keepdims=True)
+        scores = jnp.where(ids >= 0, scores, NEG_INF)
+        scores = jnp.where(probed, scores, NEG_INF)
+        col = jnp.broadcast_to(ids, scores.shape)
+        _merge_tile_sorted(scores, col, k, out_s_ref, out_i_ref,
+                           sc_ref, flag_ref)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "cap", "n_uniq", "interpret", "int8")
+)
+def _ivf_batch_search(
+    probe_pad: jax.Array,     # [Bp, nprobe] i32, -1 on padded query rows
+    uniq: jax.Array,          # [n_uniq] i32 unique bucket ids, -1 = pad (tail)
+    q_pad: jax.Array,         # [Bp, D] storage dtype (i8 for int8 path)
+    buckets: jax.Array,       # [nlist * cap, D]
+    bucket_ids: jax.Array,    # [nlist, cap] i32, -1 = empty slot
+    bucket_scales: jax.Array, # [nlist, cap] f32 (int8 path; dummy otherwise)
+    *,
+    k: int,
+    cap: int,
+    n_uniq: int,
+    interpret: bool,
+    int8: bool,
+):
+    bp, d = q_pad.shape
+    nlist = bucket_ids.shape[0]
+    nprobe = probe_pad.shape[1]
+    kp = LANE
+
+    # singleton sublane axis so per-bucket row blocks satisfy the TPU block
+    # tiling rule (same layout trick as the query-major kernel above)
+    bids3 = bucket_ids.reshape(nlist, 1, cap)
+    bsc3 = bucket_scales.reshape(nlist, 1, cap) if int8 else bucket_scales
+
+    # padded uniq entries sit contiguously at the tail; clamping their
+    # index_map to bucket 0 means at most one redundant DMA for the whole tail
+    def bucket_map(u, uq):
+        return (jnp.maximum(uq[u], 0), 0)
+
+    def bucket_map3(u, uq):
+        return (jnp.maximum(uq[u], 0), 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((bp, nprobe), lambda u, uq: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bp, d), lambda u, uq: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((cap, d), bucket_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, cap), bucket_map3, memory_space=pltpu.VMEM),
+    ]
+    operands = [probe_pad, q_pad, buckets, bids3]
+    if int8:
+        in_specs.append(pl.BlockSpec((1, 1, cap), bucket_map3,
+                                     memory_space=pltpu.VMEM))
+        operands.append(bsc3)
+        kern = functools.partial(_ivf_batch_int8_kernel, k=k)
+    else:
+        kern = functools.partial(_ivf_batch_kernel, k=k)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_uniq,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((bp, kp), lambda u, uq: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, kp), lambda u, uq: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bp, cap), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    out_s, out_i = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, kp), jnp.float32),
+            jax.ShapeDtypeStruct((bp, kp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(uniq, *operands)
+    return out_s, out_i
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def ivf_batch_search(probe_ids, queries, buckets, bucket_ids, *,
+                     k, bucket_scales=None, interpret=None):
+    """Bucket-major batched probe search (see module notes above).
+
+    Args:
+      probe_ids: [B, nprobe] i32 probed cluster ids per query.
+      queries: [B, D] f32/bf16 (quantized here when ``bucket_scales`` given).
+      buckets / bucket_ids / bucket_scales: IVF storage as in
+        :func:`ivf_probe_search` / :func:`ivf_probe_search_int8`.
+
+    Returns (scores [B, k] f32, global doc indices [B, k] i32).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    b, nprobe = probe_ids.shape
+    cap = bucket_ids.shape[1]
+    nlist = bucket_ids.shape[0]
+    int8 = bucket_scales is not None
+
+    if int8:
+        from mediquery_rag_tpu.ops.quant import quantize_rows
+        q, qs = quantize_rows(queries)
+    else:
+        q = queries.astype(buckets.dtype)
+        qs = None
+
+    bp = _round_up(max(b, 16), 16)
+    if bp != b:
+        q = jnp.pad(q, ((0, bp - b), (0, 0)))
+        probe_ids = jnp.pad(probe_ids, ((0, bp - b), (0, 0)),
+                            constant_values=-1)
+
+    n_uniq = min(b * nprobe, nlist)
+    uniq = jnp.unique(probe_ids[:b].reshape(-1), size=n_uniq, fill_value=-1)
+
+    scales = bucket_scales if int8 else jnp.zeros((nlist, cap), jnp.float32)
+    s, i = _ivf_batch_search(
+        probe_ids.astype(jnp.int32), uniq.astype(jnp.int32), q,
+        buckets, bucket_ids, scales,
+        k=k, cap=cap, n_uniq=n_uniq, interpret=interpret, int8=int8,
+    )
+    s, i = s[:b, :k], i[:b, :k]
+    if int8:
+        s = s * qs[:, None]
+    return s, i
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

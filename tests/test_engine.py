@@ -208,6 +208,42 @@ class TestShardedIVF:
         np.testing.assert_array_equal(np.sort(np.asarray(i), axis=1),
                                       np.sort(np.asarray(i_ref), axis=1))
 
+    def test_batched_matches_query_major(self):
+        from mediquery_rag_tpu.engine.sharded_ivf import ShardedIVFIndex
+        mesh = corpus_mesh(8)
+        c = _vecs(2000, 64, seed=46)
+        cfg = EngineConfig(dim=64, dtype="float32", ivf_nlist=32,
+                           ivf_kmeans_iters=4)
+        idx = ShardedIVFIndex.build(c, mesh, cfg)
+        q = _vecs(7, 64, seed=47)
+        s1, i1 = idx.search(q, k=5, nprobe=6, batched=True)
+        s2, i2 = idx.search(q, k=5, nprobe=6, batched=False)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_int8_matches_single_chip_int8(self):
+        """int8 sharded IVF must carry the per-row scales (not score raw
+        int8 dots) — results must equal the single-chip int8 index."""
+        from mediquery_rag_tpu.engine.sharded_ivf import ShardedIVFIndex
+        mesh = corpus_mesh(8)
+        c = _vecs(2000, 64, seed=48)
+        cfg = EngineConfig(dim=64, dtype="int8", ivf_nlist=16,
+                           ivf_kmeans_iters=4)
+        base = IVFIndex.build(c, cfg, key=jax.random.PRNGKey(0))
+        idx = ShardedIVFIndex.build(c, mesh, cfg, key=jax.random.PRNGKey(0))
+        assert idx.bucket_scales is not None
+        q = _vecs(6, 64, seed=49)
+        for batched in (False, True):
+            s1, i1 = base.search(q, k=5, nprobe=8, batched=batched)
+            s2, i2 = idx.search(q, k=5, nprobe=8, batched=batched)
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(i1), axis=1),
+                np.sort(np.asarray(i2), axis=1))
+            np.testing.assert_allclose(
+                np.sort(np.asarray(s1), axis=1),
+                np.sort(np.asarray(s2), axis=1), rtol=1e-4, atol=1e-4)
+
 
 class TestTuning:
     def test_tune_nprobe_finds_cheapest(self):
@@ -246,3 +282,43 @@ class TestIVFKernelVsOracle:
         s2, i2 = ivf_probe_search_xla(pid, qs, iv.buckets, iv.bucket_ids, k=5)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+
+    def test_batch_kernel_matches_gather_oracle(self):
+        """Bucket-major layout: deduped probes must not change results even
+        when many queries probe the same buckets."""
+        from mediquery_rag_tpu.ops.ivf_kernel import (
+            ivf_batch_search, ivf_probe_search_xla)
+        cfg = EngineConfig(dim=64, dtype="float32", ivf_nlist=16,
+                           ivf_kmeans_iters=3)
+        # clustered corpus => heavy probe overlap across queries
+        key = jax.random.PRNGKey(70)
+        centers = jax.random.normal(key, (8, 64))
+        asg = jax.random.randint(jax.random.PRNGKey(71), (1500,), 0, 8)
+        c = centers[asg] + 0.3 * jax.random.normal(
+            jax.random.PRNGKey(72), (1500, 64))
+        c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+        iv = IVFIndex.build(c, cfg)
+        for b, nprobe in ((1, 3), (6, 4), (33, 2)):
+            q = _vecs(b, 64, seed=73 + b)
+            cs = q @ iv.centroids.T
+            _, pid = jax.lax.top_k(cs, nprobe)
+            pid = pid.astype(jnp.int32)
+            qs = q.astype(iv.buckets.dtype)
+            s1, i1 = ivf_batch_search(pid, qs, iv.buckets, iv.bucket_ids, k=5)
+            s2, i2 = ivf_probe_search_xla(pid, qs, iv.buckets, iv.bucket_ids,
+                                          k=5)
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+            np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                       rtol=1e-5)
+
+    def test_batch_kernel_int8_matches_query_major(self):
+        cfg = EngineConfig(dim=64, dtype="int8", ivf_nlist=16,
+                           ivf_kmeans_iters=3)
+        c = _vecs(1200, 64, seed=80)
+        iv = IVFIndex.build(c, cfg)
+        q = _vecs(9, 64, seed=81)
+        s1, i1 = iv.search(q, k=5, nprobe=4, batched=True)
+        s2, i2 = iv.search(q, k=5, nprobe=4, batched=False)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-5, atol=1e-5)
