@@ -45,6 +45,11 @@ class FlatIndex:
     n: int                     # valid rows
     cfg: EngineConfig
     corpus_scale: jax.Array | None = None   # [N_pad] f32, int8 only
+    # row -> stable doc id; None = identity (build/add keep ids consecutive,
+    # only delete() compacts rows and materializes the map — hnswlib-style
+    # stable labels without paying a gather in the common case)
+    ids: jax.Array | None = None            # [N_pad] i32
+    _next_id: int | None = None             # None = n (no deletes yet)
 
     @classmethod
     def build(cls, vectors, cfg: EngineConfig = EngineConfig()) -> "FlatIndex":
@@ -90,6 +95,8 @@ class FlatIndex:
                 query_tile=self.cfg.query_tile,
                 corpus_tile=self.cfg.corpus_tile,
             )
+        if self.ids is not None:
+            i = jnp.where(s > -jnp.inf, self.ids[i], i)
         if squeeze:
             return s[0], i[0]
         return s, i
@@ -101,24 +108,76 @@ class FlatIndex:
             rows = rows * self.corpus_scale[: self.n, None]
         return rows
 
+    @property
+    def next_id(self) -> int:
+        """First unused doc id (ids are never reused after delete)."""
+        if self._next_id is not None:
+            return self._next_id
+        return self.n
+
     def add(self, vectors) -> "FlatIndex":
-        """Append vectors (returns a new index; arrays are immutable in JAX)."""
+        """Append vectors (returns a new index; arrays are immutable in JAX).
+
+        New rows get consecutive doc ids starting at ``next_id`` — stable
+        labels that survive later deletes, like hnswlib's (the reference's
+        incremental-insert path, ingest_medical.py:104-110 via Chroma).
+        Cost: one HBM concat+pad pass, no structure to rebuild.
+        """
         v = jnp.asarray(vectors)
+        m = v.shape[0]
         if self.cfg.metric == "cosine":
             v = l2_normalize(v.astype(jnp.float32))
+        n = self.n + m
+        scale = None
         if self.corpus_scale is not None:
-            merged = jnp.concatenate([self._dequantized(), v.astype(jnp.float32)], 0)
-            return FlatIndex.build(merged, self.cfg)
-        v = v.astype(self.corpus.dtype)
-        merged = jnp.concatenate([self.corpus[: self.n], v], axis=0)
-        return self._replace_corpus_exact(merged, self.n + v.shape[0])
+            q8, s_new = quantize_rows(v.astype(jnp.float32))
+            merged = jnp.concatenate([self.corpus[: self.n], q8], axis=0)
+            scale = jnp.concatenate([self.corpus_scale[: self.n], s_new])
+        else:
+            merged = jnp.concatenate(
+                [self.corpus[: self.n], v.astype(self.corpus.dtype)], axis=0)
+        ids = None
+        if self.ids is not None or self._next_id not in (None, self.n):
+            old = (self.ids[: self.n] if self.ids is not None
+                   else jnp.arange(self.n, dtype=jnp.int32))
+            ids = jnp.concatenate(
+                [old, self.next_id + jnp.arange(m, dtype=jnp.int32)])
+        return self._repad(merged, n, scale, ids, self.next_id + m)
 
-    def _replace_corpus_exact(self, merged, n):
-        # build() re-normalizes; rows are already normalized, so re-pad only.
+    def delete(self, doc_ids) -> "FlatIndex":
+        """Remove docs by stable id (returns a new index).
+
+        Order-preserving compaction: one gather pass over the kept rows at
+        HBM bandwidth — still orders of magnitude cheaper than an HNSW
+        graph repair, and the n_valid scalar keeps the same compiled kernel.
+        Unknown ids are ignored (Chroma semantics).
+        """
+        want_gone = np.asarray(jnp.asarray(doc_ids)).reshape(-1)
+        cur = (np.asarray(self.ids[: self.n]) if self.ids is not None
+               else np.arange(self.n, dtype=np.int32))
+        keep = np.where(~np.isin(cur, want_gone))[0]
+        if len(keep) == self.n:
+            return self
+        if len(keep) == 0:
+            raise ValueError("delete would empty the index")
+        keep_j = jnp.asarray(keep, dtype=jnp.int32)
+        merged = jnp.take(self.corpus, keep_j, axis=0)
+        scale = (jnp.take(self.corpus_scale, keep_j)
+                 if self.corpus_scale is not None else None)
+        ids = jnp.asarray(cur[keep], dtype=jnp.int32)
+        return self._repad(merged, len(keep), scale, ids, self.next_id)
+
+    def _repad(self, merged, n, scale, ids, next_id) -> "FlatIndex":
+        # rows are already normalized/quantized — re-pad only
         n_pad = _round_up(max(n, self.cfg.corpus_tile), self.cfg.corpus_tile)
         if n_pad != n:
             merged = jnp.pad(merged, ((0, n_pad - n), (0, 0)))
-        return FlatIndex(corpus=merged, n=n, cfg=self.cfg)
+            if scale is not None:
+                scale = jnp.pad(scale, ((0, n_pad - n),))
+            if ids is not None:
+                ids = jnp.pad(ids, ((0, n_pad - n),))
+        return FlatIndex(corpus=merged, n=n, cfg=self.cfg, corpus_scale=scale,
+                         ids=ids, _next_id=next_id)
 
     # -- persistence (index checkpoint: SURVEY §5 "add a 4th mechanism") -----
 
@@ -126,8 +185,12 @@ class FlatIndex:
         os.makedirs(path, exist_ok=True)
         arr = np.asarray(self._dequantized())
         np.save(os.path.join(path, "corpus.npy"), arr)
+        if self.ids is not None:
+            np.save(os.path.join(path, "ids.npy"),
+                    np.asarray(self.ids[: self.n]))
         with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump({"n": self.n, "kind": "flat", "cfg": self.cfg.__dict__}, f)
+            json.dump({"n": self.n, "kind": "flat", "cfg": self.cfg.__dict__,
+                       "next_id": self.next_id}, f)
 
     @classmethod
     def load(cls, path: str) -> "FlatIndex":
@@ -135,7 +198,16 @@ class FlatIndex:
             meta = json.load(f)
         cfg = EngineConfig(**{**EngineConfig().__dict__, **meta["cfg"]})
         arr = np.load(os.path.join(path, "corpus.npy"))
-        return cls.build(arr, cfg)
+        idx = cls.build(arr, cfg)
+        ids_path = os.path.join(path, "ids.npy")
+        ids = None
+        if os.path.exists(ids_path):
+            raw = np.load(ids_path)
+            n_pad = idx.corpus.shape[0]
+            ids = jnp.asarray(np.pad(raw, (0, n_pad - len(raw))), jnp.int32)
+        return cls(corpus=idx.corpus, n=idx.n, cfg=idx.cfg,
+                   corpus_scale=idx.corpus_scale, ids=ids,
+                   _next_id=meta.get("next_id"))
 
     @property
     def nbytes(self) -> int:

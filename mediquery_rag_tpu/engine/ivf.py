@@ -45,6 +45,7 @@ class IVFIndex:
     cap: int
     cfg: EngineConfig
     bucket_scales: jax.Array | None = None   # [nlist, cap] f32, int8 only
+    _next_id: int | None = None              # None = n (no mutations yet)
 
     @classmethod
     def build(
@@ -170,6 +171,103 @@ class IVFIndex:
             return s[0], i[0]
         return s, i
 
+    # -- incremental mutation (Chroma/hnswlib capability parity) --------------
+    #
+    # The IVF layout makes mutation cheap on TPU: a delete is slot-masking
+    # (the probe kernels natively skip ids == -1), an insert is a nearest-
+    # centroid assignment + scatter into a free slot. No graph repair, no
+    # re-clustering — centroids drift only matters after massive churn, at
+    # which point rebuild() is one k-means at MXU speed.
+
+    @property
+    def next_id(self) -> int:
+        """First unused doc id (ids are never reused after delete)."""
+        return self.n if self._next_id is None else self._next_id
+
+    @property
+    def live(self) -> int:
+        """Number of live (non-deleted) docs."""
+        return int((np.asarray(self.bucket_ids) >= 0).sum())
+
+    def delete(self, doc_ids) -> "IVFIndex":
+        """Mask docs by stable id (returns a new index). O(slots) compare —
+        the vectors stay in HBM but are never scored (ids < 0 slots are
+        -inf in every kernel). Unknown ids are ignored."""
+        gone = np.asarray(jnp.asarray(doc_ids)).reshape(-1)
+        ids = np.asarray(self.bucket_ids)
+        hit = np.isin(ids, gone) & (ids >= 0)
+        if not hit.any():
+            return self
+        new_ids = jnp.asarray(np.where(hit, -1, ids))
+        from dataclasses import replace
+        return replace(self, bucket_ids=new_ids, _next_id=self.next_id)
+
+    def add(self, vectors) -> "IVFIndex":
+        """Insert vectors (returns a new index). Assigns each to its nearest
+        centroid and scatters into a free bucket slot; grows ``cap`` (one
+        HBM re-pad pass) only when a bucket fills. New docs get consecutive
+        stable ids from ``next_id``."""
+        from dataclasses import replace
+
+        v = jnp.asarray(vectors)
+        m, d = v.shape
+        if self.cfg.metric == "cosine":
+            v = l2_normalize(v.astype(jnp.float32))
+        v32 = v.astype(jnp.float32)
+        assign = np.asarray(assign_clusters(v32, self.centroids))
+
+        nlist = self.bucket_ids.shape[0]
+        ids = np.asarray(self.bucket_ids)
+        used = (ids >= 0).sum(axis=1)                   # live slots per bucket
+        # host-side slot planning (ints only): new rows fill from the first
+        # free slot upward; free slots are compacted to the tail below
+        need = np.bincount(assign, minlength=nlist)
+        new_cap = self.cap
+        if (used + need).max() > self.cap:
+            new_cap = _round_up(int((used + need).max()), 32)
+
+        # compact each bucket's live ids to the front (delete leaves holes),
+        # then append the new rows — all as one host permutation + device pad
+        order = np.argsort(ids < 0, axis=1, kind="stable")   # live first
+        ids_c = np.take_along_axis(ids, order, axis=1)
+        gather = order + (np.arange(nlist) * self.cap)[:, None]
+        gj = jnp.asarray(gather.reshape(-1), jnp.int32)
+        bk = jnp.take(self.buckets, gj, axis=0).reshape(nlist, self.cap, d)
+        sc = (jnp.take(self.bucket_scales.reshape(-1), gj)
+              .reshape(nlist, self.cap) if self.bucket_scales is not None
+              else None)
+        if new_cap != self.cap:
+            bk = jnp.pad(bk, ((0, 0), (0, new_cap - self.cap), (0, 0)))
+            ids_c = np.pad(ids_c, ((0, 0), (0, new_cap - self.cap)),
+                           constant_values=-1)
+            if sc is not None:
+                sc = jnp.pad(sc, ((0, 0), (0, new_cap - self.cap)))
+
+        # slot for the i-th new row: rank within its bucket after the used rows
+        offs = np.zeros(nlist, np.int64)
+        slots = np.empty(m, np.int64)
+        for i, b in enumerate(assign):
+            slots[i] = used[b] + offs[b]
+            offs[b] += 1
+        flat_pos = jnp.asarray(assign * new_cap + slots, jnp.int32)
+
+        if self.bucket_scales is not None:
+            from mediquery_rag_tpu.ops.quant import quantize_rows
+            q8, s_new = quantize_rows(v32)
+            bk = bk.reshape(nlist * new_cap, d).at[flat_pos].set(q8)
+            sc = sc.reshape(-1).at[flat_pos].set(s_new).reshape(nlist, new_cap)
+        else:
+            bk = bk.reshape(nlist * new_cap, d).at[flat_pos].set(
+                v32.astype(self.buckets.dtype))
+
+        new_ids = ids_c.reshape(-1).copy()
+        new_ids[np.asarray(flat_pos)] = self.next_id + np.arange(m)
+        return replace(
+            self, buckets=bk, bucket_ids=jnp.asarray(new_ids.reshape(nlist, new_cap)),
+            bucket_scales=sc, n=self.n + m, cap=new_cap,
+            _next_id=self.next_id + m,
+        )
+
     @property
     def nbytes(self) -> int:
         nb = (
@@ -198,7 +296,8 @@ class IVFIndex:
         np.savez(os.path.join(path, "ivf.npz"), **arrays)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(
-                {"n": self.n, "cap": self.cap, "kind": "ivf", "cfg": self.cfg.__dict__},
+                {"n": self.n, "cap": self.cap, "kind": "ivf",
+                 "next_id": self.next_id, "cfg": self.cfg.__dict__},
                 f,
             )
 
@@ -218,4 +317,5 @@ class IVFIndex:
             cfg=cfg,
             bucket_scales=(jnp.asarray(z["bucket_scales"])
                            if "bucket_scales" in z.files else None),
+            _next_id=meta.get("next_id"),
         )

@@ -39,10 +39,15 @@ class RetrievedDoc:
 
 
 class DocumentStore:
-    def __init__(self, chunks: list[Chunk], index, embedder: Callable):
+    def __init__(self, chunks: list[Chunk | None], index, embedder: Callable):
+        # position in ``chunks`` == stable engine doc id; None = deleted
         self.chunks = chunks
         self.index = index
         self.embedder = embedder
+
+    @property
+    def live_count(self) -> int:
+        return sum(c is not None for c in self.chunks)
 
     def similarity_search(self, query: str, k: int = 5) -> list[RetrievedDoc]:
         return self.batch_search([query], k)[0]
@@ -52,7 +57,7 @@ class DocumentStore:
     ) -> list[list[RetrievedDoc]]:
         """Batched retrieval — the Self-RAG loop issues batched queries
         straight into the engine (BASELINE north star)."""
-        k = min(k, len(self.chunks))
+        k = min(k, self.live_count)
         q = np.asarray(self.embedder(list(queries)))
         scores, idx = self.index.search(q, k=k)
         scores = np.asarray(scores)
@@ -65,17 +70,54 @@ class DocumentStore:
                 if i < 0 or scores[r, j] == -np.inf:
                     continue
                 c = self.chunks[i]
+                if c is None:            # engine already masks deleted docs;
+                    continue             # belt-and-braces for stale indexes
                 row.append(RetrievedDoc(c.text, c.metadata, float(scores[r, j])))
             out.append(row)
         return out
+
+    # -- incremental mutation (Chroma add/delete capability parity) ----------
+
+    def add_documents(self, new_chunks: list[Chunk], batch_size: int = 64
+                      ) -> list[int]:
+        """Embed and insert chunks; returns their stable doc ids."""
+        if not new_chunks:
+            return []
+        embs = []
+        for i in range(0, len(new_chunks), batch_size):
+            embs.append(np.asarray(self.embedder(
+                [c.text for c in new_chunks[i:i + batch_size]])))
+        vecs = np.concatenate(embs, axis=0)
+        start = self.index.next_id
+        self.index = self.index.add(vecs)
+        # keep position == doc id (holes between next_id and len are
+        # impossible: ids are handed out consecutively)
+        assert start == len(self.chunks), "doc-id/chunk alignment broken"
+        self.chunks.extend(new_chunks)
+        return list(range(start, start + len(new_chunks)))
+
+    def delete_documents(self, chunk_ids: Sequence[str]) -> int:
+        """Delete by chunk_id (the corpus-format key); returns #deleted."""
+        want = set(chunk_ids)
+        doc_ids = [i for i, c in enumerate(self.chunks)
+                   if c is not None and c.chunk_id in want]
+        if not doc_ids:
+            return 0
+        self.index = self.index.delete(np.asarray(doc_ids, np.int32))
+        for i in doc_ids:
+            self.chunks[i] = None
+        return len(doc_ids)
 
     # -- persistence ---------------------------------------------------------
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "chunks.jsonl"), "w", encoding="utf-8") as f:
-            for c in self.chunks:
+            for doc_id, c in enumerate(self.chunks):
+                if c is None:
+                    continue
                 f.write(json.dumps({
+                    "doc_id": doc_id,
                     "chunk_id": c.chunk_id, "title": c.title,
                     "content": c.content, "source": c.source, "tags": c.tags,
                 }, ensure_ascii=False) + "\n")
@@ -85,11 +127,14 @@ class DocumentStore:
 
     @classmethod
     def load(cls, path: str, embedder: Callable) -> "DocumentStore":
-        chunks = []
+        rows = []
         with open(os.path.join(path, "chunks.jsonl"), encoding="utf-8") as f:
             for line in f:
                 d = json.loads(line)
-                chunks.append(Chunk(**d))
+                rows.append((d.pop("doc_id", len(rows)), Chunk(**d)))
+        chunks: list[Chunk | None] = [None] * (max(i for i, _ in rows) + 1)
+        for i, c in rows:
+            chunks[i] = c
         meta_path = os.path.join(path, "store.json")
         if os.path.exists(meta_path):
             with open(meta_path) as f:
@@ -104,6 +149,10 @@ class DocumentStore:
         with open(os.path.join(ix_path, "meta.json")) as f:
             kind = json.load(f)["kind"]
         index = (IVFIndex if kind == "ivf" else FlatIndex).load(ix_path)
+        # trailing deletes can leave next_id past the last live chunk;
+        # re-pad so position == doc id stays true for future adds
+        nid = getattr(index, "next_id", len(chunks))
+        chunks.extend([None] * (nid - len(chunks)))
         return cls(chunks, index, embedder)
 
 

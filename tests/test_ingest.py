@@ -92,3 +92,56 @@ class TestEmbedderFingerprint:
         store.save(str(tmp_path / "s"))
         loaded = DocumentStore.load(str(tmp_path / "s"), HashingEmbedder(dim=256))
         assert len(loaded.chunks) == 12
+
+
+class TestDocumentStoreMutation:
+    """Incremental add/delete through the store (Chroma capability parity)."""
+
+    def _store(self):
+        return build_document_store(CORPUS, HashingEmbedder(dim=256), CFG)
+
+    def test_add_documents(self):
+        from mediquery_rag_tpu.ingest.parser import Chunk
+        store = self._store()
+        n0 = store.live_count
+        new = [Chunk(chunk_id="900", title="新增测试问题",
+                     content="这是一个新增的测试答案，关于罕见病毒X的防护。",
+                     source="unit", tags=["测试"])]
+        ids = store.add_documents(new)
+        assert ids == [n0]
+        assert store.live_count == n0 + 1
+        docs = store.similarity_search("罕见病毒X 防护", k=1)
+        assert docs[0].metadata.get("title") == "新增测试问题" or \
+            "病毒X" in docs[0].text
+
+    def test_delete_documents(self):
+        store = self._store()
+        n0 = store.live_count
+        target = store.chunks[0]
+        deleted = store.delete_documents([target.chunk_id])
+        assert deleted == 1 and store.live_count == n0 - 1
+        for row in store.batch_search([target.text], k=n0 - 1):
+            assert all(d.metadata.get("chunk_id") != target.chunk_id
+                       for d in row)
+
+    def test_mutation_save_load_roundtrip(self, tmp_path):
+        from mediquery_rag_tpu.ingest.parser import Chunk
+        emb = HashingEmbedder(dim=256)
+        store = self._store()
+        gone = store.chunks[2].chunk_id
+        store.delete_documents([gone])
+        store.add_documents([Chunk(chunk_id="901", title="回环测试",
+                                   content="保存后重新加载仍可检索的内容。",
+                                   source="unit", tags=[])])
+        store.save(str(tmp_path / "ds"))
+        store2 = DocumentStore.load(str(tmp_path / "ds"), emb)
+        assert store2.live_count == store.live_count
+        q = "保存后重新加载 回环测试"
+        r1 = store.similarity_search(q, k=3)
+        r2 = store2.similarity_search(q, k=3)
+        assert [d.text for d in r1] == [d.text for d in r2]
+        # adds continue from the same stable id after reload
+        ids = store2.add_documents([Chunk(chunk_id="902", title="再加一条",
+                                          content="继续递增的文档编号。",
+                                          source="unit", tags=[])])
+        assert ids[0] == store2.index.next_id - 1
