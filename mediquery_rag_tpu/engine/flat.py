@@ -10,6 +10,7 @@ millions of vectors — there is no pointer-chasing structure to build, so
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from dataclasses import dataclass
@@ -30,6 +31,43 @@ def _round_up(x: int, m: int) -> int:
 def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     n = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
     return (x / jnp.maximum(n, eps)).astype(x.dtype)
+
+
+def bucket_queries(queries, tile: int = 16):
+    """Pad a query batch to the next ``tile`` multiple on the HOST.
+
+    The serving path sees arbitrary batch sizes (the micro-batcher coalesces
+    whatever arrived); without bucketing every new size dispatches a fresh
+    set of eager ops + kernel shapes — seconds of (remote) compiles each.
+    Bucketing bounds the compile universe to ~4 shapes and keeps the pad off
+    the device. Returns (padded [Bp, D] array, real b).
+    """
+    q = np.asarray(queries) if not isinstance(queries, jax.Array) else queries
+    b = q.shape[0]
+    bp = _round_up(max(b, tile), tile)
+    if bp != b:
+        pad = [(0, bp - b), (0, 0)]
+        q = (np.pad(q, pad) if isinstance(q, np.ndarray) else jnp.pad(q, pad))
+    return q, b
+
+
+@functools.partial(jax.jit, static_argnames=("k", "qt", "ct", "cosine"))
+def _flat_dispatch(q_pad, corpus, n_valid, *, k, qt, ct, cosine):
+    """Single-trace search dispatch: normalize + kernel, nothing eager."""
+    q = q_pad.astype(jnp.float32)
+    if cosine:
+        q = l2_normalize(q)
+    return flat_search(q, corpus, k, n_valid=n_valid,
+                       query_tile=qt, corpus_tile=ct)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "qt", "ct", "cosine"))
+def _int8_dispatch(q_pad, corpus, scale, n_valid, *, k, qt, ct, cosine):
+    q = q_pad.astype(jnp.float32)
+    if cosine:
+        q = l2_normalize(q)
+    return int8_flat_search(q, corpus, scale, k, n_valid=n_valid,
+                            query_tile=qt, corpus_tile=ct)
 
 
 @dataclass
@@ -73,28 +111,32 @@ class FlatIndex:
         return cls(corpus=v, n=n, cfg=cfg, corpus_scale=scale)
 
     def search(self, queries, k: int | None = None):
-        """Top-k search. Returns (scores [B,k] f32, indices [B,k] i32)."""
+        """Top-k search. Returns (scores [B,k] f32, indices [B,k] i32).
+
+        The batch is host-bucketed to a 16-multiple and the whole dispatch
+        (normalize + quantize + kernel) runs as ONE jitted call — arbitrary
+        serving batch sizes reuse ~4 compiled shapes instead of tracing
+        fresh eager ops per size (see ``bucket_queries``).
+        """
         k = self.cfg.top_k if k is None else k
-        q = jnp.asarray(queries)
-        squeeze = q.ndim == 1
+        squeeze = getattr(queries, "ndim", 2) == 1
         if squeeze:
-            q = q[None, :]
-        if self.cfg.metric == "cosine":
-            q = l2_normalize(q.astype(jnp.float32))
+            queries = np.asarray(queries)[None, :] \
+                if not isinstance(queries, jax.Array) else queries[None, :]
+        q_pad, b = bucket_queries(queries)
+        cosine = self.cfg.metric == "cosine"
+        n_valid = jnp.asarray(self.n, jnp.int32)
         if self.corpus_scale is not None:
-            s, i = int8_flat_search(
-                q, self.corpus, self.corpus_scale, k,
-                n_valid=self.n,
-                query_tile=self.cfg.query_tile,
-                corpus_tile=self.cfg.corpus_tile,
-            )
+            s, i = _int8_dispatch(
+                q_pad, self.corpus, self.corpus_scale, n_valid,
+                k=k, qt=self.cfg.query_tile, ct=self.cfg.corpus_tile,
+                cosine=cosine)
         else:
-            s, i = flat_search(
-                q, self.corpus, k,
-                n_valid=self.n,
-                query_tile=self.cfg.query_tile,
-                corpus_tile=self.cfg.corpus_tile,
-            )
+            s, i = _flat_dispatch(
+                q_pad, self.corpus, n_valid,
+                k=k, qt=self.cfg.query_tile, ct=self.cfg.corpus_tile,
+                cosine=cosine)
+        s, i = s[:b], i[:b]
         if self.ids is not None:
             i = jnp.where(s > -jnp.inf, self.ids[i], i)
         if squeeze:

@@ -16,6 +16,7 @@ exposes both and `app` picks per call site.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from dataclasses import dataclass
@@ -25,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mediquery_rag_tpu.config import EngineConfig
-from mediquery_rag_tpu.engine.flat import l2_normalize
+from mediquery_rag_tpu.engine.flat import bucket_queries, l2_normalize
 from mediquery_rag_tpu.ops.kmeans import assign_clusters, kmeans
 from mediquery_rag_tpu.ops.ivf_kernel import (
     ivf_batch_search, ivf_probe_search, ivf_probe_search_int8,
@@ -34,6 +35,32 @@ from mediquery_rag_tpu.ops.ivf_kernel import (
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "batched", "int8", "cosine")
+)
+def _ivf_dispatch(q_pad, cents, buckets, bucket_ids, scales, *,
+                  k, nprobe, batched, int8, cosine):
+    """Single-trace IVF dispatch: normalize + centroid probe + kernel.
+
+    Keeping the whole pipeline in one jit (with host-bucketed batch sizes)
+    matters for serving: the eager version re-dispatched 3-4 ops per novel
+    batch size, seconds of compiles each through a remote-compile tunnel.
+    """
+    q = q_pad.astype(jnp.float32)
+    if cosine:
+        q = l2_normalize(q)
+    cs = jnp.dot(q, cents.T, preferred_element_type=jnp.float32)
+    _, pid = jax.lax.top_k(cs, nprobe)
+    pid = pid.astype(jnp.int32)
+    if batched:
+        return ivf_batch_search(pid, q, buckets, bucket_ids, k=k,
+                                bucket_scales=scales if int8 else None)
+    if int8:
+        return ivf_probe_search_int8(pid, q, buckets, bucket_ids, scales, k=k)
+    return ivf_probe_search(pid, q.astype(buckets.dtype), buckets,
+                            bucket_ids, k=k)
 
 
 @dataclass
@@ -125,48 +152,27 @@ class IVFIndex:
         k = self.cfg.top_k if k is None else k
         nprobe = self.cfg.ivf_nprobe if nprobe is None else nprobe
         nprobe = min(nprobe, self.centroids.shape[0])
-        q = jnp.asarray(queries)
-        squeeze = q.ndim == 1
+        squeeze = getattr(queries, "ndim", 2) == 1
         if squeeze:
-            q = q[None, :]
-        if self.cfg.metric == "cosine":
-            q = l2_normalize(q.astype(jnp.float32))
-        cs = jnp.dot(q.astype(jnp.float32), self.centroids.T,
-                     preferred_element_type=jnp.float32)
-        _, probe_ids = jax.lax.top_k(cs, nprobe)
+            queries = np.asarray(queries)[None, :] \
+                if not isinstance(queries, jax.Array) else queries[None, :]
+        q_pad, b = bucket_queries(queries)
         if batched is None:
             # bucket-major pays off once the expected DMA dedup factor
             # draws/E[unique] exceeds ~2.3, which for uniform probes happens
             # at draws >= 2*nlist (measured tie on v5e at both B=64/nlist=512
             # and B=256/nlist=2048 — benchmarks/ivf_batch.py; skewed probe
             # distributions only shift the crossover in bucket-major's favor)
-            batched = q.shape[0] * nprobe >= 2 * self.centroids.shape[0]
-        if batched:
-            s, i = ivf_batch_search(
-                probe_ids.astype(jnp.int32),
-                q.astype(jnp.float32),
-                self.buckets,
-                self.bucket_ids,
-                k=k,
-                bucket_scales=self.bucket_scales,
-            )
-        elif self.bucket_scales is not None:
-            s, i = ivf_probe_search_int8(
-                probe_ids.astype(jnp.int32),
-                q.astype(jnp.float32),
-                self.buckets,
-                self.bucket_ids,
-                self.bucket_scales,
-                k=k,
-            )
-        else:
-            s, i = ivf_probe_search(
-                probe_ids.astype(jnp.int32),
-                q.astype(self.buckets.dtype),
-                self.buckets,
-                self.bucket_ids,
-                k=k,
-            )
+            batched = b * nprobe >= 2 * self.centroids.shape[0]
+        int8 = self.bucket_scales is not None
+        scales = (self.bucket_scales if int8
+                  else jnp.zeros((0, self.cap), jnp.float32))
+        s, i = _ivf_dispatch(
+            q_pad, self.centroids, self.buckets, self.bucket_ids, scales,
+            k=k, nprobe=nprobe, batched=bool(batched), int8=int8,
+            cosine=self.cfg.metric == "cosine",
+        )
+        s, i = s[:b], i[:b]
         if squeeze:
             return s[0], i[0]
         return s, i

@@ -49,6 +49,14 @@ class BatchingSearchService:
     def search(self, query: str, k: int = 5, timeout: float = 30.0):
         return self.submit(query, k).result(timeout=timeout)
 
+    def similarity_search(self, query: str, k: int = 5):
+        """DocumentStore-compatible alias: the service can be passed directly
+        as the graph's ``store`` (graph/nodes.py), so N concurrent sessions'
+        retrieve nodes coalesce into one TPU batch — the BASELINE north star
+        ("the Self-RAG loop issues batched queries straight into this
+        engine")."""
+        return self.search(query, k)
+
     def shutdown(self) -> None:
         self._stop.set()
         self._q.put(None)                  # wake the collector

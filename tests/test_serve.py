@@ -69,3 +69,40 @@ def test_engine_error_propagates():
 def test_shutdown_idempotent(service):
     service.shutdown()
     service.shutdown()
+
+
+def test_selfrag_sessions_coalesce_through_batcher():
+    """N concurrent Self-RAG sessions with the batcher as the graph's store:
+    their retrieve nodes coalesce into shared TPU batches (the BASELINE
+    north star — the loop issues batched queries straight into the engine)."""
+    from mediquery_rag_tpu.graph import build_medical_graph, create_nodes
+    from mediquery_rag_tpu.llm import RuleLLM, user
+
+    store = build_document_store("data/medical_data.txt", HashingEmbedder(256), CFG)
+    svc = BatchingSearchService(store.batch_search, max_batch=8, max_wait_ms=30)
+    try:
+        answers = {}
+
+        def session(i):
+            llm = RuleLLM([
+                (r"yes 或 no", "yes"),
+                (r"【用户问题】", f"回答{i}：参考资料已检索。"),
+            ])
+            app = build_medical_graph(create_nodes(llm, svc))
+            events = list(app.stream(
+                {"messages": [user(f"高血压 饮食 建议 {i}")],
+                 "user_id": "anonymous"},
+                thread_id=f"s{i}"))
+            answers[i] = events[-1][1]["final_answer"]
+
+        threads = [threading.Thread(target=session, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert len(answers) == 8
+        for i, a in answers.items():
+            assert f"回答{i}" in a
+        assert svc.stats["max_batch_seen"] >= 2     # real coalescing happened
+    finally:
+        svc.shutdown()
