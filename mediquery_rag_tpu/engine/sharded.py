@@ -17,8 +17,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+import numpy as np
+
 from mediquery_rag_tpu.config import EngineConfig
-from mediquery_rag_tpu.engine.flat import l2_normalize, _round_up
+from mediquery_rag_tpu.engine.flat import bucket_queries, l2_normalize, _round_up
 from mediquery_rag_tpu.ops.scoring import flat_search
 from mediquery_rag_tpu.ops.quant import int8_flat_search, quantize_rows
 from mediquery_rag_tpu.parallel.collectives import sharded_topk_merge
@@ -57,28 +59,33 @@ class ShardedFlatIndex:
         return cls(corpus=v, n=n, cfg=cfg, mesh=mesh, corpus_scale=scale)
 
     def search(self, queries, k: int | None = None):
-        """Global top-k over all shards. Queries replicated, ``[B, k]`` out."""
+        """Global top-k over all shards. Queries replicated, ``[B, k]`` out.
+
+        Host-bucketed batch + single-trace dispatch (normalize inside the
+        jit), same serving rationale as ``FlatIndex.search``.
+        """
         k = self.cfg.top_k if k is None else k
-        q = jnp.asarray(queries)
-        squeeze = q.ndim == 1
+        squeeze = getattr(queries, "ndim", 2) == 1
         if squeeze:
-            q = q[None, :]
-        if self.cfg.metric == "cosine":
-            q = l2_normalize(q.astype(jnp.float32))
+            queries = np.asarray(queries)[None, :] \
+                if not isinstance(queries, jax.Array) else queries[None, :]
+        q_pad, b = bucket_queries(queries)
+        cosine = self.cfg.metric == "cosine"
         if self.corpus_scale is not None:
             s, i = _sharded_search_int8(
-                q, self.corpus, self.corpus_scale, jnp.int32(self.n),
+                q_pad, self.corpus, self.corpus_scale, jnp.int32(self.n),
                 mesh=self.mesh, axis=self.cfg.mesh_axis, k=k,
                 query_tile=self.cfg.query_tile,
-                corpus_tile=self.cfg.corpus_tile,
+                corpus_tile=self.cfg.corpus_tile, cosine=cosine,
             )
         else:
             s, i = _sharded_search(
-                q.astype(self.corpus.dtype), self.corpus, jnp.int32(self.n),
+                q_pad, self.corpus, jnp.int32(self.n),
                 mesh=self.mesh, axis=self.cfg.mesh_axis, k=k,
                 query_tile=self.cfg.query_tile,
-                corpus_tile=self.cfg.corpus_tile,
+                corpus_tile=self.cfg.corpus_tile, cosine=cosine,
             )
+        s, i = s[:b], i[:b]
         if squeeze:
             return s[0], i[0]
         return s, i
@@ -93,10 +100,16 @@ class ShardedFlatIndex:
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "k", "query_tile", "corpus_tile"),
+    static_argnames=("mesh", "axis", "k", "query_tile", "corpus_tile",
+                     "cosine"),
 )
-def _sharded_search(q, corpus, n_valid, *, mesh, axis, k, query_tile, corpus_tile):
+def _sharded_search(q, corpus, n_valid, *, mesh, axis, k, query_tile,
+                    corpus_tile, cosine):
     per_shard = corpus.shape[0] // mesh.shape[axis]
+    q = q.astype(jnp.float32)
+    if cosine:
+        q = l2_normalize(q)
+    q = q.astype(corpus.dtype)
 
     def local(qb, shard, nv):
         sid = jax.lax.axis_index(axis)
@@ -121,11 +134,15 @@ def _sharded_search(q, corpus, n_valid, *, mesh, axis, k, query_tile, corpus_til
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "k", "query_tile", "corpus_tile"),
+    static_argnames=("mesh", "axis", "k", "query_tile", "corpus_tile",
+                     "cosine"),
 )
 def _sharded_search_int8(q, corpus, scale, n_valid, *, mesh, axis, k,
-                         query_tile, corpus_tile):
+                         query_tile, corpus_tile, cosine):
     per_shard = corpus.shape[0] // mesh.shape[axis]
+    q = q.astype(jnp.float32)
+    if cosine:
+        q = l2_normalize(q)
 
     def local(qb, shard, sh_scale, nv):
         sid = jax.lax.axis_index(axis)

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from mediquery_rag_tpu.config import EngineConfig
-from mediquery_rag_tpu.engine.flat import l2_normalize
+from mediquery_rag_tpu.engine.flat import bucket_queries, l2_normalize
 from mediquery_rag_tpu.engine.ivf import IVFIndex
 from mediquery_rag_tpu.ops.ivf_kernel import (
     ivf_batch_search, ivf_probe_search, ivf_probe_search_int8,
@@ -95,26 +95,26 @@ class ShardedIVFIndex:
         k = self.cfg.top_k if k is None else k
         nprobe = self.cfg.ivf_nprobe if nprobe is None else nprobe
         nprobe = min(nprobe, self.nlist)
-        q = jnp.asarray(queries)
-        squeeze = q.ndim == 1
+        squeeze = getattr(queries, "ndim", 2) == 1
         if squeeze:
-            q = q[None, :]
-        if self.cfg.metric == "cosine":
-            q = l2_normalize(q.astype(jnp.float32))
+            queries = np.asarray(queries)[None, :] \
+                if not isinstance(queries, jax.Array) else queries[None, :]
+        q_pad, b = bucket_queries(queries)
         if batched is None:
             # same crossover rule as IVFIndex.search (draws >= 2*nlist; the
             # per-shard dedup ratio matches the global one in expectation)
-            batched = q.shape[0] * nprobe >= 2 * self.nlist
+            batched = b * nprobe >= 2 * self.nlist
         int8 = self.bucket_scales is not None
         scales = (self.bucket_scales if int8
                   else jnp.zeros((0, self.cap), jnp.float32))
         s, i = _sharded_ivf_search(
-            q.astype(jnp.float32), self.centroids, self.buckets,
+            q_pad, self.centroids, self.buckets,
             self.bucket_ids, scales,
             mesh=self.mesh, axis=self.cfg.mesh_axis, k=k, nprobe=nprobe,
-            per_shard=self.per_shard, cap=self.cap, batched=batched,
-            int8=int8,
+            per_shard=self.per_shard, cap=self.cap, batched=bool(batched),
+            int8=int8, cosine=self.cfg.metric == "cosine",
         )
+        s, i = s[:b], i[:b]
         if squeeze:
             return s[0], i[0]
         return s, i
@@ -125,10 +125,14 @@ class ShardedIVFIndex:
                 + self.bucket_ids.size * 4 + self.centroids.size * 4)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "k", "nprobe",
-                                   "per_shard", "cap", "batched", "int8"))
+@partial(jax.jit, static_argnames=("mesh", "axis", "k", "nprobe", "per_shard",
+                                   "cap", "batched", "int8", "cosine"))
 def _sharded_ivf_search(q, cents, buckets, bucket_ids, scales, *, mesh, axis,
-                        k, nprobe, per_shard, cap, batched, int8):
+                        k, nprobe, per_shard, cap, batched, int8, cosine):
+    q = q.astype(jnp.float32)
+    if cosine:
+        q = l2_normalize(q)
+
     def local(qb, cents_r, bk, bids, bsc):
         sid = jax.lax.axis_index(axis)
         cs = jnp.dot(qb, cents_r.T, preferred_element_type=jnp.float32)
