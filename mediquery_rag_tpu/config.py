@@ -31,6 +31,10 @@ class EngineConfig:
     ivf_nprobe: int = 32            # clusters probed per query
     ivf_kmeans_iters: int = 10
     ivf_sample: int = 262144        # max training sample for k-means
+    ivf_balance: float = 0.05       # k-means size-penalty (0 = classic Lloyd)
+    ivf_cap_factor: float = 2.0     # bucket cap <= factor * avg cluster size;
+                                    # overflow rows spill to their next-best
+                                    # cluster with space (0 = unbounded)
     # sharding
     mesh_axis: str = "shard"        # corpus-shard mesh axis name
 

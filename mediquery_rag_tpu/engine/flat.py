@@ -34,17 +34,23 @@ def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
 
 
 def bucket_queries(queries, tile: int = 16):
-    """Pad a query batch to the next ``tile`` multiple on the HOST.
+    """Pad a query batch to the next bucket size on the HOST.
 
     The serving path sees arbitrary batch sizes (the micro-batcher coalesces
     whatever arrived); without bucketing every new size dispatches a fresh
     set of eager ops + kernel shapes — seconds of (remote) compiles each.
-    Bucketing bounds the compile universe to ~4 shapes and keeps the pad off
-    the device. Returns (padded [Bp, D] array, real b).
+    The ladder is 1, 4, 8, then ``tile`` multiples: small buckets stay tight
+    because the IVF query-major kernel pays probe DMA per padded row (a B=1
+    probe padded to 16 rows would cost 16x the bucket traffic), while the
+    flat kernel pads to its query tile internally either way. Returns
+    (padded [Bp, D] array, real b).
     """
     q = np.asarray(queries) if not isinstance(queries, jax.Array) else queries
     b = q.shape[0]
-    bp = _round_up(max(b, tile), tile)
+    if b <= 8:
+        bp = next(s for s in (1, 4, 8) if s >= b)
+    else:
+        bp = _round_up(b, tile)
     if bp != b:
         pad = [(0, bp - b), (0, 0)]
         q = (np.pad(q, pad) if isinstance(q, np.ndarray) else jnp.pad(q, pad))

@@ -27,7 +27,9 @@ import numpy as np
 
 from mediquery_rag_tpu.config import EngineConfig
 from mediquery_rag_tpu.engine.flat import bucket_queries, l2_normalize
-from mediquery_rag_tpu.ops.kmeans import assign_clusters, kmeans
+from mediquery_rag_tpu.ops.kmeans import (
+    assign_clusters, assign_clusters_topr, kmeans,
+)
 from mediquery_rag_tpu.ops.ivf_kernel import (
     ivf_batch_search, ivf_probe_search, ivf_probe_search_int8,
 )
@@ -35,6 +37,49 @@ from mediquery_rag_tpu.ops.ivf_kernel import (
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _rebalance_overflow(assign, counts, top_ids, top_scores, cap_limit):
+    """Bounded-cap placement, vectorized (runs on host ints at 10M scale).
+
+    Overloaded clusters keep their ``cap_limit`` best-scoring rows; each
+    overflow row moves to its next-best centroid with free space (one
+    sorted cumcount pass per candidate rank, no per-row Python loop), with
+    a least-filled fallback for the rare row whose whole candidate list is
+    full.
+    """
+    nlist = counts.shape[0]
+    # collect overflow: per overloaded cluster, evict the lowest-scoring rows
+    overflow_parts = []
+    for c in np.where(counts > cap_limit)[0]:
+        rows = np.where(assign == c)[0]
+        order = np.argsort(-top_scores[rows, 0], kind="stable")
+        overflow_parts.append(rows[order[cap_limit:]])
+        counts[c] = cap_limit
+    pending = np.concatenate(overflow_parts)
+
+    r_alt = top_ids.shape[1]
+    for r in range(1, r_alt):
+        if len(pending) == 0:
+            break
+        cand = top_ids[pending, r]
+        room = cap_limit - counts                     # free slots per cluster
+        order = np.argsort(cand, kind="stable")
+        sorted_c = cand[order]
+        # rank of each row within its candidate cluster group
+        starts = np.searchsorted(sorted_c, np.arange(nlist), side="left")
+        rank_in_c = np.arange(len(sorted_c)) - starts[sorted_c]
+        fits = rank_in_c < room[sorted_c]
+        placed_rows = pending[order[fits]]
+        assign[placed_rows] = sorted_c[fits]
+        counts += np.bincount(sorted_c[fits], minlength=nlist)
+        pending = pending[order[~fits]]
+    # fallback: spread leftovers over the emptiest clusters
+    for row in pending:
+        c2 = int(np.argmin(counts))
+        assign[row] = c2
+        counts[c2] += 1
+    return assign, counts
 
 
 @functools.partial(
@@ -94,12 +139,31 @@ class IVFIndex:
         if n > cfg.ivf_sample:
             idx = jax.random.choice(key, n, (cfg.ivf_sample,), replace=False)
             sample = v32[idx]
-        cents = kmeans(sample, key, nlist=nlist, iters=cfg.ivf_kmeans_iters)
-        assign = np.asarray(assign_clusters(v32, cents))
+        cents = kmeans(sample, key, nlist=nlist, iters=cfg.ivf_kmeans_iters,
+                       balance=cfg.ivf_balance)
+
+        # the bucket cap is set by the LARGEST cluster — unbounded, a skewed
+        # clustering multiplies both HBM footprint and probe DMA by cap/avg.
+        # Bounded layout: cap <= cap_factor * avg; each overloaded cluster
+        # keeps its cap best-scoring rows and overflow falls back to the
+        # next-best cluster with space (found only when that cluster is
+        # probed — the standard balanced-IVF recall trade, kept small by the
+        # k-means balance penalty).
+        cap_limit = 0
+        if cfg.ivf_cap_factor:
+            cap_limit = _round_up(
+                max(int(cfg.ivf_cap_factor * n / nlist), 32), 32)
+        r_alt = min(8, nlist)
+        top_ids, top_scores = assign_clusters_topr(v32, cents, r=r_alt)
+        top_ids, top_scores = np.asarray(top_ids), np.asarray(top_scores)
+        assign = top_ids[:, 0].copy()
+        counts = np.bincount(assign, minlength=nlist)
+        if cap_limit and counts.max() > cap_limit:
+            assign, counts = _rebalance_overflow(
+                assign, counts, top_ids, top_scores, cap_limit)
 
         # bucket layout: id permutation on host (cheap, ints only), the
         # [nlist*cap, D] vector gather on device at HBM bandwidth
-        counts = np.bincount(assign, minlength=nlist)
         cap = _round_up(max(int(counts.max()), 32), 32)
         order = np.argsort(assign, kind="stable")
         bucket_ids = np.full((nlist, cap), -1, dtype=np.int32)

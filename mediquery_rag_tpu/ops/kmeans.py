@@ -16,7 +16,9 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("nlist", "iters", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("nlist", "iters", "chunk", "balance")
+)
 def kmeans(
     x: jax.Array,
     key: jax.Array,
@@ -26,11 +28,18 @@ def kmeans(
     chunk: int = 8192,
     # chunk sizes the [chunk, nlist] one-hot HBM footprint of the centroid
     # update; 8192 x 1024 f32 = 32 MB keeps the Lloyd scan bandwidth-sane
+    balance: float = 0.0,
 ) -> jax.Array:
     """Spherical k-means. ``x``: [S, D] L2-normalized f32. Returns [nlist, D].
 
     Centroids stay L2-normalized each iteration so assignment == cosine
     argmax. Empty clusters keep their previous centroid.
+
+    ``balance > 0`` penalizes oversubscribed clusters during assignment
+    (score - balance * (count/avg - 1), counts from the previous Lloyd
+    pass): the bucket layout's cap is set by the LARGEST cluster, so a
+    skewed clustering costs cap/avg in both HBM and probe DMA. Typical
+    values 0.02-0.1 (cosine scores live in [-1, 1]).
     """
     s, d = x.shape
     chunk = min(chunk, s)
@@ -40,15 +49,21 @@ def kmeans(
     valid = (jnp.arange(s_pad) < s).astype(jnp.float32)
     xc = xp.reshape(n_chunks, chunk, d)
     vc = valid.reshape(n_chunks, chunk)
+    avg = s / nlist
 
     perm = jax.random.permutation(key, s)[:nlist]
     cents0 = x[perm]
 
-    def lloyd(cents, _):
-        def per_chunk(carry, inp):
-            sums, counts = carry
+    def lloyd(carry, _):
+        cents, prev_counts = carry
+        penalty = balance * (prev_counts / avg - 1.0) if balance else None
+
+        def per_chunk(acc, inp):
+            sums, counts = acc
             xb, vb = inp
             scores = jnp.dot(xb, cents.T, preferred_element_type=jnp.float32)
+            if penalty is not None:
+                scores = scores - penalty[None, :]
             assign = jnp.argmax(scores, axis=-1)                    # [chunk]
             onehot = jax.nn.one_hot(assign, nlist, dtype=jnp.float32)
             onehot = onehot * vb[:, None]
@@ -64,9 +79,11 @@ def kmeans(
         new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), cents)
         norm = jnp.linalg.norm(new, axis=-1, keepdims=True)
         new = new / jnp.maximum(norm, 1e-12)
-        return new, None
+        return (new, counts), None
 
-    cents, _ = jax.lax.scan(lloyd, cents0, None, length=iters)
+    (cents, _), _ = jax.lax.scan(
+        lloyd, (cents0, jnp.full((nlist,), avg, jnp.float32)), None,
+        length=iters)
     return cents
 
 
@@ -85,3 +102,28 @@ def assign_clusters(x: jax.Array, cents: jax.Array, *, chunk: int = 65536) -> ja
 
     _, out = jax.lax.scan(per_chunk, None, xp)
     return out.reshape(n_pad)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("r", "chunk"))
+def assign_clusters_topr(
+    x: jax.Array, cents: jax.Array, *, r: int, chunk: int = 65536
+) -> tuple[jax.Array, jax.Array]:
+    """Top-``r`` nearest centroids per row, with scores.
+
+    Returns (cluster ids [N, r] i32 best-first, scores [N, r] f32). Feeds
+    the bounded-cap bucket layout: overflow rows fall back to their
+    next-best cluster instead of inflating the global cap.
+    """
+    n, d = x.shape
+    chunk = min(chunk, n)
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    xp = jnp.pad(x, ((0, n_pad - n), (0, 0))).reshape(n_chunks, chunk, d)
+
+    def per_chunk(_, xb):
+        scores = jnp.dot(xb, cents.T, preferred_element_type=jnp.float32)
+        s, i = jax.lax.top_k(scores, r)
+        return None, (i.astype(jnp.int32), s)
+
+    _, (ids, scores) = jax.lax.scan(per_chunk, None, xp)
+    return ids.reshape(n_pad, r)[:n], scores.reshape(n_pad, r)[:n]

@@ -441,3 +441,46 @@ class TestIVFMutation:
         _, i1 = idx.search(q, k=4, nprobe=8)
         _, i2 = idx2.search(q, k=4, nprobe=8)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+class TestBoundedCapIVF:
+    def _clustered(self, n, d, k_true, seed):
+        key = jax.random.PRNGKey(seed)
+        centers = jax.random.normal(key, (k_true, d))
+        sizes = np.maximum((np.random.default_rng(seed).zipf(1.5, k_true)), 1)
+        probs = sizes / sizes.sum()
+        asg = np.random.default_rng(seed + 1).choice(k_true, n, p=probs)
+        c = centers[asg] + 0.3 * jax.random.normal(
+            jax.random.PRNGKey(seed + 2), (n, d))
+        return c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+
+    def test_cap_bounded_and_recall_kept(self):
+        """Zipf-skewed cluster sizes: unbounded cap would blow up memory;
+        the bounded layout must stay within cap_factor while keeping recall."""
+        c = self._clustered(6000, 64, 32, seed=110)
+        unbounded = EngineConfig(dim=64, dtype="float32", ivf_nlist=64,
+                                 ivf_kmeans_iters=6, ivf_balance=0.0,
+                                 ivf_cap_factor=0.0)
+        bounded = EngineConfig(dim=64, dtype="float32", ivf_nlist=64,
+                               ivf_kmeans_iters=6, ivf_balance=0.05,
+                               ivf_cap_factor=2.0)
+        iu = IVFIndex.build(c, unbounded)
+        ib = IVFIndex.build(c, bounded)
+        avg = 6000 / 64
+        assert ib.cap <= -(-int(2.0 * avg) // 32) * 32
+        assert ib.nbytes <= iu.nbytes
+        assert ib.live == 6000                    # no rows dropped
+        q = c[:32] + 0.05 * jax.random.normal(jax.random.PRNGKey(111), (32, 64))
+        _, i_ref = flat_search_xla(
+            q / jnp.linalg.norm(q, axis=-1, keepdims=True), c, 10)
+        _, i_b = ib.search(q, k=10, nprobe=16)
+        assert recall_at_k(i_b, i_ref) >= 0.9
+
+    def test_every_doc_exactly_once(self):
+        c = self._clustered(3000, 64, 16, seed=112)
+        cfg = EngineConfig(dim=64, dtype="float32", ivf_nlist=32,
+                           ivf_kmeans_iters=5, ivf_cap_factor=1.5)
+        idx = IVFIndex.build(c, cfg)
+        ids = np.asarray(idx.bucket_ids).reshape(-1)
+        ids = ids[ids >= 0]
+        assert len(ids) == 3000 and len(set(ids.tolist())) == 3000
