@@ -484,3 +484,37 @@ class TestBoundedCapIVF:
         ids = np.asarray(idx.bucket_ids).reshape(-1)
         ids = ids[ids >= 0]
         assert len(ids) == 3000 and len(set(ids.tolist())) == 3000
+
+
+class TestBucketLadder:
+    def test_bucket_sizes(self):
+        from mediquery_rag_tpu.engine.flat import bucket_queries
+        for b, want in ((1, 1), (2, 4), (4, 4), (5, 8), (8, 8), (9, 16),
+                        (17, 32), (64, 64), (65, 80)):
+            q = np.zeros((b, 8), np.float32)
+            qp, br = bucket_queries(q)
+            assert br == b and qp.shape[0] == want, (b, qp.shape)
+
+    def test_odd_batch_sizes_correct(self):
+        """Results at awkward batch sizes match the oracle (padding rows
+        must never leak into real rows' results)."""
+        c = _vecs(1000, 64, seed=120)
+        idx = FlatIndex.build(c, CFG)
+        for b in (1, 2, 3, 5, 9, 17, 33):
+            q = _vecs(b, 64, seed=121 + b)
+            s, i = idx.search(q, k=5)
+            assert i.shape == (b, 5) if b > 1 else True
+            _, i_ref = flat_search_xla(q, c, 5)
+            np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+    def test_odd_batch_ivf(self):
+        cfg = EngineConfig(dim=64, dtype="float32", ivf_nlist=16,
+                           ivf_kmeans_iters=3)
+        c = _vecs(1500, 64, seed=130)
+        iv = IVFIndex.build(c, cfg)
+        _, i_ref = flat_search_xla(_vecs(7, 64, seed=131), c, 5)
+        for batched in (False, True):
+            _, i = iv.search(_vecs(7, 64, seed=131), k=5, nprobe=16,
+                             batched=batched)
+            np.testing.assert_array_equal(np.sort(np.asarray(i), 1),
+                                          np.sort(np.asarray(i_ref), 1))
