@@ -59,12 +59,17 @@ def device_time(fn, stacked_inputs, *consts, iters: int | None = None,
         acc, _ = jax.lax.scan(body, jnp.float32(0), xs)
         return acc
 
-    @jax.jit
-    def noop(xs):
-        return _scalarize(jax.tree_util.tree_map(lambda l: l.reshape(-1)[0], xs))
+    # two-point measurement: time n iterations and n/2 iterations and take
+    # the difference — the fixed per-call overhead (relay round trip, host
+    # dispatch) appears in BOTH and cancels, unlike subtracting a separately
+    # measured no-op (whose jitter can exceed a fast kernel's total time and
+    # drive the estimate negative)
+    half = max(n // 2, 1)
+    xs_half = jax.tree_util.tree_map(lambda l: l[:half], stacked_inputs)
 
     float(many(stacked_inputs, *consts))  # compile + warm
-    float(noop(stacked_inputs))
+    if half != n:
+        float(many(xs_half, *consts))
 
     def best(f, *a):
         b = float("inf")
@@ -75,8 +80,14 @@ def device_time(fn, stacked_inputs, *consts, iters: int | None = None,
         return b
 
     t_total = best(many, stacked_inputs, *consts)
-    t_rt = best(noop, stacked_inputs)
-    return max(t_total - t_rt, 1e-9) / n
+    if half == n:
+        return t_total / n
+    t_half = best(many, xs_half, *consts)
+    dt = t_total - t_half
+    if dt <= 0:
+        # jitter swamped the kernel; report the conservative upper bound
+        return t_total / n
+    return dt / (n - half)
 
 
 class Timer:
