@@ -23,11 +23,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mediquery_rag_tpu.ops.scoring import (
-    LANE, NEG_INF, _extract_topk_rows, _merge_tile_sorted, _on_tpu,
+    LANE, NEG_INF, _merge_tile_sorted, _on_tpu,
 )
 
 
-def _ivf_kernel(pids_ref, q_ref, buckets_ref, bids_ref, out_s_ref, out_i_ref, *, k):
+def _ivf_kernel(pids_ref, q_ref, buckets_ref, bids_ref, out_s_ref, out_i_ref,
+                sc_ref, flag_ref, *, k):
     # Per-query arrays carry a singleton sublane axis ([B, 1, D] etc.) because
     # TPU block shapes must tile the array dims; refs here are (1, 1, X).
     j = pl.program_id(1)
@@ -47,13 +48,10 @@ def _ivf_kernel(pids_ref, q_ref, buckets_ref, bids_ref, out_s_ref, out_i_ref, *,
     ids = bids_ref[:].reshape(1, bids_ref.shape[-1])    # [1, cap], -1 = pad
     scores = jnp.where(ids >= 0, scores, NEG_INF)
 
-    run_s = out_s_ref[:].reshape(1, -1)[:, :k].astype(jnp.float32)
-    run_i = out_i_ref[:].reshape(1, -1)[:, :k]
-    cat_s = jnp.concatenate([run_s, scores], axis=1)
-    cat_i = jnp.concatenate([run_i, ids], axis=1)
-    _extract_topk_rows(
-        cat_s, cat_i, k, out_s_ref.at[0], out_i_ref.at[0]
-    )
+    # flag-gated sorted insert (same accumulator as the flat kernel):
+    # unconditional cost per probed bucket is one row-max, not k extractions
+    _merge_tile_sorted(scores, ids, k, out_s_ref.at[0], out_i_ref.at[0],
+                       sc_ref, flag_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "cap", "interpret"))
@@ -92,6 +90,10 @@ def _ivf_probe_search(
             pl.BlockSpec((1, 1, kp), lambda i, j, pids: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((1, cap), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
     )
     out_s, out_i = pl.pallas_call(
         functools.partial(_ivf_kernel, k=k),
@@ -123,7 +125,7 @@ def ivf_probe_search(
 
 
 def _ivf_int8_kernel(pids_ref, q_ref, buckets_ref, bids_ref, bsc_ref,
-                     out_s_ref, out_i_ref, *, k):
+                     out_s_ref, out_i_ref, sc_ref, flag_ref, *, k):
     """int8 variant: buckets int8 + per-row scales. The query is int8 too;
     its per-query scale is a positive constant per row so it cannot change
     the ranking — the caller rescales the returned top-k scores."""
@@ -145,11 +147,8 @@ def _ivf_int8_kernel(pids_ref, q_ref, buckets_ref, bids_ref, bsc_ref,
     ids = bids_ref[:].reshape(1, bids_ref.shape[-1])
     scores = jnp.where(ids >= 0, scores, NEG_INF)
 
-    run_s = out_s_ref[:].reshape(1, -1)[:, :k].astype(jnp.float32)
-    run_i = out_i_ref[:].reshape(1, -1)[:, :k]
-    cat_s = jnp.concatenate([run_s, scores], axis=1)
-    cat_i = jnp.concatenate([run_i, ids], axis=1)
-    _extract_topk_rows(cat_s, cat_i, k, out_s_ref.at[0], out_i_ref.at[0])
+    _merge_tile_sorted(scores, ids, k, out_s_ref.at[0], out_i_ref.at[0],
+                       sc_ref, flag_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "cap", "interpret"))
@@ -182,6 +181,10 @@ def _ivf_probe_search_int8(probe_ids, q8, buckets, bucket_ids, bucket_scales,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, kp), lambda i, j, pids: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, cap), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     out_s, out_i = pl.pallas_call(
