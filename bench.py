@@ -29,7 +29,8 @@ from mediquery_rag_tpu.ops.scoring import flat_search, flat_search_xla
 
 N, D, B, K = 1_000_000, 768, 64, 10
 TC, QT = 2048, 64
-ITERS = 16
+ITERS = 32   # two-point timing differences 32 vs 16 iterations; a larger
+             # span amortizes relay jitter (~100 ms/round trip) better
 
 
 def main() -> None:

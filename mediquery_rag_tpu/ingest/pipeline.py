@@ -49,31 +49,86 @@ class DocumentStore:
     def live_count(self) -> int:
         return sum(c is not None for c in self.chunks)
 
-    def similarity_search(self, query: str, k: int = 5) -> list[RetrievedDoc]:
-        return self.batch_search([query], k)[0]
+    def similarity_search(self, query: str, k: int = 5,
+                          where: dict | None = None) -> list[RetrievedDoc]:
+        return self.batch_search([query], k, where=where)[0]
+
+    @staticmethod
+    def _matches(meta: dict, where: dict) -> bool:
+        """Chroma-style metadata filter: every key must match. A list value
+        (or a comma/、-delimited string, how ``Chunk.metadata`` renders
+        tags) matches if it CONTAINS the wanted value."""
+        import re
+        for key, want in where.items():
+            have = meta.get(key)
+            if isinstance(have, (list, tuple)):
+                if want not in have:
+                    return False
+            elif isinstance(have, str) and isinstance(want, str):
+                if want != have and want not in re.split(r"[，,、;；]\s*", have):
+                    return False
+            elif have != want:
+                return False
+        return True
 
     def batch_search(
-        self, queries: Sequence[str], k: int = 5
+        self, queries: Sequence[str], k: int = 5, where: dict | None = None
     ) -> list[list[RetrievedDoc]]:
         """Batched retrieval — the Self-RAG loop issues batched queries
-        straight into the engine (BASELINE north star)."""
+        straight into the engine (BASELINE north star).
+
+        ``where`` filters results by metadata (Chroma ``where`` parity,
+        e.g. ``{"tags": "高血压"}``). Implemented as overfetch-then-filter:
+        the engine returns 4x k candidates and matches fill up to k; if the
+        overfetch runs dry the scan widens to the whole corpus (exact, rare).
+        """
         k = min(k, self.live_count)
         q = np.asarray(self.embedder(list(queries)))
-        scores, idx = self.index.search(q, k=k)
+        fetch = k if where is None else min(4 * k, self.live_count)
+        scores, idx = self.index.search(q, k=fetch)
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         out = []
+        widen_rows = []
         for r in range(len(queries)):
             row = []
-            for j in range(k):
+            for j in range(fetch):
                 i = int(idx[r, j])
                 if i < 0 or scores[r, j] == -np.inf:
                     continue
                 c = self.chunks[i]
                 if c is None:            # engine already masks deleted docs;
                     continue             # belt-and-braces for stale indexes
+                if where is not None and not self._matches(c.metadata, where):
+                    continue
                 row.append(RetrievedDoc(c.text, c.metadata, float(scores[r, j])))
+                if len(row) == k:
+                    break
+            if where is not None and len(row) < k and fetch < self.live_count:
+                widen_rows.append(r)
             out.append(row)
+        if widen_rows:
+            # widened fallback for starved rows: deepest fetch the fused
+            # kernel supports (k <= 128); rows whose matches are rarer than
+            # that return what was found
+            match_ids = [i for i, c in enumerate(self.chunks)
+                         if c is not None and self._matches(c.metadata, where)]
+            if match_ids:
+                full_s, full_i = self.index.search(
+                    q[widen_rows], k=min(128, self.live_count))
+                full_s, full_i = np.asarray(full_s), np.asarray(full_i)
+                ok = set(match_ids)
+                for rr, r in enumerate(widen_rows):
+                    row = []
+                    for j in range(full_i.shape[1]):
+                        i = int(full_i[rr, j])
+                        if i in ok and full_s[rr, j] > -np.inf:
+                            c = self.chunks[i]
+                            row.append(RetrievedDoc(c.text, c.metadata,
+                                                    float(full_s[rr, j])))
+                            if len(row) == k:
+                                break
+                    out[r] = row
         return out
 
     # -- incremental mutation (Chroma add/delete capability parity) ----------

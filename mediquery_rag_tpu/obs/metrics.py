@@ -42,7 +42,7 @@ def _scalarize(out) -> jax.Array:
 
 
 def device_time(fn, stacked_inputs, *consts, iters: int | None = None,
-                reps: int = 3) -> float:
+                reps: int = 5) -> float:
     """Seconds per iteration of ``fn(x, *consts)`` measured on device.
 
     ``stacked_inputs``: pytree whose leaves have a leading iteration axis.

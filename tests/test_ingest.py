@@ -145,3 +145,43 @@ class TestDocumentStoreMutation:
                                           content="继续递增的文档编号。",
                                           source="unit", tags=[])])
         assert ids[0] == store2.index.next_id - 1
+
+
+class TestMetadataFilter:
+    """Chroma-style `where` filtering (overfetch + widened fallback)."""
+
+    def _store(self):
+        return build_document_store(CORPUS, HashingEmbedder(dim=256), CFG)
+
+    def test_where_filters_by_tag(self):
+        store = self._store()
+        docs = store.similarity_search("饮食建议", k=3, where={"tags": "血压"})
+        assert docs, "expected at least one tagged match"
+        for d in docs:
+            assert "血压" in d.metadata.get("tags", "")
+
+    def test_where_no_match_returns_empty(self):
+        store = self._store()
+        docs = store.similarity_search("任何问题", k=3,
+                                       where={"tags": "不存在的标签"})
+        assert docs == []
+
+    def test_where_rare_tag_found_via_widening(self):
+        """A tag so rare it never lands in the 4k overfetch must still be
+        found by the widened pass."""
+        store = self._store()
+        # tag exactly one chunk with a unique marker
+        target = store.chunks[-1]
+        target.tags.append("稀有标记")
+        # query crafted to be dissimilar to the target so it ranks last
+        docs = store.similarity_search("高血压 饮食 限盐", k=2,
+                                       where={"tags": "稀有标记"})
+        assert len(docs) == 1
+        assert "稀有标记" in docs[0].metadata["tags"]  # delimited string
+
+    def test_where_exact_key_match(self):
+        store = self._store()
+        src = store.chunks[0].metadata.get("source")
+        docs = store.similarity_search("健康", k=2, where={"source": src})
+        for d in docs:
+            assert d.metadata["source"] == src
