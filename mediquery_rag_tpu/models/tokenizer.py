@@ -42,8 +42,26 @@ class HashCharTokenizer:
 
     def batch_encode(self, texts: list[str], max_len: int | None = None):
         """Returns (ids [B, L] i32, mask [B, L] f32), L = min(longest, max_len),
-        padded to a multiple of 128 lanes for TPU-friendly shapes."""
+        padded to a multiple of 128 lanes for TPU-friendly shapes.
+
+        Uses the native C++ tokenizer when available (~100x the Python
+        per-character loop; bit-identical output, asserted in tests) and
+        falls back to pure Python otherwise.
+        """
         max_len = self.max_len if max_len is None else max_len
+        from mediquery_rag_tpu.native.tokenizer import (
+            native_available, tok_batch)
+
+        if texts and native_available():
+            ids_full, lens = tok_batch(
+                texts, self.vocab_size, self.max_len - 1, max_len)
+            longest = int(lens.max()) if len(lens) else 1
+            length = min(-(-longest // 128) * 128, max_len)
+            ids = np.ascontiguousarray(ids_full[:, :length])
+            mask = (np.arange(length)[None, :] < lens[:, None]).astype(
+                np.float32)
+            return ids, mask
+
         encoded = [self.encode(t)[:max_len] for t in texts]
         longest = max((len(e) for e in encoded), default=1)
         length = min(-(-longest // 128) * 128, max_len)

@@ -54,3 +54,54 @@ class TestHNSW:
         ix = HNSWIndex(16)
         s, i = ix.search(np.zeros(16, np.float32), 5)
         assert (s == -np.inf).all()
+
+
+class TestNativeTokenizer:
+    """C++ batch tokenizer must be BIT-IDENTICAL to the Python loop: the
+    embedder fingerprint (and every persisted index) depends on it."""
+
+    def test_exactness_vs_python(self):
+        import random
+        from mediquery_rag_tpu.models.tokenizer import HashCharTokenizer
+        from mediquery_rag_tpu.native.tokenizer import (
+            native_available, tok_batch)
+        if not native_available():
+            import pytest
+            pytest.skip("no C++ toolchain")
+        tok = HashCharTokenizer(16384, 256)
+        random.seed(7)
+        rand = "".join(chr(random.randint(1, 0x10FFFF - 2048))
+                       for _ in range(800))
+        rand = "".join(c for c in rand if not 0xD800 <= ord(c) <= 0xDFFF)
+        cases = [
+            "", " ", "\t\n\x1c\x1d\x1e\x1f\x85\xa0        　",
+            "高血压患者的饮食建议", "a b  c", "🩺💊🧬 emoji 测试",
+            "x" * 1000, "混合 English 和 中文 with spaces   and\ttabs",
+            rand,
+        ]
+        py = [tok.encode(t)[:256] for t in cases]
+        ids, lens = tok_batch(cases, 16384, 255, 256)
+        for r, e in enumerate(py):
+            assert int(lens[r]) == len(e)
+            assert ids[r, : len(e)].tolist() == e
+            assert (ids[r, len(e):] == 0).all()
+
+    def test_batch_encode_native_matches_fallback(self):
+        from mediquery_rag_tpu.models.tokenizer import HashCharTokenizer
+        from mediquery_rag_tpu.native import tokenizer as nt
+        if not nt.native_available():
+            import pytest
+            pytest.skip("no C++ toolchain")
+        tok = HashCharTokenizer(2048, 128)
+        texts = ["高血压 饮食", "糖尿病如何运动才安全", "", "short"]
+        ids_n, mask_n = tok.batch_encode(texts)
+        # force the Python fallback
+        saved = nt._lib, nt._failed
+        nt._lib, nt._failed = None, True
+        try:
+            ids_p, mask_p = tok.batch_encode(texts)
+        finally:
+            nt._lib, nt._failed = saved
+        import numpy as np
+        np.testing.assert_array_equal(ids_n, ids_p)
+        np.testing.assert_array_equal(mask_n, mask_p)
