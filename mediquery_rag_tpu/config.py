@@ -35,6 +35,11 @@ class EngineConfig:
     ivf_cap_factor: float = 2.0     # bucket cap <= factor * avg cluster size;
                                     # overflow rows spill to their next-best
                                     # cluster with space (0 = unbounded)
+    # two-stage refinement (int8 storage only): the HBM int8 scan fetches
+    # rerank_factor*k candidates, a host-RAM float16 copy re-scores them
+    # exactly — int8 scan speed and HBM footprint, near-f32 recall
+    # (Faiss/HAVEN "refine" tier, TPU-adapted: host RAM is the warm tier)
+    rerank_factor: int = 0          # 0 = off; typical 4
     # sharding
     mesh_axis: str = "shard"        # corpus-shard mesh axis name
 

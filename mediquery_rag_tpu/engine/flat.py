@@ -57,6 +57,19 @@ def bucket_queries(queries, tile: int = 16):
     return q, b
 
 
+def _refine_copy(host_src: np.ndarray | None, v_dev, cosine: bool) -> np.ndarray:
+    """f16 refinement copy of the normalized vectors, built on the HOST when
+    the source is a host array (zero device pull — the ingest path always
+    hands numpy), else pulled from device pre-cast to f16 (half the bytes;
+    matters through a slow relay)."""
+    if host_src is not None:
+        r = host_src.astype(np.float32)
+        if cosine:
+            r = r / np.maximum(np.linalg.norm(r, axis=1, keepdims=True), 1e-12)
+        return r.astype(np.float16)
+    return np.asarray(v_dev.astype(jnp.float16))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "qt", "ct", "cosine"))
 def _flat_dispatch(q_pad, corpus, n_valid, *, k, qt, ct, cosine):
     """Single-trace search dispatch: normalize + kernel, nothing eager."""
@@ -94,10 +107,15 @@ class FlatIndex:
     # stable labels without paying a gather in the common case)
     ids: jax.Array | None = None            # [N_pad] i32
     _next_id: int | None = None             # None = n (no deletes yet)
+    # host-RAM float16 copy for two-stage refinement (int8 +
+    # cfg.rerank_factor > 0): the HBM scan stays int8-fast, the top
+    # rerank_factor*k candidates are re-scored exactly on host
+    refine: np.ndarray | None = None        # [n] rows, f16, row-aligned
 
     @classmethod
     def build(cls, vectors, cfg: EngineConfig = EngineConfig()) -> "FlatIndex":
         """Build from ``[N, D]`` raw vectors: normalize (cosine), cast, pad."""
+        host_src = vectors if isinstance(vectors, np.ndarray) else None
         v = jnp.asarray(vectors)
         n, d = v.shape
         if d != cfg.dim:
@@ -106,7 +124,10 @@ class FlatIndex:
             v = l2_normalize(v.astype(jnp.float32))
         n_pad = _round_up(max(n, cfg.corpus_tile), cfg.corpus_tile)
         scale = None
+        refine = None
         if cfg.dtype == "int8":
+            if cfg.rerank_factor:
+                refine = _refine_copy(host_src, v, cfg.metric == "cosine")
             v, scale = quantize_rows(v)
             if n_pad != n:
                 scale = jnp.pad(scale, ((0, n_pad - n),))
@@ -114,7 +135,7 @@ class FlatIndex:
             v = v.astype(jnp.dtype(cfg.dtype))
         if n_pad != n:
             v = jnp.pad(v, ((0, n_pad - n), (0, 0)))
-        return cls(corpus=v, n=n, cfg=cfg, corpus_scale=scale)
+        return cls(corpus=v, n=n, cfg=cfg, corpus_scale=scale, refine=refine)
 
     def search(self, queries, k: int | None = None):
         """Top-k search. Returns (scores [B,k] f32, indices [B,k] i32).
@@ -132,22 +153,44 @@ class FlatIndex:
         q_pad, b = bucket_queries(queries)
         cosine = self.cfg.metric == "cosine"
         n_valid = jnp.asarray(self.n, jnp.int32)
+        rerank = self.refine is not None and self.cfg.rerank_factor > 0
+        kk = min(128, self.cfg.rerank_factor * k, self.n) if rerank else k
         if self.corpus_scale is not None:
             s, i = _int8_dispatch(
                 q_pad, self.corpus, self.corpus_scale, n_valid,
-                k=k, qt=self.cfg.query_tile, ct=self.cfg.corpus_tile,
+                k=kk, qt=self.cfg.query_tile, ct=self.cfg.corpus_tile,
                 cosine=cosine)
         else:
             s, i = _flat_dispatch(
                 q_pad, self.corpus, n_valid,
-                k=k, qt=self.cfg.query_tile, ct=self.cfg.corpus_tile,
+                k=kk, qt=self.cfg.query_tile, ct=self.cfg.corpus_tile,
                 cosine=cosine)
         s, i = s[:b], i[:b]
+        if rerank and kk > k:
+            s, i = self._rerank(np.asarray(queries), np.asarray(s),
+                                np.asarray(i), k, cosine)
+            s, i = jnp.asarray(s), jnp.asarray(i)
         if self.ids is not None:
             i = jnp.where(s > -jnp.inf, self.ids[i], i)
         if squeeze:
             return s[0], i[0]
         return s, i
+
+    def _rerank(self, q: np.ndarray, s: np.ndarray, rows: np.ndarray,
+                k: int, cosine: bool) -> tuple[np.ndarray, np.ndarray]:
+        """Exact host re-score of the int8 scan's candidates against the
+        float16 refinement copy; returns the true top-k among them."""
+        q32 = q.astype(np.float32)
+        if cosine:
+            q32 /= np.maximum(np.linalg.norm(q32, axis=1, keepdims=True),
+                              1e-12)
+        safe = np.clip(rows, 0, len(self.refine) - 1)
+        cand = self.refine[safe].astype(np.float32)     # [b, kk, d]
+        exact = np.einsum("bd,bkd->bk", q32, cand, optimize=True)
+        exact = np.where(s > -np.inf, exact, -np.inf)
+        top = np.argsort(-exact, axis=1, kind="stable")[:, :k]
+        return (np.take_along_axis(exact, top, axis=1),
+                np.take_along_axis(rows, top, axis=1))
 
     def _dequantized(self) -> jax.Array:
         """Valid rows as f32 (identity for float dtypes)."""
@@ -177,7 +220,11 @@ class FlatIndex:
             v = l2_normalize(v.astype(jnp.float32))
         n = self.n + m
         scale = None
+        refine = self.refine
         if self.corpus_scale is not None:
+            if refine is not None:
+                refine = np.concatenate(
+                    [refine, np.asarray(v, dtype=np.float16)], axis=0)
             q8, s_new = quantize_rows(v.astype(jnp.float32))
             merged = jnp.concatenate([self.corpus[: self.n], q8], axis=0)
             scale = jnp.concatenate([self.corpus_scale[: self.n], s_new])
@@ -190,7 +237,7 @@ class FlatIndex:
                    else jnp.arange(self.n, dtype=jnp.int32))
             ids = jnp.concatenate(
                 [old, self.next_id + jnp.arange(m, dtype=jnp.int32)])
-        return self._repad(merged, n, scale, ids, self.next_id + m)
+        return self._repad(merged, n, scale, ids, self.next_id + m, refine)
 
     def delete(self, doc_ids) -> "FlatIndex":
         """Remove docs by stable id (returns a new index).
@@ -213,9 +260,12 @@ class FlatIndex:
         scale = (jnp.take(self.corpus_scale, keep_j)
                  if self.corpus_scale is not None else None)
         ids = jnp.asarray(cur[keep], dtype=jnp.int32)
-        return self._repad(merged, len(keep), scale, ids, self.next_id)
+        refine = self.refine[keep] if self.refine is not None else None
+        return self._repad(merged, len(keep), scale, ids, self.next_id,
+                           refine)
 
-    def _repad(self, merged, n, scale, ids, next_id) -> "FlatIndex":
+    def _repad(self, merged, n, scale, ids, next_id,
+               refine=None) -> "FlatIndex":
         # rows are already normalized/quantized — re-pad only
         n_pad = _round_up(max(n, self.cfg.corpus_tile), self.cfg.corpus_tile)
         if n_pad != n:
@@ -225,7 +275,7 @@ class FlatIndex:
             if ids is not None:
                 ids = jnp.pad(ids, ((0, n_pad - n),))
         return FlatIndex(corpus=merged, n=n, cfg=self.cfg, corpus_scale=scale,
-                         ids=ids, _next_id=next_id)
+                         ids=ids, _next_id=next_id, refine=refine)
 
     # -- persistence (index checkpoint: SURVEY §5 "add a 4th mechanism") -----
 
@@ -236,6 +286,8 @@ class FlatIndex:
         if self.ids is not None:
             np.save(os.path.join(path, "ids.npy"),
                     np.asarray(self.ids[: self.n]))
+        if self.refine is not None:
+            np.save(os.path.join(path, "refine.npy"), self.refine)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"n": self.n, "kind": "flat", "cfg": self.cfg.__dict__,
                        "next_id": self.next_id}, f)
@@ -253,9 +305,15 @@ class FlatIndex:
             raw = np.load(ids_path)
             n_pad = idx.corpus.shape[0]
             ids = jnp.asarray(np.pad(raw, (0, n_pad - len(raw))), jnp.int32)
+        # the saved refine copy carries the ORIGINAL f16 rows; build() above
+        # could only reconstruct a dequantized-int8 one
+        refine = idx.refine
+        ref_path = os.path.join(path, "refine.npy")
+        if os.path.exists(ref_path):
+            refine = np.load(ref_path)
         return cls(corpus=idx.corpus, n=idx.n, cfg=idx.cfg,
                    corpus_scale=idx.corpus_scale, ids=ids,
-                   _next_id=meta.get("next_id"))
+                   _next_id=meta.get("next_id"), refine=refine)
 
     @property
     def nbytes(self) -> int:

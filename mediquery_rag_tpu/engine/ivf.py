@@ -118,6 +118,10 @@ class IVFIndex:
     cfg: EngineConfig
     bucket_scales: jax.Array | None = None   # [nlist, cap] f32, int8 only
     _next_id: int | None = None              # None = n (no mutations yet)
+    # host-RAM f16 copy indexed by STABLE DOC ID for two-stage refinement
+    # (int8 + cfg.rerank_factor): rows are never removed (ids are stable),
+    # adds append, so len(refine) == next_id always holds
+    refine: np.ndarray | None = None
 
     @classmethod
     def build(
@@ -127,12 +131,17 @@ class IVFIndex:
         *,
         key: jax.Array | None = None,
     ) -> "IVFIndex":
+        host_src = vectors if isinstance(vectors, np.ndarray) else None
         v = jnp.asarray(vectors)
         n, d = v.shape
         nlist = min(cfg.ivf_nlist, max(1, n // 8))
         if cfg.metric == "cosine":
             v = l2_normalize(v.astype(jnp.float32))
         v32 = v.astype(jnp.float32)
+        refine = None
+        if cfg.dtype == "int8" and cfg.rerank_factor:
+            from mediquery_rag_tpu.engine.flat import _refine_copy
+            refine = _refine_copy(host_src, v32, cfg.metric == "cosine")
 
         key = jax.random.PRNGKey(0) if key is None else key
         sample = v32
@@ -205,6 +214,7 @@ class IVFIndex:
             cap=cap,
             cfg=cfg,
             bucket_scales=scales,
+            refine=refine,
         )
 
     def search(self, queries, k: int | None = None, nprobe: int | None = None,
@@ -231,15 +241,37 @@ class IVFIndex:
         int8 = self.bucket_scales is not None
         scales = (self.bucket_scales if int8
                   else jnp.zeros((0, self.cap), jnp.float32))
+        cosine = self.cfg.metric == "cosine"
+        rerank = self.refine is not None and self.cfg.rerank_factor > 0
+        kk = min(128, self.cfg.rerank_factor * k, self.n) if rerank else k
         s, i = _ivf_dispatch(
             q_pad, self.centroids, self.buckets, self.bucket_ids, scales,
-            k=k, nprobe=nprobe, batched=bool(batched), int8=int8,
-            cosine=self.cfg.metric == "cosine",
+            k=kk, nprobe=nprobe, batched=bool(batched), int8=int8,
+            cosine=cosine,
         )
         s, i = s[:b], i[:b]
+        if rerank and kk > k:
+            s, i = self._rerank(np.asarray(queries), np.asarray(s),
+                                np.asarray(i), k, cosine)
+            s, i = jnp.asarray(s), jnp.asarray(i)
         if squeeze:
             return s[0], i[0]
         return s, i
+
+    def _rerank(self, q, s, doc_ids, k, cosine):
+        """Exact host re-score of the probe kernel's candidates against the
+        f16 refinement copy (indexed by stable doc id)."""
+        q32 = q.astype(np.float32)
+        if cosine:
+            q32 /= np.maximum(np.linalg.norm(q32, axis=1, keepdims=True),
+                              1e-12)
+        safe = np.clip(doc_ids, 0, len(self.refine) - 1)
+        cand = self.refine[safe].astype(np.float32)
+        exact = np.einsum("bd,bkd->bk", q32, cand, optimize=True)
+        exact = np.where(s > -np.inf, exact, -np.inf)
+        top = np.argsort(-exact, axis=1, kind="stable")[:, :k]
+        return (np.take_along_axis(exact, top, axis=1),
+                np.take_along_axis(doc_ids, top, axis=1))
 
     # -- incremental mutation (Chroma/hnswlib capability parity) --------------
     #
@@ -321,6 +353,10 @@ class IVFIndex:
             offs[b] += 1
         flat_pos = jnp.asarray(assign * new_cap + slots, jnp.int32)
 
+        refine = self.refine
+        if refine is not None:
+            refine = np.concatenate(
+                [refine, np.asarray(v32, dtype=np.float16)], axis=0)
         if self.bucket_scales is not None:
             from mediquery_rag_tpu.ops.quant import quantize_rows
             q8, s_new = quantize_rows(v32)
@@ -335,7 +371,7 @@ class IVFIndex:
         return replace(
             self, buckets=bk, bucket_ids=jnp.asarray(new_ids.reshape(nlist, new_cap)),
             bucket_scales=sc, n=self.n + m, cap=new_cap,
-            _next_id=self.next_id + m,
+            _next_id=self.next_id + m, refine=refine,
         )
 
     @property
@@ -363,6 +399,8 @@ class IVFIndex:
         }
         if self.bucket_scales is not None:
             arrays["bucket_scales"] = np.asarray(self.bucket_scales)
+        if self.refine is not None:
+            arrays["refine"] = self.refine
         np.savez(os.path.join(path, "ivf.npz"), **arrays)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(
@@ -388,4 +426,5 @@ class IVFIndex:
             bucket_scales=(jnp.asarray(z["bucket_scales"])
                            if "bucket_scales" in z.files else None),
             _next_id=meta.get("next_id"),
+            refine=(z["refine"] if "refine" in z.files else None),
         )

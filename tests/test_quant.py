@@ -89,3 +89,78 @@ class TestFlatIndexInt8:
         assert idx3.n == 510
         _, i = idx3.search(extra[0], k=1)
         assert int(i[0]) == 500
+
+
+class TestRerankRefinement:
+    """Two-stage int8 + f16 host rerank: int8 scan speed, near-f32 recall."""
+
+    def _data(self, n=3000, d=768, seed=140):
+        import jax
+        x = jax.random.normal(jax.random.PRNGKey(seed), (n, d))
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+    def test_flat_rerank_recovers_recall(self):
+        from mediquery_rag_tpu.engine import FlatIndex
+        from mediquery_rag_tpu.obs import recall_at_k
+        from mediquery_rag_tpu.ops import flat_search_xla
+        c = self._data()
+        q = self._data(n=32, seed=141)
+        _, i_ref = flat_search_xla(q, c, 10)
+        plain = FlatIndex.build(c, EngineConfig(dim=768, dtype="int8",
+                                                corpus_tile=512))
+        rr = FlatIndex.build(c, EngineConfig(dim=768, dtype="int8",
+                                             corpus_tile=512,
+                                             rerank_factor=4))
+        assert rr.refine is not None and rr.refine.dtype == np.float16
+        _, i_p = plain.search(q, k=10)
+        _, i_r = rr.search(q, k=10)
+        r_plain = recall_at_k(np.asarray(i_p), np.asarray(i_ref))
+        r_rr = recall_at_k(np.asarray(i_r), np.asarray(i_ref))
+        assert r_rr >= r_plain
+        assert r_rr >= 0.99, (r_plain, r_rr)
+
+    def test_ivf_rerank(self):
+        from mediquery_rag_tpu.engine import IVFIndex
+        from mediquery_rag_tpu.obs import recall_at_k
+        from mediquery_rag_tpu.ops import flat_search_xla
+        c = self._data()
+        q = self._data(n=16, seed=142)
+        _, i_ref = flat_search_xla(q, c, 10)
+        idx = IVFIndex.build(c, EngineConfig(dim=768, dtype="int8",
+                                             ivf_nlist=8, ivf_kmeans_iters=3,
+                                             rerank_factor=4))
+        assert idx.refine is not None
+        _, i_r = idx.search(q, k=10, nprobe=8)   # full probe: isolates quant
+        assert recall_at_k(np.asarray(i_r), np.asarray(i_ref)) >= 0.99
+
+    def test_rerank_survives_mutation_and_saveload(self, tmp_path):
+        from mediquery_rag_tpu.engine import FlatIndex
+        c = self._data(n=500)
+        extra = self._data(n=5, seed=143)
+        idx = FlatIndex.build(c, EngineConfig(dim=768, dtype="int8",
+                                              corpus_tile=512,
+                                              rerank_factor=4))
+        idx = idx.add(extra).delete([3])
+        assert len(idx.refine) == idx.n
+        _, i = idx.search(np.asarray(extra[2]), k=1)
+        assert int(i[0]) == 502
+        idx.save(str(tmp_path / "rr"))
+        idx2 = FlatIndex.load(str(tmp_path / "rr"))
+        assert idx2.refine is not None and len(idx2.refine) == idx2.n
+        _, i1 = idx.search(np.asarray(c[10]), k=5)
+        _, i2 = idx2.search(np.asarray(c[10]), k=5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_ivf_rerank_saveload(self, tmp_path):
+        from mediquery_rag_tpu.engine import IVFIndex
+        c = self._data(n=800)
+        idx = IVFIndex.build(c, EngineConfig(dim=768, dtype="int8",
+                                             ivf_nlist=8, ivf_kmeans_iters=3,
+                                             rerank_factor=4))
+        idx.save(str(tmp_path / "ivr"))
+        idx2 = IVFIndex.load(str(tmp_path / "ivr"))
+        assert idx2.refine is not None
+        q = np.asarray(c[7])
+        _, i1 = idx.search(q, k=5, nprobe=8)
+        _, i2 = idx2.search(q, k=5, nprobe=8)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
