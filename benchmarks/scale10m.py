@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--b", type=int, default=64)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--chunk", type=int, default=500_000)
+    ap.add_argument("--ivf-chunk", type=int, default=62_500)
+    ap.add_argument("--nlist", type=int, default=4096)
+    ap.add_argument("--skip-ivf", action="store_true")
     args = ap.parse_args()
     n, d, b, k, ch = args.n, args.d, args.b, args.k, args.chunk
     assert n % ch == 0
@@ -96,7 +99,65 @@ def main():
         "qps": round(b / t, 1),
         "planted_neighbor_hit_rate": hits,
         "hbm_floor_ms": round(n_pad * (d + 4) / 819e9 * 1e3, 3),
-    }))
+    }), flush=True)
+
+    if args.skip_ivf:
+        return
+    del buf, scales, s, i           # free HBM for the IVF bucket array
+
+    # ---- 10M IVF on ONE chip via the streaming builder ---------------------
+    # The f32 corpus (30 GB) never exists on device: chunks are regenerated,
+    # assigned, and scattered into the pre-allocated int8 bucket buffer.
+    from mediquery_rag_tpu.config import EngineConfig
+    from mediquery_rag_tpu.engine import IVFIndex
+    from mediquery_rag_tpu.engine.ivf import _ivf_dispatch
+
+    rows = args.ivf_chunk
+    assert n % rows == 0
+
+    def make_chunks():
+        for s_ in range(n // rows):
+            yield jax.random.normal(jax.random.PRNGKey(10_000 + s_),
+                                    (rows, d), jnp.float32)
+
+    cfg = EngineConfig(dim=d, dtype="int8", ivf_nlist=args.nlist,
+                       ivf_kmeans_iters=8, ivf_cap_factor=1.25,
+                       ivf_balance=0.05)
+    t0 = time.perf_counter()
+    iv = IVFIndex.build_streaming(make_chunks, n, cfg, chunk_rows=rows)
+    t_build = time.perf_counter() - t0
+    print(json.dumps({
+        "stage": "ivf_build_streaming", "n": n, "nlist": args.nlist,
+        "cap": iv.cap, "seconds": round(t_build, 1),
+        "hbm_gb": round(iv.nbytes / 1e9, 2)}), flush=True)
+
+    # planted queries against the streamed corpus
+    tgt = rng.integers(0, n, b)
+    ql = []
+    for r in tgt:
+        seed, off = int(r // rows), int(r % rows)
+        row = jax.random.normal(jax.random.PRNGKey(10_000 + seed),
+                                (rows, d))[off]
+        ql.append(np.asarray(row / jnp.linalg.norm(row)))
+    q2 = np.stack(ql) + 0.02 * rng.standard_normal((b, d)).astype(np.float32)
+    q2 = jnp.asarray(q2 / np.linalg.norm(q2, axis=1, keepdims=True))
+
+    for nprobe in (8, 16, 32):
+        _, ii = iv.search(q2, k=k, nprobe=nprobe, batched=False)
+        hits = float(np.mean([int(tgt[r]) in np.asarray(ii[r]).tolist()
+                              for r in range(b)]))
+        scales_iv = iv.bucket_scales
+        def one(qrow, cents, bk, bids, sc, npb=nprobe):
+            return _ivf_dispatch(qrow, cents, bk, bids, sc, k=k, nprobe=npb,
+                                 batched=False, int8=True, cosine=True)[0]
+        t1 = device_time(one, q2[:, None, :], iv.centroids, iv.buckets,
+                         iv.bucket_ids, scales_iv)
+        print(json.dumps({
+            "stage": "ivf_search", "engine": "ivf_int8_single_chip_10m",
+            "nprobe": nprobe, "batch": 1, "k": k,
+            "latency_us": round(t1 * 1e6, 1),
+            "qps_single_stream": round(1 / t1, 1),
+            "planted_neighbor_hit_rate": hits}), flush=True)
 
 
 if __name__ == "__main__":

@@ -82,6 +82,52 @@ def _rebalance_overflow(assign, counts, top_ids, top_scores, cap_limit):
     return assign, counts
 
 
+def _plan_layout(top_ids, top_scores, nlist, n, cap_limit):
+    """Bucket layout from a top-r assignment (host ints only).
+
+    Returns (bucket_ids [nlist, cap] i32 with -1 empties, positions [n] i64
+    mapping global row -> flat bucket slot, cap).
+    """
+    assign = top_ids[:, 0].copy()
+    counts = np.bincount(assign, minlength=nlist)
+    if cap_limit and counts.max() > cap_limit:
+        assign, counts = _rebalance_overflow(
+            assign, counts, top_ids, top_scores, cap_limit)
+    cap = _round_up(max(int(counts.max()), 32), 32)
+    order = np.argsort(assign, kind="stable")
+    bucket_ids = np.full((nlist, cap), -1, dtype=np.int32)
+    cluster_of = assign[order]
+    # position within cluster = rank among same cluster
+    ranks = np.arange(n) - np.concatenate(([0], np.cumsum(counts)))[cluster_of]
+    bucket_ids[cluster_of, ranks] = order.astype(np.int32)
+    positions = np.empty(n, dtype=np.int64)
+    positions[order] = cluster_of.astype(np.int64) * cap + ranks
+    return bucket_ids, positions, cap
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(buf, pos, rows):
+    """In-place (donated) scatter of prepared rows into the bucket buffer."""
+    return buf.at[pos].set(rows)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_scalars(buf, pos, vals):
+    return buf.at[pos].set(vals)
+
+
+@functools.partial(jax.jit, static_argnames=("cosine", "int8", "storage"))
+def _prep_chunk(x, *, cosine, int8, storage="float32"):
+    """Normalize (+quantize/cast) one corpus chunk for scattering."""
+    v = x.astype(jnp.float32)
+    if cosine:
+        v = l2_normalize(v)
+    if int8:
+        from mediquery_rag_tpu.ops.quant import quantize_rows
+        return quantize_rows(v)
+    return v.astype(jnp.dtype(storage)), jnp.zeros((v.shape[0],), jnp.float32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "nprobe", "batched", "int8", "cosine")
 )
@@ -165,21 +211,10 @@ class IVFIndex:
         r_alt = min(8, nlist)
         top_ids, top_scores = assign_clusters_topr(v32, cents, r=r_alt)
         top_ids, top_scores = np.asarray(top_ids), np.asarray(top_scores)
-        assign = top_ids[:, 0].copy()
-        counts = np.bincount(assign, minlength=nlist)
-        if cap_limit and counts.max() > cap_limit:
-            assign, counts = _rebalance_overflow(
-                assign, counts, top_ids, top_scores, cap_limit)
-
         # bucket layout: id permutation on host (cheap, ints only), the
         # [nlist*cap, D] vector gather on device at HBM bandwidth
-        cap = _round_up(max(int(counts.max()), 32), 32)
-        order = np.argsort(assign, kind="stable")
-        bucket_ids = np.full((nlist, cap), -1, dtype=np.int32)
-        cluster_of = assign[order]
-        # vectorized fill: position within cluster = rank among same cluster
-        ranks = np.arange(n) - np.concatenate(([0], np.cumsum(counts)))[cluster_of]
-        bucket_ids[cluster_of, ranks] = order.astype(np.int32)
+        bucket_ids, _, cap = _plan_layout(
+            top_ids, top_scores, nlist, n, cap_limit)
         int8 = cfg.dtype == "int8"
         storage = jnp.int8 if int8 else jnp.dtype(cfg.dtype)
         total = nlist * cap
@@ -215,6 +250,117 @@ class IVFIndex:
             cfg=cfg,
             bucket_scales=scales,
             refine=refine,
+        )
+
+    @classmethod
+    def build_streaming(
+        cls,
+        make_chunks,
+        n: int,
+        cfg: EngineConfig = EngineConfig(),
+        *,
+        key: jax.Array | None = None,
+        chunk_rows: int = 65536,
+    ) -> "IVFIndex":
+        """Build WITHOUT materializing the f32 corpus on device.
+
+        At BASELINE config-5 scale (10M x 768) the f32 source is 30 GB —
+        it cannot sit in a 16 GB HBM next to the bucket array. This builder
+        streams: ``make_chunks()`` must return a fresh iterator of
+        ``[chunk_rows, D]`` arrays (host numpy or device; the last chunk may
+        be short) and is iterated THREE times — (1) stride-sample rows for
+        k-means (host slicing only), (2) top-r assignment per chunk,
+        (3) normalize/quantize per chunk and scatter into the pre-allocated
+        bucket buffer via donated in-place updates. Peak HBM = buckets +
+        one chunk. For expensive chunk sources (a TPU embedder) wrap the
+        generator with an on-disk cache (np.memmap) — regenerating
+        embeddings three times is the caller's trade to make.
+
+        ``refine`` is not built here (a 10M f16 copy is 15 GB host RAM);
+        set it explicitly afterwards if the host has room.
+        """
+        key = jax.random.PRNGKey(0) if key is None else key
+        d = cfg.dim
+        nlist = min(cfg.ivf_nlist, max(1, n // 8))
+        int8 = cfg.dtype == "int8"
+        cosine = cfg.metric == "cosine"
+        storage = jnp.int8 if int8 else jnp.dtype(cfg.dtype)
+
+        # pass 1: stride-sample for k-means (cheap host slicing)
+        target = min(cfg.ivf_sample, n)
+        stride = max(1, n // target)
+        parts = []
+        seen = 0
+        for chunk in make_chunks():
+            c_np = np.asarray(chunk)
+            first = (-seen) % stride
+            parts.append(c_np[first::stride])
+            seen += len(c_np)
+        assert seen == n, f"make_chunks yielded {seen} rows, expected {n}"
+        sample = jnp.asarray(np.concatenate(parts, axis=0)[:target])
+        sample = l2_normalize(sample.astype(jnp.float32)) if cosine \
+            else sample.astype(jnp.float32)
+        cents = kmeans(sample, key, nlist=nlist, iters=cfg.ivf_kmeans_iters,
+                       balance=cfg.ivf_balance)
+        del sample, parts
+
+        # pass 2: top-r assignment, chunk by chunk
+        r_alt = min(8, nlist)
+        ids_parts, score_parts = [], []
+        for chunk in make_chunks():
+            x = jnp.asarray(chunk)
+            m = x.shape[0]
+            if m != chunk_rows:                      # pad the short tail
+                x = jnp.pad(x, ((0, chunk_rows - m), (0, 0)))
+            v, _ = _prep_chunk(x, cosine=cosine, int8=False,
+                               storage="float32")
+            ti, ts = assign_clusters_topr(v, cents, r=r_alt)
+            ids_parts.append(np.asarray(ti[:m]))
+            score_parts.append(np.asarray(ts[:m]))
+        top_ids = np.concatenate(ids_parts, axis=0)
+        top_scores = np.concatenate(score_parts, axis=0)
+        del ids_parts, score_parts
+
+        cap_limit = 0
+        if cfg.ivf_cap_factor:
+            cap_limit = _round_up(
+                max(int(cfg.ivf_cap_factor * n / nlist), 32), 32)
+        bucket_ids, positions, cap = _plan_layout(
+            top_ids, top_scores, nlist, n, cap_limit)
+        del top_ids, top_scores
+
+        # pass 3: scatter prepared rows into the bucket buffer. One extra
+        # dummy bucket at the end absorbs the padded tail rows (probe ids
+        # are always < nlist, so it is never DMA'd).
+        total = (nlist + 1) * cap
+        dummy = nlist * cap
+        buckets = jnp.zeros((total, d), storage)
+        scales = jnp.zeros((total,), jnp.float32) if int8 else None
+        row0 = 0
+        for chunk in make_chunks():
+            x = jnp.asarray(chunk)
+            m = x.shape[0]
+            if m != chunk_rows:
+                x = jnp.pad(x, ((0, chunk_rows - m), (0, 0)))
+            rows, sc = _prep_chunk(x, cosine=cosine, int8=int8,
+                                   storage=cfg.dtype)
+            pos = np.full(chunk_rows, dummy, dtype=np.int64)
+            pos[:m] = positions[row0:row0 + m]
+            pos_j = jnp.asarray(pos)
+            buckets = _scatter_rows(buckets, pos_j, rows)
+            if int8:
+                scales = _scatter_scalars(scales, pos_j, sc)
+            row0 += m
+
+        return cls(
+            centroids=cents,
+            buckets=buckets,          # includes the dummy tail bucket
+            bucket_ids=jnp.asarray(bucket_ids),
+            n=n,
+            cap=cap,
+            cfg=cfg,
+            bucket_scales=(scales.reshape(nlist + 1, cap)[:nlist]
+                           if int8 else None),
         )
 
     def search(self, queries, k: int | None = None, nprobe: int | None = None,

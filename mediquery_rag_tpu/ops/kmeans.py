@@ -121,7 +121,12 @@ def assign_clusters_topr(
     xp = jnp.pad(x, ((0, n_pad - n), (0, 0))).reshape(n_chunks, chunk, d)
 
     def per_chunk(_, xb):
-        scores = jnp.dot(xb, cents.T, preferred_element_type=jnp.float32)
+        # bf16 inputs halve the MXU cost of the [chunk, nlist] assignment
+        # matmul (63 TFLOP at 10M x 4096); accumulation stays f32 and
+        # near-boundary flips only trade which probe finds a row
+        scores = jnp.dot(xb.astype(jnp.bfloat16),
+                         cents.T.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
         s, i = jax.lax.top_k(scores, r)
         return None, (i.astype(jnp.int32), s)
 

@@ -518,3 +518,60 @@ class TestBucketLadder:
                              batched=batched)
             np.testing.assert_array_equal(np.sort(np.asarray(i), 1),
                                           np.sort(np.asarray(i_ref), 1))
+
+
+class TestStreamingIVFBuild:
+    """build_streaming must produce the SAME index as in-memory build when
+    the k-means sample matches (n <= ivf_sample => both use every row)."""
+
+    def test_matches_in_memory_build(self):
+        c = np.asarray(_vecs(3000, 64, seed=150), np.float32)
+        cfg = EngineConfig(dim=64, dtype="float32", ivf_nlist=16,
+                           ivf_kmeans_iters=4)
+        mem = IVFIndex.build(c, cfg, key=jax.random.PRNGKey(0))
+
+        def make_chunks(rows=512):
+            def gen():
+                for i in range(0, len(c), rows):
+                    yield c[i:i + rows]
+            return gen
+
+        st = IVFIndex.build_streaming(make_chunks(), 3000, cfg,
+                                      key=jax.random.PRNGKey(0),
+                                      chunk_rows=512)
+        assert st.cap == mem.cap
+        np.testing.assert_array_equal(np.asarray(st.bucket_ids),
+                                      np.asarray(mem.bucket_ids))
+        q = _vecs(9, 64, seed=151)
+        s1, i1 = mem.search(q, k=5, nprobe=8)
+        s2, i2 = st.search(q, k=5, nprobe=8)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_int8_streaming(self):
+        c = np.asarray(_vecs(2000, 64, seed=152), np.float32)
+        cfg = EngineConfig(dim=64, dtype="int8", ivf_nlist=8,
+                           ivf_kmeans_iters=3)
+        mem = IVFIndex.build(c, cfg, key=jax.random.PRNGKey(0))
+
+        def gen():
+            for i in range(0, len(c), 300):      # short tail chunk
+                yield c[i:i + 300]
+
+        st = IVFIndex.build_streaming(gen, 2000, cfg,
+                                      key=jax.random.PRNGKey(0),
+                                      chunk_rows=300)
+        q = _vecs(7, 64, seed=153)
+        s1, i1 = mem.search(q, k=5, nprobe=8)
+        s2, i2 = st.search(q, k=5, nprobe=8)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_row_count_mismatch_rejected(self):
+        c = np.asarray(_vecs(500, 64, seed=154), np.float32)
+        cfg = EngineConfig(dim=64, dtype="float32", ivf_nlist=8,
+                           ivf_kmeans_iters=2)
+        with pytest.raises(AssertionError, match="expected"):
+            IVFIndex.build_streaming(lambda: iter([c]), 600, cfg)
