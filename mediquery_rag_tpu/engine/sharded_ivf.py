@@ -51,9 +51,16 @@ class ShardedIVFIndex:
               *, key=None) -> "ShardedIVFIndex":
         """Build the single-chip IVF layout, then scatter cluster ranges
         (with one sentinel empty bucket per shard) across the mesh."""
+        return cls.from_single(IVFIndex.build(vectors, cfg, key=key), mesh)
+
+    @classmethod
+    def from_single(cls, base: IVFIndex, mesh: Mesh) -> "ShardedIVFIndex":
+        """Shard an existing single-chip IVF index (e.g. one produced by
+        ``IVFIndex.build_streaming`` at a scale where the in-memory build
+        cannot run) across the mesh."""
+        cfg = base.cfg
         axis = cfg.mesh_axis
         s = mesh.shape[axis]
-        base = IVFIndex.build(vectors, cfg, key=key)
         nlist, cap = base.bucket_ids.shape
         d = base.buckets.shape[1]
         per = -(-nlist // s)                       # clusters per shard
@@ -63,7 +70,9 @@ class ShardedIVFIndex:
         bvecs = np.zeros((s, per + 1, cap, d),
                          dtype=np.asarray(base.buckets[:1]).dtype)
         src_ids = np.asarray(base.bucket_ids)
-        src_vecs = np.asarray(base.buckets).reshape(nlist, cap, d)
+        # streaming-built indexes carry one dummy tail bucket — drop it
+        src_vecs = np.asarray(base.buckets)[: nlist * cap].reshape(
+            nlist, cap, d)
         int8 = base.bucket_scales is not None
         bscales = np.zeros((s, per + 1, cap), np.float32) if int8 else None
         src_scales = np.asarray(base.bucket_scales) if int8 else None

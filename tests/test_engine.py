@@ -575,3 +575,29 @@ class TestStreamingIVFBuild:
                            ivf_kmeans_iters=2)
         with pytest.raises(AssertionError, match="expected"):
             IVFIndex.build_streaming(lambda: iter([c]), 600, cfg)
+
+
+class TestShardedFromStreaming:
+    def test_streaming_index_shards_and_matches(self):
+        from mediquery_rag_tpu.engine.sharded_ivf import ShardedIVFIndex
+        mesh = corpus_mesh(8)
+        c = np.asarray(_vecs(2000, 64, seed=160), np.float32)
+        cfg = EngineConfig(dim=64, dtype="int8", ivf_nlist=16,
+                           ivf_kmeans_iters=3)
+
+        def gen():
+            for i in range(0, len(c), 256):
+                yield c[i:i + 256]
+
+        base = IVFIndex.build_streaming(gen, 2000, cfg,
+                                        key=jax.random.PRNGKey(0),
+                                        chunk_rows=256)
+        sharded = ShardedIVFIndex.from_single(base, mesh)
+        q = _vecs(6, 64, seed=161)
+        s1, i1 = base.search(q, k=5, nprobe=16)
+        s2, i2 = sharded.search(q, k=5, nprobe=16)
+        np.testing.assert_array_equal(np.sort(np.asarray(i1), 1),
+                                      np.sort(np.asarray(i2), 1))
+        np.testing.assert_allclose(np.sort(np.asarray(s1), 1),
+                                   np.sort(np.asarray(s2), 1),
+                                   rtol=1e-4, atol=1e-4)
