@@ -72,6 +72,68 @@ def load_sharded_index(path: str, mesh: Mesh) -> ShardedFlatIndex:
     )
 
 
+def save_sharded_ivf(index, path: str) -> None:
+    """Checkpoint a ShardedIVFIndex: per-shard bucket arrays written by
+    their owning devices (SURVEY §5's 'persist IVF centroids/assignments'),
+    meta as JSON. Restores with :func:`load_sharded_ivf`."""
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    tree = {
+        "centroids": index.centroids,
+        "buckets": index.buckets,
+        "bucket_ids": index.bucket_ids,
+    }
+    if index.bucket_scales is not None:
+        tree["bucket_scales"] = index.bucket_scales
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(_arrays_dir(path), tree, force=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({
+            "n": index.n, "cap": index.cap, "nlist": index.nlist,
+            "per_shard": index.per_shard,
+            "rows": int(index.buckets.shape[0]),
+            "d": int(index.buckets.shape[1]),
+            "has_scales": index.bucket_scales is not None,
+            "cfg": index.cfg.__dict__,
+            "kind": "sharded_ivf",
+        }, f)
+
+
+def load_sharded_ivf(path: str, mesh: Mesh):
+    from mediquery_rag_tpu.engine.sharded_ivf import ShardedIVFIndex
+    import jax.numpy as jnp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    cfg = EngineConfig(**{**EngineConfig().__dict__, **meta["cfg"]})
+    axis = cfg.mesh_axis
+    dtype = jnp.int8 if cfg.dtype == "int8" else jnp.dtype(cfg.dtype)
+    sh_rows = NamedSharding(mesh, P(axis, None))
+    repl = NamedSharding(mesh, P())
+    target = {
+        "centroids": jax.ShapeDtypeStruct(
+            (meta["nlist"], meta["d"]), jnp.float32, sharding=repl),
+        "buckets": jax.ShapeDtypeStruct(
+            (meta["rows"], meta["d"]), dtype, sharding=sh_rows),
+        "bucket_ids": jax.ShapeDtypeStruct(
+            (meta["rows"] // meta["cap"], meta["cap"]), jnp.int32,
+            sharding=sh_rows),
+    }
+    if meta["has_scales"]:
+        target["bucket_scales"] = jax.ShapeDtypeStruct(
+            (meta["rows"] // meta["cap"], meta["cap"]), jnp.float32,
+            sharding=sh_rows)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(_arrays_dir(path), target)
+    return ShardedIVFIndex(
+        centroids=restored["centroids"], buckets=restored["buckets"],
+        bucket_ids=restored["bucket_ids"], n=meta["n"], cap=meta["cap"],
+        nlist=meta["nlist"], per_shard=meta["per_shard"], cfg=cfg, mesh=mesh,
+        bucket_scales=restored.get("bucket_scales"),
+    )
+
+
 def save_train_state(state, path: str) -> None:
     """Checkpoint a models.trainer.TrainState (params + opt + step)."""
     with ocp.PyTreeCheckpointer() as ckptr:

@@ -116,8 +116,14 @@ class ShardedIVFIndex:
         int8 = self.bucket_scales is not None
         scales = (self.bucket_scales if int8
                   else jnp.zeros((0, self.cap), jnp.float32))
+        # replicate the small operands explicitly: a checkpoint-restored
+        # index is committed to the whole mesh, and jit refuses to mix
+        # committed multi-device args with single-device ones
+        repl = NamedSharding(self.mesh, P())
+        q_pad = jax.device_put(jnp.asarray(q_pad), repl)
+        cents = jax.device_put(self.centroids, repl)
         s, i = _sharded_ivf_search(
-            q_pad, self.centroids, self.buckets,
+            q_pad, cents, self.buckets,
             self.bucket_ids, scales,
             mesh=self.mesh, axis=self.cfg.mesh_axis, k=k, nprobe=nprobe,
             per_shard=self.per_shard, cap=self.cap, batched=bool(batched),

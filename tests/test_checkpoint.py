@@ -84,3 +84,31 @@ class TestTrainStateCheckpoint:
         # training continues from the restored state
         state2, m = tr.train_step(restored, batch)
         assert int(state2.step) == 2
+
+
+class TestShardedIVFCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from mediquery_rag_tpu.config import EngineConfig
+        from mediquery_rag_tpu.engine.checkpoint import (
+            load_sharded_ivf, save_sharded_ivf)
+        from mediquery_rag_tpu.engine.sharded_ivf import ShardedIVFIndex
+        from mediquery_rag_tpu.parallel import corpus_mesh
+
+        mesh = corpus_mesh(8)
+        c = jax.random.normal(jax.random.PRNGKey(170), (2000, 64))
+        c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+        cfg = EngineConfig(dim=64, dtype="int8", ivf_nlist=16,
+                           ivf_kmeans_iters=3)
+        idx = ShardedIVFIndex.build(c, mesh, cfg)
+        save_sharded_ivf(idx, str(tmp_path / "sivf"))
+        idx2 = load_sharded_ivf(str(tmp_path / "sivf"), mesh)
+        assert idx2.bucket_scales is not None
+        q = jax.random.normal(jax.random.PRNGKey(171), (5, 64))
+        s1, i1 = idx.search(q, k=5, nprobe=8)
+        s2, i2 = idx2.search(q, k=5, nprobe=8)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-5, atol=1e-5)
