@@ -106,3 +106,92 @@ def test_selfrag_sessions_coalesce_through_batcher():
         assert svc.stats["max_batch_seen"] >= 2     # real coalescing happened
     finally:
         svc.shutdown()
+
+
+class TestHTTPServer:
+    """Stdlib HTTP front over the batcher (net-new serving component)."""
+
+    @pytest.fixture()
+    def server(self):
+        from mediquery_rag_tpu.graph import build_medical_graph, create_nodes
+        from mediquery_rag_tpu.llm import RuleLLM
+        from mediquery_rag_tpu.serve import SearchServer
+
+        store = build_document_store("data/medical_data.txt",
+                                     HashingEmbedder(256), CFG)
+
+        def make_app():
+            llm = RuleLLM([
+                (r"yes 或 no", "yes"),
+                (r"【用户问题】", "基于资料的回答：注意限盐。"),
+            ])
+            return build_medical_graph(create_nodes(llm, srv.service))
+
+        srv = SearchServer(store, make_graph_app=make_app, max_wait_ms=10)
+        port = srv.start(port=0)
+        yield srv, port
+        srv.shutdown()
+
+    def _post(self, port, path, payload):
+        import json as js
+        import urllib.request
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=js.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return js.loads(r.read())
+
+    def test_search_endpoint(self, server):
+        srv, port = server
+        out = self._post(port, "/search", {"query": "高血压 饮食 限盐", "k": 3})
+        assert len(out["results"][0]) == 3
+        assert any("高血压" in d["text"] for d in out["results"][0])
+
+    def test_search_where_filter(self, server):
+        srv, port = server
+        out = self._post(port, "/search",
+                         {"query": "饮食", "k": 3, "where": {"tags": "血压"}})
+        for d in out["results"][0]:
+            assert "血压" in d["metadata"]["tags"]
+
+    def test_concurrent_searches_coalesce(self, server):
+        srv, port = server
+        results = {}
+
+        def worker(i):
+            results[i] = self._post(port, "/search",
+                                    {"query": f"睡眠 问题 {i}", "k": 2})
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert len(results) == 8
+        assert srv.service.stats["max_batch_seen"] >= 2
+
+    def test_qa_endpoint(self, server):
+        srv, port = server
+        out = self._post(port, "/qa", {"question": "高血压饮食要注意什么 限盐"})
+        assert "限盐" in out["answer"]
+        assert out["docs"]
+
+    def test_healthz(self, server):
+        import json as js
+        import urllib.request
+        srv, port = server
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            out = js.loads(r.read())
+        assert out["ok"] is True
+
+    def test_bad_request_is_json_error(self, server):
+        import urllib.error
+        srv, port = server
+        try:
+            self._post(port, "/search", {"k": 3})     # no query
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
