@@ -50,8 +50,16 @@ def create_nodes(
     load_profile: Callable[[str], str] | None = None,
     cfg: GraphConfig = GraphConfig(),
     top_k: int = 5,
+    grade_fn: Callable[[str, list], bool] | None = None,
 ):
-    """Build the node functions. ``store`` must expose similarity_search."""
+    """Build the node functions. ``store`` must expose similarity_search.
+
+    ``grade_fn(question, doc_texts) -> bool`` optionally replaces the LLM
+    yes/no document grading (reference core/utils.py:64-72) — e.g. a
+    trained TPU cross-encoder (models/cross_encoder.py:make_grader), which
+    turns one LLM round trip per Self-RAG loop step into an MXU forward
+    pass. Default stays the LLM grader for behavioral parity.
+    """
 
     def router_node(state):
         q = _last_user_text(state.get("messages", []))
@@ -109,9 +117,12 @@ def create_nodes(
 
         relevant = False
         if graded:
-            verdict = llm.complete(prompts.GRADE_PROMPT.format(
-                question=q, documents=_format_docs(graded)))
-            relevant = "yes" in verdict.strip().lower()
+            if grade_fn is not None:
+                relevant = bool(grade_fn(q, [d["text"] for d in graded]))
+            else:
+                verdict = llm.complete(prompts.GRADE_PROMPT.format(
+                    question=q, documents=_format_docs(graded)))
+                relevant = "yes" in verdict.strip().lower()
 
         if relevant:
             profile = state.get("health_profile", "")

@@ -127,3 +127,86 @@ class TestTrainer:
         # params actually sharded over 'model'
         qkv = state2.params["blocks"]["qkv"]
         assert len(qkv.sharding.device_set) == 8
+
+
+class TestCrossEncoder:
+    """Second model family: joint (query, doc) relevance scorer."""
+
+    def _cfg(self):
+        from mediquery_rag_tpu.config import EmbedderConfig
+        return EmbedderConfig(vocab_size=1024, hidden=128, layers=2, heads=4,
+                              mlp_dim=256, max_len=128, dtype="float32")
+
+    def test_forward_shapes(self):
+        import jax
+        import jax.numpy as jnp
+        from mediquery_rag_tpu.models import CrossEncoder, HashCharTokenizer
+        from mediquery_rag_tpu.models.cross_encoder import encode_pairs
+        cfg = self._cfg()
+        ce = CrossEncoder(cfg)
+        params = ce.init(jax.random.PRNGKey(0))
+        tok = HashCharTokenizer(cfg.vocab_size, cfg.max_len)
+        ids, mask, seg = encode_pairs(
+            tok, ["高血压饮食", "糖尿病运动"], ["答案甲", "答案乙"])
+        logits = ce.apply(params, jnp.asarray(ids), jnp.asarray(mask),
+                          jnp.asarray(seg))
+        assert logits.shape == (2,)
+        assert bool(jnp.isfinite(logits).all())
+
+    def test_training_separates_pairs(self):
+        """After a few epochs on toy pairs, true pairs must outscore
+        mismatches — the signal the grader thresholds on."""
+        import numpy as np
+        from mediquery_rag_tpu.models import train_cross_encoder
+        from mediquery_rag_tpu.models.cross_encoder import (
+            CrossEncoder, encode_pairs)
+        import jax.numpy as jnp
+        cfg = self._cfg()
+        pairs = [
+            ("高血压患者的饮食", "核心是限盐，每天五克以内，多吃蔬菜水果。"),
+            ("糖尿病患者如何运动", "餐后快走三十分钟，每周三次力量训练。"),
+            ("睡眠不好怎么办", "固定作息时间，睡前远离屏幕，卧室保持黑暗。"),
+            ("骨质疏松如何预防", "补充钙和维生素D，进行负重运动。"),
+        ]
+        params, tok, loss = train_cross_encoder(pairs, cfg, epochs=60,
+                                                batch_size=4, lr=3e-4)
+        assert loss < 0.4, loss
+        ce = CrossEncoder(cfg)
+        qs = [p[0] for p in pairs]
+        ds = [p[1] for p in pairs]
+        ids, m, sg = encode_pairs(tok, qs, ds)
+        pos = np.asarray(ce.apply(params, jnp.asarray(ids), jnp.asarray(m),
+                                  jnp.asarray(sg)))
+        neg_ds = ds[1:] + ds[:1]
+        ids, m, sg = encode_pairs(tok, qs, neg_ds)
+        neg = np.asarray(ce.apply(params, jnp.asarray(ids), jnp.asarray(m),
+                                  jnp.asarray(sg)))
+        assert pos.mean() > neg.mean() + 0.5
+
+    def test_grader_plugs_into_graph(self):
+        """grade_fn replaces the LLM grade: a grader that always says yes
+        short-circuits the rewrite loop."""
+        from mediquery_rag_tpu.config import EngineConfig
+        from mediquery_rag_tpu.graph import build_medical_graph, create_nodes
+        from mediquery_rag_tpu.ingest import build_document_store
+        from mediquery_rag_tpu.llm import RuleLLM, user
+        from mediquery_rag_tpu.models import HashingEmbedder
+        store = build_document_store(
+            "data/medical_data.txt", HashingEmbedder(256),
+            EngineConfig(dim=256, dtype="float32", corpus_tile=256,
+                         query_tile=32))
+        seen = []
+
+        def grader(q, texts):
+            seen.append((q, len(texts)))
+            return True
+
+        llm = RuleLLM([(r"【用户问题】", "交叉编码器判定后的回答")])
+        app = build_medical_graph(create_nodes(llm, store, grade_fn=grader))
+        events = list(app.stream(
+            {"messages": [user("高血压饮食 建议")], "user_id": "anonymous"},
+            thread_id="ce"))
+        names = [n for n, _ in events]
+        assert names == ["router", "retrieve", "grade_loop", "summarizer"]
+        assert seen and seen[0][1] == 2       # graded first-2 docs contract
+        assert "交叉编码器" in events[-1][1]["final_answer"]
