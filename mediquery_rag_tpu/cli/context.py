@@ -105,6 +105,18 @@ class AppContext:
         )
         hitl = HITLManager(cfg.paths.review_dir, profile_store)
 
+        # a trained cross-encoder grader replaces the per-loop LLM
+        # document grading when its checkpoint exists (models/train_grader)
+        grade_fn = None
+        grader_dir = os.path.join(root, "checkpoints", "grader")
+        if os.path.exists(os.path.join(grader_dir, "params.npz")):
+            from mediquery_rag_tpu.models.cross_encoder import TrainedGrader
+            try:
+                grade_fn = TrainedGrader.from_checkpoint(grader_dir)
+                print("  交叉编码器文档评分器已加载（替代 LLM grade）")
+            except (ValueError, OSError) as e:
+                print(f"  ⚠️ 评分器加载失败，回退 LLM grade：{e}")
+
         checkpointer = SqliteCheckpointer(cfg.paths.chat_db)
         nodes = create_nodes(
             llm, store,
@@ -114,6 +126,7 @@ class AppContext:
             load_profile=lambda uid: load_health_profile(uid, profile_store),
             cfg=cfg.graph,
             top_k=cfg.engine.top_k,
+            grade_fn=grade_fn,
         )
         graph_app = build_medical_graph(nodes, checkpointer)
         return cls(cfg, llm, embedder, store, profile_store, hitl,

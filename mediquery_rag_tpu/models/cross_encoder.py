@@ -175,6 +175,53 @@ def train_cross_encoder(pairs: list[tuple[str, str]],
     return params, tok, loss
 
 
+class TrainedGrader:
+    """Persistable document grader: cross-encoder params + config +
+    threshold, loadable by the CLI (``AppContext`` wires it into the graph
+    when ``checkpoints/grader`` exists)."""
+
+    def __init__(self, params: dict, cfg: EmbedderConfig,
+                 threshold: float = 0.0):
+        self.params = params
+        self.cfg = cfg
+        self.threshold = threshold
+        tok = HashCharTokenizer(cfg.vocab_size, cfg.max_len)
+        self._grade = make_grader(params, tok, cfg, threshold=threshold)
+
+    def __call__(self, question: str, doc_texts: list[str]) -> bool:
+        return self._grade(question, doc_texts)
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        flat, _ = jax.tree_util.tree_flatten(self.params)
+        np.savez(os.path.join(path, "params.npz"),
+                 **{str(i): np.asarray(x) for i, x in enumerate(flat)})
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump({"cfg": self.cfg.__dict__,
+                       "threshold": self.threshold}, f)
+
+    @classmethod
+    def from_checkpoint(cls, path: str) -> "TrainedGrader":
+        import json
+        import os
+
+        with open(os.path.join(path, "config.json")) as f:
+            meta = json.load(f)
+        cfg = EmbedderConfig(**meta["cfg"])
+        template = CrossEncoder(cfg).init(jax.random.PRNGKey(0))
+        flat, treedef = jax.tree_util.tree_flatten(template)
+        z = np.load(os.path.join(path, "params.npz"))
+        if len(z.files) != len(flat):
+            raise ValueError(f"grader checkpoint at {path} does not match "
+                             "this architecture")
+        params = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(z[str(i)]) for i in range(len(flat))])
+        return cls(params, cfg, threshold=meta.get("threshold", 0.0))
+
+
 def make_grader(params: dict, tok: HashCharTokenizer, cfg: EmbedderConfig,
                 *, threshold: float = 0.0):
     """Adapt a trained cross-encoder to the graph's ``grade_fn`` plug point

@@ -210,3 +210,17 @@ class TestCrossEncoder:
         assert names == ["router", "retrieve", "grade_loop", "summarizer"]
         assert seen and seen[0][1] == 2       # graded first-2 docs contract
         assert "交叉编码器" in events[-1][1]["final_answer"]
+
+    def test_trained_grader_roundtrip(self, tmp_path):
+        import jax
+        from mediquery_rag_tpu.models.cross_encoder import (
+            CrossEncoder, TrainedGrader)
+        cfg = self._cfg()
+        params = CrossEncoder(cfg).init(jax.random.PRNGKey(3))
+        g = TrainedGrader(params, cfg, threshold=0.25)
+        g.save(str(tmp_path / "gr"))
+        g2 = TrainedGrader.from_checkpoint(str(tmp_path / "gr"))
+        assert g2.threshold == 0.25
+        q, docs = "高血压饮食", ["限盐建议内容", "运动建议内容"]
+        assert g(q, docs) == g2(q, docs)
+        assert g2(q, []) is False
