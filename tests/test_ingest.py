@@ -185,3 +185,20 @@ class TestMetadataFilter:
         docs = store.similarity_search("健康", k=2, where={"source": src})
         for d in docs:
             assert d.metadata["source"] == src
+
+
+class TestParserFuzz:
+    def test_random_garbage_never_crashes(self):
+        """The parser must degrade to 'no chunks', never raise, on garbage
+        (fail-open ingest; the reference would regex-crash on some of these)."""
+        import random
+        random.seed(11)
+        fragments = ["chunk_id:", "title:", "content:", "tags:", "：", "\n",
+                     "中文内容", "123", "   ", "\t", "source:", "reviewed_at:",
+                     "🩺", "chunk_id: 7\n"]
+        for _ in range(200):
+            blob = "".join(random.choice(fragments)
+                           for _ in range(random.randint(0, 40)))
+            chunks = parse_corpus(blob)          # must not raise
+            for c in chunks:
+                assert c.content or c.title

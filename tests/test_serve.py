@@ -195,3 +195,25 @@ class TestHTTPServer:
             assert False, "expected HTTP 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+
+def test_engine_failure_propagates_to_callers():
+    """A failing engine must reject every future in the batch, not hang."""
+    calls = {"n": 0}
+
+    def broken(queries, k):
+        calls["n"] += 1
+        raise RuntimeError("engine down")
+
+    svc = BatchingSearchService(broken, max_batch=4, max_wait_ms=5)
+    try:
+        futs = [svc.submit(f"q{i}", 2) for i in range(3)]
+        for f in futs:
+            with pytest.raises(RuntimeError, match="engine down"):
+                f.result(timeout=10)
+        assert calls["n"] >= 1
+        # the service survives and serves the next healthy call
+        svc._fn = lambda queries, k: [[] for _ in queries]
+        assert svc.search("ok", 2) == []
+    finally:
+        svc.shutdown()
