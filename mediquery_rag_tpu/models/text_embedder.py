@@ -33,7 +33,12 @@ class TextEmbedder:
         cfg: EmbedderConfig = EmbedderConfig(),
         params=None,
         key: jax.Array | None = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis —
+        ingest-scale embedding runs data-parallel over the slice (batch rows
+        sharded, params replicated; XLA inserts nothing but the input
+        scatter/output gather)."""
         self.cfg = cfg
         self.model = Embedder(cfg)
         self.tokenizer = HashCharTokenizer(cfg.vocab_size, cfg.max_len)
@@ -41,7 +46,14 @@ class TextEmbedder:
             key = jax.random.PRNGKey(0) if key is None else key
             params = self.model.init(key)
         self.params = params
+        self.mesh = mesh
         self._apply = jax.jit(lambda p, ids, mask: self.model.apply(p, ids, mask))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._data_sharding = NamedSharding(mesh, P("data", None))
+            self._repl = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, self._repl)
 
     @property
     def dim(self) -> int:
@@ -54,10 +66,18 @@ class TextEmbedder:
         ids, mask = self.tokenizer.batch_encode(list(texts))
         b = ids.shape[0]
         bp = _bucket(b)
+        if self.mesh is not None:
+            # data-parallel: batch rows must divide the data axis
+            dp = self.mesh.shape["data"]
+            bp = max(bp, dp) if bp % dp == 0 else -(-bp // dp) * dp
         if bp != b:
             ids = np.pad(ids, ((0, bp - b), (0, 0)))
             mask = np.pad(mask, ((0, bp - b), (0, 0)))
-        out = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
+        if self.mesh is not None:
+            ids_j = jax.device_put(ids_j, self._data_sharding)
+            mask_j = jax.device_put(mask_j, self._data_sharding)
+        out = self._apply(self.params, ids_j, mask_j)
         return np.asarray(out[:b])
 
     def __call__(self, texts: Sequence[str]) -> np.ndarray:

@@ -224,3 +224,23 @@ class TestCrossEncoder:
         q, docs = "高血压饮食", ["限盐建议内容", "运动建议内容"]
         assert g(q, docs) == g2(q, docs)
         assert g2(q, []) is False
+
+
+class TestDataParallelEmbed:
+    def test_mesh_embed_matches_single_device(self):
+        """DP ingest embedding over the 8-device mesh must match the
+        single-device outputs (params replicated, batch rows sharded)."""
+        import numpy as np
+        from mediquery_rag_tpu.config import EmbedderConfig
+        from mediquery_rag_tpu.models import TextEmbedder
+        from mediquery_rag_tpu.parallel import make_mesh
+        cfg = EmbedderConfig(vocab_size=512, hidden=64, layers=2, heads=4,
+                             mlp_dim=128, max_len=128, dtype="float32")
+        single = TextEmbedder(cfg)
+        mesh = make_mesh({"data": 8})
+        dp = TextEmbedder(cfg, params=single.params, mesh=mesh)
+        texts = [f"问题{i}：血压与饮食" for i in range(13)]   # odd batch
+        a = single.embed(texts)
+        b = dp.embed(texts)
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+        assert b.shape == (13, 64)
