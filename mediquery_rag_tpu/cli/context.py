@@ -114,7 +114,8 @@ class AppContext:
             try:
                 grade_fn = TrainedGrader.from_checkpoint(grader_dir)
                 print("  交叉编码器文档评分器已加载（替代 LLM grade）")
-            except (ValueError, OSError) as e:
+            except Exception as e:     # stale/mismatched checkpoint must
+                grade_fn = None        # fall back, never abort startup
                 print(f"  ⚠️ 评分器加载失败，回退 LLM grade：{e}")
 
         checkpointer = SqliteCheckpointer(cfg.paths.chat_db)

@@ -33,6 +33,38 @@ def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     return (x / jnp.maximum(n, eps)).astype(x.dtype)
 
 
+def as_query_batch(queries):
+    """Normalize any query input (1-D/2-D list, numpy, jax) to a 2-D array.
+
+    Returns (queries_2d, squeeze) — shared by every index's search so plain
+    Python lists keep working (a bare ``getattr(q, 'ndim', 2)`` check broke
+    them).
+    """
+    if not isinstance(queries, jax.Array):
+        queries = np.asarray(queries)
+    squeeze = queries.ndim == 1
+    if squeeze:
+        queries = queries[None, :]
+    return queries, squeeze
+
+
+def host_rerank(refine: np.ndarray, q: np.ndarray, s: np.ndarray,
+                cand_ids: np.ndarray, k: int, cosine: bool):
+    """Exact host re-score of kernel candidates against the f16 refinement
+    copy (shared by FlatIndex/IVFIndex; ``cand_ids`` index ``refine`` rows).
+    Returns the true top-k (scores, ids) among the candidates."""
+    q32 = q.astype(np.float32)
+    if cosine:
+        q32 /= np.maximum(np.linalg.norm(q32, axis=1, keepdims=True), 1e-12)
+    safe = np.clip(cand_ids, 0, len(refine) - 1)
+    cand = refine[safe].astype(np.float32)          # [b, kk, d]
+    exact = np.einsum("bd,bkd->bk", q32, cand, optimize=True)
+    exact = np.where(s > -np.inf, exact, -np.inf)
+    top = np.argsort(-exact, axis=1, kind="stable")[:, :k]
+    return (np.take_along_axis(exact, top, axis=1),
+            np.take_along_axis(cand_ids, top, axis=1))
+
+
 def bucket_queries(queries, tile: int = 16):
     """Pad a query batch to the next bucket size on the HOST.
 
@@ -146,15 +178,15 @@ class FlatIndex:
         fresh eager ops per size (see ``bucket_queries``).
         """
         k = self.cfg.top_k if k is None else k
-        squeeze = getattr(queries, "ndim", 2) == 1
-        if squeeze:
-            queries = np.asarray(queries)[None, :] \
-                if not isinstance(queries, jax.Array) else queries[None, :]
+        if k > 128:
+            raise ValueError(f"k={k} > 128 not supported by the fused kernel")
+        queries, squeeze = as_query_batch(queries)
         q_pad, b = bucket_queries(queries)
         cosine = self.cfg.metric == "cosine"
         n_valid = jnp.asarray(self.n, jnp.int32)
         rerank = self.refine is not None and self.cfg.rerank_factor > 0
         kk = min(128, self.cfg.rerank_factor * k, self.n) if rerank else k
+        kk = max(kk, k)
         if self.corpus_scale is not None:
             s, i = _int8_dispatch(
                 q_pad, self.corpus, self.corpus_scale, n_valid,
@@ -166,31 +198,17 @@ class FlatIndex:
                 k=kk, qt=self.cfg.query_tile, ct=self.cfg.corpus_tile,
                 cosine=cosine)
         s, i = s[:b], i[:b]
-        if rerank and kk > k:
-            s, i = self._rerank(np.asarray(queries), np.asarray(s),
-                                np.asarray(i), k, cosine)
+        if rerank:
+            # even at kk == k (k at the kernel cap) the exact re-score
+            # corrects the int8 ordering of the candidates
+            s, i = host_rerank(self.refine, np.asarray(queries),
+                               np.asarray(s), np.asarray(i), k, cosine)
             s, i = jnp.asarray(s), jnp.asarray(i)
         if self.ids is not None:
             i = jnp.where(s > -jnp.inf, self.ids[i], i)
         if squeeze:
             return s[0], i[0]
         return s, i
-
-    def _rerank(self, q: np.ndarray, s: np.ndarray, rows: np.ndarray,
-                k: int, cosine: bool) -> tuple[np.ndarray, np.ndarray]:
-        """Exact host re-score of the int8 scan's candidates against the
-        float16 refinement copy; returns the true top-k among them."""
-        q32 = q.astype(np.float32)
-        if cosine:
-            q32 /= np.maximum(np.linalg.norm(q32, axis=1, keepdims=True),
-                              1e-12)
-        safe = np.clip(rows, 0, len(self.refine) - 1)
-        cand = self.refine[safe].astype(np.float32)     # [b, kk, d]
-        exact = np.einsum("bd,bkd->bk", q32, cand, optimize=True)
-        exact = np.where(s > -np.inf, exact, -np.inf)
-        top = np.argsort(-exact, axis=1, kind="stable")[:, :k]
-        return (np.take_along_axis(exact, top, axis=1),
-                np.take_along_axis(rows, top, axis=1))
 
     def _dequantized(self) -> jax.Array:
         """Valid rows as f32 (identity for float dtypes)."""

@@ -26,7 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from mediquery_rag_tpu.config import EngineConfig
-from mediquery_rag_tpu.engine.flat import bucket_queries, l2_normalize
+from mediquery_rag_tpu.engine.flat import (
+    as_query_batch, bucket_queries, host_rerank, l2_normalize,
+)
 from mediquery_rag_tpu.ops.kmeans import (
     assign_clusters, assign_clusters_topr, kmeans,
 )
@@ -370,12 +372,11 @@ class IVFIndex:
         B=1) vs bucket-major (deduped bucket DMAs, whole-batch MXU matmuls;
         wins from a handful of queries up — see ops/ivf_kernel.py)."""
         k = self.cfg.top_k if k is None else k
+        if k > 128:
+            raise ValueError(f"k={k} > 128 not supported by the fused kernel")
         nprobe = self.cfg.ivf_nprobe if nprobe is None else nprobe
         nprobe = min(nprobe, self.centroids.shape[0])
-        squeeze = getattr(queries, "ndim", 2) == 1
-        if squeeze:
-            queries = np.asarray(queries)[None, :] \
-                if not isinstance(queries, jax.Array) else queries[None, :]
+        queries, squeeze = as_query_batch(queries)
         q_pad, b = bucket_queries(queries)
         if batched is None:
             # bucket-major pays off once the expected DMA dedup factor
@@ -390,34 +391,22 @@ class IVFIndex:
         cosine = self.cfg.metric == "cosine"
         rerank = self.refine is not None and self.cfg.rerank_factor > 0
         kk = min(128, self.cfg.rerank_factor * k, self.n) if rerank else k
+        kk = max(kk, k)
         s, i = _ivf_dispatch(
             q_pad, self.centroids, self.buckets, self.bucket_ids, scales,
             k=kk, nprobe=nprobe, batched=bool(batched), int8=int8,
             cosine=cosine,
         )
         s, i = s[:b], i[:b]
-        if rerank and kk > k:
-            s, i = self._rerank(np.asarray(queries), np.asarray(s),
-                                np.asarray(i), k, cosine)
+        if rerank:
+            # refine is indexed by stable doc id (what the probe kernels
+            # return); see flat.host_rerank for the shared routine
+            s, i = host_rerank(self.refine, np.asarray(queries),
+                               np.asarray(s), np.asarray(i), k, cosine)
             s, i = jnp.asarray(s), jnp.asarray(i)
         if squeeze:
             return s[0], i[0]
         return s, i
-
-    def _rerank(self, q, s, doc_ids, k, cosine):
-        """Exact host re-score of the probe kernel's candidates against the
-        f16 refinement copy (indexed by stable doc id)."""
-        q32 = q.astype(np.float32)
-        if cosine:
-            q32 /= np.maximum(np.linalg.norm(q32, axis=1, keepdims=True),
-                              1e-12)
-        safe = np.clip(doc_ids, 0, len(self.refine) - 1)
-        cand = self.refine[safe].astype(np.float32)
-        exact = np.einsum("bd,bkd->bk", q32, cand, optimize=True)
-        exact = np.where(s > -np.inf, exact, -np.inf)
-        top = np.argsort(-exact, axis=1, kind="stable")[:, :k]
-        return (np.take_along_axis(exact, top, axis=1),
-                np.take_along_axis(doc_ids, top, axis=1))
 
     # -- incremental mutation (Chroma/hnswlib capability parity) --------------
     #

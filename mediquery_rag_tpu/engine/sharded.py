@@ -20,7 +20,9 @@ from jax import shard_map
 import numpy as np
 
 from mediquery_rag_tpu.config import EngineConfig
-from mediquery_rag_tpu.engine.flat import bucket_queries, l2_normalize, _round_up
+from mediquery_rag_tpu.engine.flat import (
+    as_query_batch, bucket_queries, l2_normalize, _round_up,
+)
 from mediquery_rag_tpu.ops.scoring import flat_search
 from mediquery_rag_tpu.ops.quant import int8_flat_search, quantize_rows
 from mediquery_rag_tpu.parallel.collectives import sharded_topk_merge
@@ -65,10 +67,7 @@ class ShardedFlatIndex:
         jit), same serving rationale as ``FlatIndex.search``.
         """
         k = self.cfg.top_k if k is None else k
-        squeeze = getattr(queries, "ndim", 2) == 1
-        if squeeze:
-            queries = np.asarray(queries)[None, :] \
-                if not isinstance(queries, jax.Array) else queries[None, :]
+        queries, squeeze = as_query_batch(queries)
         q_pad, b = bucket_queries(queries)
         cosine = self.cfg.metric == "cosine"
         if self.corpus_scale is not None:

@@ -25,7 +25,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from mediquery_rag_tpu.config import EngineConfig
-from mediquery_rag_tpu.engine.flat import bucket_queries, l2_normalize
+from mediquery_rag_tpu.engine.flat import (
+    as_query_batch, bucket_queries, l2_normalize,
+)
 from mediquery_rag_tpu.engine.ivf import IVFIndex
 from mediquery_rag_tpu.ops.ivf_kernel import (
     ivf_batch_search, ivf_probe_search, ivf_probe_search_int8,
@@ -104,10 +106,7 @@ class ShardedIVFIndex:
         k = self.cfg.top_k if k is None else k
         nprobe = self.cfg.ivf_nprobe if nprobe is None else nprobe
         nprobe = min(nprobe, self.nlist)
-        squeeze = getattr(queries, "ndim", 2) == 1
-        if squeeze:
-            queries = np.asarray(queries)[None, :] \
-                if not isinstance(queries, jax.Array) else queries[None, :]
+        queries, squeeze = as_query_batch(queries)
         q_pad, b = bucket_queries(queries)
         if batched is None:
             # same crossover rule as IVFIndex.search (draws >= 2*nlist; the

@@ -44,10 +44,13 @@ class DocumentStore:
         self.chunks = chunks
         self.index = index
         self.embedder = embedder
+        # cached: an O(len(chunks)) scan per search call would dominate the
+        # serving hot path at 10M docs; mutations keep it current
+        self._live = sum(c is not None for c in chunks)
 
     @property
     def live_count(self) -> int:
-        return sum(c is not None for c in self.chunks)
+        return self._live
 
     def similarity_search(self, query: str, k: int = 5,
                           where: dict | None = None) -> list[RetrievedDoc]:
@@ -84,7 +87,9 @@ class DocumentStore:
         """
         k = min(k, self.live_count)
         q = np.asarray(self.embedder(list(queries)))
-        fetch = k if where is None else min(4 * k, self.live_count)
+        # the fused kernel caps at k=128; the widened fallback below covers
+        # rows whose matches are rarer than the overfetch
+        fetch = k if where is None else min(4 * k, self.live_count, 128)
         scores, idx = self.index.search(q, k=fetch)
         scores = np.asarray(scores)
         idx = np.asarray(idx)
@@ -149,6 +154,7 @@ class DocumentStore:
         # impossible: ids are handed out consecutively)
         assert start == len(self.chunks), "doc-id/chunk alignment broken"
         self.chunks.extend(new_chunks)
+        self._live += len(new_chunks)
         return list(range(start, start + len(new_chunks)))
 
     def delete_documents(self, chunk_ids: Sequence[str]) -> int:
@@ -161,6 +167,7 @@ class DocumentStore:
         self.index = self.index.delete(np.asarray(doc_ids, np.int32))
         for i in doc_ids:
             self.chunks[i] = None
+        self._live -= len(doc_ids)
         return len(doc_ids)
 
     # -- persistence ---------------------------------------------------------

@@ -31,7 +31,13 @@ def _load():
     if _lib is not None or _failed:
         return _lib
     try:
-        if not os.path.exists(_SO):
+        src = os.path.join(_NATIVE_DIR, "tokenizer.cpp")
+        stale = (not os.path.exists(_SO)
+                 or (os.path.exists(src)
+                     and os.path.getmtime(src) > os.path.getmtime(_SO)))
+        if stale:
+            # mtime-aware rebuild: a stale .so would silently change
+            # tokenization (and the embedder fingerprint) vs the source
             subprocess.run(["make", "-C", _NATIVE_DIR, "libtokenizer.so"],
                            check=True, capture_output=True)
         lib = ctypes.CDLL(_SO)

@@ -601,3 +601,37 @@ class TestShardedFromStreaming:
         np.testing.assert_allclose(np.sort(np.asarray(s1), 1),
                                    np.sort(np.asarray(s2), 1),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestReviewRegressions:
+    def test_plain_list_query(self):
+        """1-D Python list queries are supported (regressed once when
+        squeeze detection used getattr(q, 'ndim'))."""
+        c = _vecs(300, 64, seed=170)
+        idx = FlatIndex.build(c, CFG)
+        q_list = np.asarray(c[5]).tolist()
+        s, i = idx.search(q_list, k=3)
+        assert int(i[0]) == 5
+        cfg = EngineConfig(dim=64, dtype="float32", ivf_nlist=8,
+                           ivf_kmeans_iters=2)
+        iv = IVFIndex.build(c, cfg)
+        _, i2 = iv.search(q_list, k=3, nprobe=8)
+        assert int(i2[0]) == 5
+
+    def test_k_over_kernel_cap_rejected(self):
+        c = _vecs(300, 64, seed=171)
+        idx = FlatIndex.build(c, CFG)
+        with pytest.raises(ValueError, match="128"):
+            idx.search(_vecs(2, 64, seed=172), k=129)
+
+    def test_rerank_at_kernel_cap_still_reranks(self):
+        """k=128 with rerank configured: no overfetch headroom, but the
+        exact re-score must still run (reorders int8 candidates)."""
+        cfg = EngineConfig(dim=64, dtype="int8", corpus_tile=256,
+                           query_tile=32, rerank_factor=4)
+        c = _vecs(500, 64, seed=173)
+        idx = FlatIndex.build(c, cfg)
+        s, i = idx.search(_vecs(2, 64, seed=174), k=128)
+        assert i.shape == (2, 128)
+        # scores are exact f32 cosines (|s| <= 1 + eps), not raw int8 dots
+        assert float(jnp.max(jnp.abs(s))) <= 1.01

@@ -202,3 +202,19 @@ class TestParserFuzz:
             chunks = parse_corpus(blob)          # must not raise
             for c in chunks:
                 assert c.content or c.title
+
+
+def test_where_filter_large_k_and_corpus():
+    """where-filter with 4*k past the kernel cap must not crash (fetch is
+    clamped to 128; the widened fallback covers rare matches)."""
+    from mediquery_rag_tpu.ingest.parser import Chunk
+    chunks = [Chunk(chunk_id=str(i), title=f"问题{i}",
+                    content=f"与主题{i % 7}有关的内容描述。",
+                    source="unit", tags=[f"主题{i % 7}"])
+              for i in range(300)]
+    store = build_document_store(chunks, HashingEmbedder(dim=256), CFG)
+    rows = store.batch_search(["主题3 的内容", "主题5"], k=40,
+                              where={"tags": "主题3"})
+    assert len(rows) == 2
+    for d in rows[0]:
+        assert "主题3" in d.metadata["tags"]
