@@ -217,3 +217,49 @@ def test_engine_failure_propagates_to_callers():
         assert svc.search("ok", 2) == []
     finally:
         svc.shutdown()
+
+
+def test_mutation_while_serving_is_safe():
+    """Adds/deletes while the batcher serves concurrent searches: the index
+    swap is atomic (functional indexes, single mutator), so searches must
+    never crash and must eventually see the new docs."""
+    from mediquery_rag_tpu.ingest.parser import Chunk
+
+    store = build_document_store("data/medical_data.txt",
+                                 HashingEmbedder(256), CFG)
+    svc = BatchingSearchService(store.batch_search, max_batch=8,
+                                max_wait_ms=2)
+    errors = []
+    stop = threading.Event()
+
+    def searcher():
+        while not stop.is_set():
+            try:
+                svc.search("高血压 饮食", k=3, timeout=30)
+            except Exception as e:          # pragma: no cover
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=searcher) for _ in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(10):
+            store.add_documents([Chunk(
+                chunk_id=f"mut{i}", title=f"并发写入测试{i}",
+                content=f"独特标记语料{i}：罕见病症Z的处理方式。",
+                source="unit", tags=["并发"])])
+            if i % 3 == 2:
+                store.delete_documents([f"mut{i - 1}"])
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=10)
+        svc.shutdown()
+    assert not errors, errors
+    # post-mutation: new docs are retrievable, deleted ones are not
+    docs = store.similarity_search("罕见病症Z 处理", k=3)
+    ids = [d.metadata.get("chunk_id") for d in docs]
+    assert any(str(x).startswith("mut") for x in ids)
+    live_ids = {c.chunk_id for c in store.chunks if c is not None}
+    assert "mut7" not in live_ids and "mut9" in live_ids
