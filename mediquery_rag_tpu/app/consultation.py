@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 import os
 import time
 import uuid
@@ -114,16 +115,23 @@ class UserProfile:
     gender: str = ""
     height_cm: float | None = None
     weight_kg: float | None = None
-    chronic: str = ""
-    allergy: str = ""
-    medication: str = ""
+    # None = never asked; "无"/"" = asked and answered none. The distinction
+    # is load-bearing: completeness must require that allergy/medication were
+    # actually ASKED — an or-chain here once let a session that aborted after
+    # the chronic question mark the profile complete and skip drug-allergy
+    # collection for every future consultation.
+    chronic: str | None = None
+    allergy: str | None = None
+    medication: str | None = None
     created_at: float = field(default_factory=time.time)
 
     def is_complete(self) -> bool:
         return all([
             self.name, self.age is not None, self.gender,
             self.height_cm is not None, self.weight_kg is not None,
-            self.chronic != "" or self.allergy != "" or self.medication != "",
+            self.chronic is not None,
+            self.allergy is not None,
+            self.medication is not None,
         ])
 
 
@@ -186,18 +194,37 @@ class StructuredConsultation:
             self._save_profile()
         return self.profile
 
+    def peek_user(self, phone: str) -> UserProfile | None:
+        """Read-only lookup: load the profile if it exists, create NOTHING.
+        (identify_user persists a fresh profile — wrong for view/probe
+        flows, which once minted an orphan profile dir per typo.)"""
+        user_id = self._user_id_from_phone(phone)
+        path = self._profile_path(user_id)
+        if not os.path.exists(path):
+            return None
+        with open(path, encoding="utf-8") as f:
+            self.profile = UserProfile(**json.load(f))
+        return self.profile
+
+    @staticmethod
+    def _atomic_json(path: str, obj) -> None:
+        # write-then-rename: a crash mid-write must never leave a truncated
+        # JSON behind (these files are re-read on every future login)
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(obj, f, ensure_ascii=False, indent=2)
+        os.replace(tmp, path)
+
     def _save_profile(self) -> None:
         os.makedirs(self._user_dir(self.profile.user_id), exist_ok=True)
-        with open(self._profile_path(self.profile.user_id), "w",
-                  encoding="utf-8") as f:
-            json.dump(asdict(self.profile), f, ensure_ascii=False, indent=2)
+        self._atomic_json(self._profile_path(self.profile.user_id),
+                          asdict(self.profile))
 
     def _save_session(self) -> None:
         d = os.path.join(self._user_dir(self.session.user_id), "sessions")
         os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, f"{self.session.session_id}.json"), "w",
-                  encoding="utf-8") as f:
-            json.dump(asdict(self.session), f, ensure_ascii=False, indent=2)
+        self._atomic_json(os.path.join(d, f"{self.session.session_id}.json"),
+                          asdict(self.session))
 
     # -- session lifecycle ---------------------------------------------------
 
@@ -286,6 +313,8 @@ class StructuredConsultation:
             try:
                 v = float(a.replace("岁", "").replace("cm", "").replace("kg", ""))
             except ValueError:
+                return None, "请输入数字。"
+            if not math.isfinite(v):               # 'inf'/'nan' parse as float
                 return None, "请输入数字。"
             return (int(v) if v == int(v) else v), None
         if qtype == "choice":
@@ -460,8 +489,13 @@ class StructuredConsultation:
         for name in sorted(os.listdir(d), reverse=True):
             if not name.endswith(".json"):
                 continue
-            with open(os.path.join(d, name), encoding="utf-8") as f:
-                data = json.load(f)
+            try:
+                with open(os.path.join(d, name), encoding="utf-8") as f:
+                    data = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                # a session file truncated by a mid-write crash must not
+                # brick every future login for this user — skip it
+                continue
             if data.get("completed_at") is None:
                 continue
             if (not include_current and self.session

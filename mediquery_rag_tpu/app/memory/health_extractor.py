@@ -28,9 +28,16 @@ JSON："""
 
 
 def extract_health_info(
-    question: str, user_id: str, llm, store: ProfileStore
+    question: str, user_id: str, llm, store: ProfileStore, hitl=None
 ) -> int:
-    """Extract and persist health facts. Returns #records stored."""
+    """Extract and persist health facts. Returns #records stored/queued.
+
+    With a ``hitl`` (HITLManager), records route through the review queue:
+    LOW-risk extractions auto-approve into the store, allergy/medication/
+    disease extractions wait for human sign-off — LLM hallucinations of
+    safety-critical facts must not flow straight into every future prompt.
+    Without one, records are stored directly (the reference's behavior).
+    """
     if user_id == "anonymous" or not question.strip():
         return 0
     try:
@@ -38,7 +45,7 @@ def extract_health_info(
         items = extract_json(raw)
         if not isinstance(items, list):
             return 0
-        stored = 0
+        records = []
         for item in items:
             if not isinstance(item, dict):
                 continue
@@ -49,7 +56,17 @@ def extract_health_info(
             if cat not in HEALTH_CATEGORIES:
                 cat = "basic"
             important = bool(item.get("important", False)) or category_of(cat).important
-            if store.add_health_record(user_id, cat, content, important):
+            records.append({"category": cat, "content": content,
+                            "important": important})
+        if not records:
+            return 0
+        if hitl is not None:
+            hitl.submit(user_id, question, records)
+            return len(records)
+        stored = 0
+        for r in records:
+            if store.add_health_record(user_id, r["category"], r["content"],
+                                       r["important"]):
                 stored += 1
         return stored
     except Exception:

@@ -87,7 +87,12 @@ def assess_answer_risk(
         level = str(data["risk"]).upper()
         if level not in (CRITICAL, HIGH, MEDIUM, LOW):
             raise ValueError(level)
-        severity = int(data.get("severity", 0))
+        # severity/reason are optional garnish: a malformed severity (null,
+        # "8分", ...) must NOT discard an already-valid CRITICAL/HIGH level
+        try:
+            severity = int(float(data.get("severity") or 0))
+        except (TypeError, ValueError):
+            severity = 10 if level == CRITICAL else 0
         reason = str(data.get("reason", ""))
         message = ""
         if level == CRITICAL:

@@ -123,7 +123,7 @@ class AppContext:
             llm, store,
             web_search=web_search,
             extract_health=lambda q, uid: extract_health_info(
-                q, uid, llm, profile_store),
+                q, uid, llm, profile_store, hitl=hitl),
             load_profile=lambda uid: load_health_profile(uid, profile_store),
             cfg=cfg.graph,
             top_k=cfg.engine.top_k,

@@ -9,6 +9,7 @@ revived per SURVEY appendix) and a HITL review-processing command.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from mediquery_rag_tpu.app.consultation import StructuredConsultation
@@ -37,10 +38,12 @@ def _input(prompt: str) -> str | None:
         return None
 
 
-def _stream_rag(ctx: AppContext, query: str, user_id: str, thread_id: str) -> str:
+def _stream_rag(ctx: AppContext, query: str, user_id: str, thread_id: str,
+                summary: str = "") -> str:
     final = ""
     for name, state in ctx.graph_app.stream(
-        {"messages": [user(query)], "user_id": user_id}, thread_id=thread_id
+        {"messages": [user(query)], "user_id": user_id, "summary": summary},
+        thread_id=thread_id
     ):
         if name == "retrieve":
             print(f"  🔍 检索到 {len(state.get('documents', []))} 条资料")
@@ -58,6 +61,7 @@ def run_health_advisor(ctx: AppContext) -> None:
     sc = StructuredConsultation(
         ctx.llm, data_dir=ctx.cfg.paths.user_data_dir,
         cfg=ctx.cfg.consultation)
+    is_anon = not phone
     profile = sc.identify_user(phone or f"anon_{uuid.uuid4().hex[:8]}")
     if profile.name:
         print(f"欢迎回来，{profile.name}！")
@@ -103,10 +107,21 @@ def run_health_advisor(ctx: AppContext) -> None:
     print("\n正在为您生成个性化建议…")
     query = sc.build_rag_query()
     thread_id = f"{profile.user_id}_{uuid.uuid4().hex[:8]}"
-    answer = _stream_rag(ctx, query, profile.user_id, thread_id)
+    # anonymous sessions must stream as "anonymous": a one-shot user_id
+    # would trigger LLM health extraction + SQLite writes keyed to an id
+    # no one can ever log into again
+    answer = _stream_rag(ctx, query,
+                         "anonymous" if is_anon else profile.user_id,
+                         thread_id)
     print("\n" + (answer or "（未生成回答）"))
-    path = sc.generate_history_markdown()
-    print(f"\n（问诊记录已保存：{path}）")
+    if is_anon:
+        # drop the throwaway profile dir instead of leaking one per session
+        import shutil
+        shutil.rmtree(os.path.join(ctx.cfg.paths.user_data_dir,
+                                   profile.user_id), ignore_errors=True)
+    else:
+        path = sc.generate_history_markdown()
+        print(f"\n（问诊记录已保存：{path}）")
 
 
 def run_science_qa(ctx: AppContext) -> None:
@@ -120,7 +135,9 @@ def run_science_qa(ctx: AppContext) -> None:
         if not q.strip():
             continue
         transcript.append(user(q))
-        answer = _stream_rag(ctx, q, "anonymous", thread_id)
+        summary = (transcript[0].content
+                   if transcript and transcript[0].role == "system" else "")
+        answer = _stream_rag(ctx, q, "anonymous", thread_id, summary=summary)
         print("\n" + (answer or "（未生成回答）"))
         from mediquery_rag_tpu.llm.messages import ai
         transcript.append(ai(answer))
@@ -139,7 +156,10 @@ def run_profile_view(ctx: AppContext) -> None:
     if not phone:
         return
     sc = StructuredConsultation(ctx.llm, data_dir=ctx.cfg.paths.user_data_dir)
-    profile = sc.identify_user(phone)
+    profile = sc.peek_user(phone)          # read-only: never mint a profile
+    if profile is None:
+        print("（该手机号没有问诊档案）")
+        return
     print(f"\n—— 基本档案（{profile.user_id[:8]}…）——")
     if profile.name:
         print(f"姓名：{profile.name}　年龄：{profile.age}　性别：{profile.gender}")

@@ -95,6 +95,18 @@ class SqliteCheckpointer:
             ).fetchone()
         return loads_state(row[0]) if row else None
 
+    def next_step(self, thread_id: str) -> int:
+        """First unused step for a thread. Steps must be monotonic ACROSS
+        invocations: restarting at 0 would leave a longer earlier run's
+        stale tail rows above a shorter later run, and latest() would
+        resume from the wrong invocation's state."""
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT MAX(step) FROM checkpoints WHERE thread_id=?",
+                (thread_id,),
+            ).fetchone()
+        return 0 if row[0] is None else row[0] + 1
+
     def history(self, thread_id: str) -> list[tuple[int, str]]:
         with self._lock:
             rows = self._conn.execute(
@@ -166,8 +178,10 @@ class CompiledGraph:
                ) -> Iterator[tuple[str, State]]:
         """Run the graph, yielding (node_name, state_after_node) per step."""
         state: State = {}
+        base_step = 0
         if self.checkpointer is not None:
             state = self.checkpointer.latest(thread_id) or {}
+            base_step = self.checkpointer.next_step(thread_id)
         state = self._merge(state, inputs)
 
         node = self.graph.entry
@@ -176,7 +190,7 @@ class CompiledGraph:
             updates = fn(state)
             state = self._merge(state, updates)
             if self.checkpointer is not None:
-                self.checkpointer.put(thread_id, step, node, state)
+                self.checkpointer.put(thread_id, base_step + step, node, state)
             yield node, state
 
             if node in self.graph.conditional:

@@ -129,6 +129,12 @@ def create_nodes(
             profile_section = (
                 prompts.PROFILE_SECTION.format(profile=profile) if profile else ""
             )
+            # compressed conversation context (science-QA REPL feeds it via
+            # the state's summary key — previously summarization ran but its
+            # output reached nothing)
+            if state.get("summary"):
+                profile_section += (
+                    f"\n【此前对话摘要】\n{state['summary']}\n")
             source_tag = "网络检索" if state.get("used_web_search") else "本地知识库"
             question = q
             if state.get("tool_output"):
@@ -155,6 +161,12 @@ def create_nodes(
         body = state.get("rag_output", "")
         if state.get("tool_output"):
             body = f"【健康指标】{state['tool_output']}\n\n{body}"
+        elif state.get("mode") == "assessment":
+            # assessment was requested but the numbers could not be parsed:
+            # surface the provide-your-data hint instead of dropping it (the
+            # reference's fallback never reached the user — conscious fix,
+            # SURVEY appendix "vestigial assessment_tool")
+            body = f"{prompts.ASSESSMENT_FALLBACK}\n\n{body}"
         mode_tag = "健康评估" if state.get("mode") == "assessment" else "健康科普"
         final = (
             f"┏━━ {mode_tag} ━━━━━━━━━━━━━━\n"

@@ -216,3 +216,53 @@ class TestConsultation:
         sc2.start_session()
         q = sc2.get_current_question()
         assert q["key"] == "gender"               # resumes where it left off
+
+
+class TestReviewRegressions:
+    def test_severity_parse_failure_keeps_critical(self):
+        """A malformed optional severity must not downgrade a valid
+        CRITICAL verdict to LOW (clinical fail-open direction)."""
+        from mediquery_rag_tpu.app.risk import CRITICAL, assess_answer_risk
+        llm = FakeLLM(['{"risk": "CRITICAL", "severity": null, '
+                       '"reason": "急性症状"}'])
+        r = assess_answer_risk("症状", "持续剧烈胸痛并放射到左臂", llm)
+        assert r.level == CRITICAL
+        assert r.message            # hotline shown
+
+    def test_partial_history_not_complete(self):
+        """chronic answered but allergy/medication never asked => the
+        profile must NOT be complete (or-chain once skipped them forever)."""
+        from mediquery_rag_tpu.app.consultation import UserProfile
+        p = UserProfile(user_id="u", name="张三", age=40, gender="男",
+                        height_cm=175.0, weight_kg=70.0, chronic="高血压")
+        assert not p.is_complete()
+        p.allergy = "无"
+        p.medication = "无"
+        assert p.is_complete()
+
+    def test_number_validation_rejects_inf_nan(self, tmp_path):
+        from mediquery_rag_tpu.app.consultation import StructuredConsultation
+        sc = StructuredConsultation(FakeLLM(), data_dir=str(tmp_path))
+        sc.identify_user("13800000000")
+        sc.start_session()
+        # walk to the age question
+        while True:
+            q = sc.get_current_question()
+            assert q is not None
+            if q["key"] == "age":
+                break
+            sc.process_answer("测试")
+        for bad in ("inf", "nan", "-inf"):
+            r = sc.process_answer(bad)
+            assert not r["ok"]
+
+    def test_corrupt_session_file_skipped(self, tmp_path):
+        from mediquery_rag_tpu.app.consultation import StructuredConsultation
+        sc = StructuredConsultation(FakeLLM(), data_dir=str(tmp_path))
+        p = sc.identify_user("13811112222")
+        sc.start_session()
+        d = os.path.join(str(tmp_path), p.user_id, "sessions")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "zzz_corrupt.json"), "w") as f:
+            f.write('{"session_id": "trunc')
+        assert sc.get_history_summary() == []   # must not raise

@@ -152,3 +152,31 @@ class TestHITL:
         assert out["rejected"] == 1
         assert s.get_health_records("u1") == []
         assert h.stats()["rejected"] == 1
+
+
+class TestExtractionThroughHITL:
+    def test_high_risk_extraction_queued_not_stored(self, tmp_path):
+        """Allergy extractions must wait for human review when a HITL
+        manager is wired (LLM hallucinations of safety-critical facts
+        previously flowed straight into every future prompt)."""
+        from mediquery_rag_tpu.app.memory.hitl import HITLManager
+        store = ProfileStore(":memory:")
+        hitl = HITLManager(str(tmp_path / "review"), store)
+        llm = FakeLLM(['[{"category": "allergy", "content": "青霉素过敏", '
+                       '"important": true}]'])
+        n = extract_health_info("我对青霉素过敏", "u1", llm, store, hitl=hitl)
+        assert n == 1
+        assert store.get_health_records("u1") == []     # not yet applied
+        assert hitl.stats()["pending"] == 1
+
+    def test_low_risk_extraction_auto_applied(self, tmp_path):
+        from mediquery_rag_tpu.app.memory.hitl import HITLManager
+        store = ProfileStore(":memory:")
+        hitl = HITLManager(str(tmp_path / "review"), store)
+        llm = FakeLLM(['[{"category": "lifestyle", "content": "每周跑步三次", '
+                       '"important": false}]'])
+        n = extract_health_info("我每周跑步三次", "u2", llm, store, hitl=hitl)
+        assert n == 1
+        recs = store.get_health_records("u2")
+        assert recs and "跑步" in recs[0].content
+        assert hitl.stats()["pending"] == 0

@@ -221,3 +221,22 @@ class TestWebClients:
         t = TavilyClient()
         assert not t.available
         assert t("任何查询") == []     # no key -> no network, empty results
+
+
+def test_checkpoint_steps_monotonic_across_invocations():
+    """A shorter second run must not leave an earlier run's stale tail as
+    the thread's latest() state."""
+    ck = SqliteCheckpointer()
+    g = StateGraph(reducers={"messages": append_reducer})
+    g.add_node("a", lambda s: {"messages": ["a"], "tag": s.get("want")})
+    g.add_node("b", lambda s: {"messages": ["b"]})
+    g.set_entry("a")
+    g.add_conditional_edges("a", lambda s: "long" if s.get("want") == 1 else "end",
+                            {"long": "b", "end": END})
+    g.add_edge("b", END)
+    app = g.compile(checkpointer=ck)
+    app.invoke({"want": 1}, thread_id="t")      # 2 steps
+    app.invoke({"want": 2}, thread_id="t")      # 1 step (shorter)
+    latest = ck.latest("t")
+    assert latest["tag"] == 2                   # the SECOND run's state
+    assert latest["messages"] == ["a", "b", "a"]
