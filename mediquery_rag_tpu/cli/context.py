@@ -86,10 +86,26 @@ class AppContext:
             except OSError:
                 pass
 
-        llm = FakeLLM(default=(
-            "（演示模式：未连接本地 LLM 服务，回答为占位内容。"
-            "启动兼容 OpenAI 接口的本地服务后去掉 --fake-llm 即可。）"
-        )) if fake_llm else HTTPChatClient(llm_url)
+        # LLM selection: scripted fake > TPU-hosted decoder checkpoint
+        # (models/train_lm writes one) > HTTP client to a local server —
+        # the TPU decoder removes the reference's hard dependency on an
+        # out-of-process Ollama daemon (medical_engine.py:46).
+        lm_ckpt = os.path.join(root, "checkpoints", "lm")
+        if fake_llm:
+            llm = FakeLLM(default=(
+                "（演示模式：未连接本地 LLM 服务，回答为占位内容。"
+                "启动兼容 OpenAI 接口的本地服务后去掉 --fake-llm 即可。）"
+            ))
+        elif os.path.exists(os.path.join(lm_ckpt, "params.npz")):
+            try:
+                from mediquery_rag_tpu.llm import TPULLMClient
+                llm = TPULLMClient.from_checkpoint(lm_ckpt)
+                print("  TPU 本地语言模型已加载（无需外部 LLM 服务）")
+            except Exception as e:    # stale checkpoint: fall back, don't abort
+                print(f"  ⚠️ TPU LLM 加载失败，回退 HTTP 客户端：{e}")
+                llm = HTTPChatClient(llm_url)
+        else:
+            llm = HTTPChatClient(llm_url)
 
         # web search: explicit tool > Tavily-by-env-key > disabled
         if web_search is None:

@@ -60,6 +60,25 @@ class EmbedderConfig:
 
 
 @dataclass(frozen=True)
+class DecoderConfig:
+    """TPU-hosted causal LM (replaces ChatOllama/qwen2.5:7b's GGML inference,
+    reference medical_engine.py:46 — SURVEY §2b row 2's optional completion).
+
+    Qwen/llama-class architecture: RMSNorm, RoPE, SwiGLU, causal MHA.
+    Byte-level vocabulary (259 used ids padded to a lane-friendly 384).
+    """
+
+    vocab_size: int = 384           # 3 specials + 256 bytes, padded to 3*128
+    hidden: int = 512
+    layers: int = 8
+    heads: int = 8
+    mlp_dim: int = 1536             # SwiGLU inner dim
+    max_len: int = 1024             # max prompt+generation length (KV cache cap)
+    rope_theta: float = 10000.0
+    dtype: str = "bfloat16"         # activation dtype
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     """Contrastive trainer for the embedder."""
 

@@ -15,3 +15,12 @@ from mediquery_rag_tpu.llm.client import (  # noqa: F401
     LLMClient,
     RuleLLM,
 )
+
+
+def __getattr__(name):
+    # Lazy: TPULLMClient pulls in jax/the decoder; plain clients shouldn't.
+    if name in ("TPULLMClient", "render_chat"):
+        from mediquery_rag_tpu.llm import tpu_client
+
+        return getattr(tpu_client, name)
+    raise AttributeError(name)

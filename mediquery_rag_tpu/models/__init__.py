@@ -17,3 +17,6 @@ from mediquery_rag_tpu.models.text_embedder import TextEmbedder  # noqa: F401
 from mediquery_rag_tpu.models.cross_encoder import (  # noqa: F401
     CrossEncoder, make_grader, train_cross_encoder,
 )
+from mediquery_rag_tpu.models.byte_tokenizer import ByteTokenizer  # noqa: F401
+from mediquery_rag_tpu.models.decoder import Decoder, KVCache  # noqa: F401
+from mediquery_rag_tpu.models.generate import Generator  # noqa: F401

@@ -1,0 +1,330 @@
+"""Causal decoder LM — the TPU-hosted chat model.
+
+The reference delegated all chat/JSON-mode inference to the Ollama daemon's
+GGML C++ runtime (qwen2.5:7b, reference medical_engine.py:46). SURVEY §2b
+keeps the LLM client pluggable but names a TPU-hosted model as the optional
+completion of that row; this is it — a qwen/llama-class decoder rebuilt
+TPU-first rather than a GGML port:
+
+- RMSNorm + RoPE + SwiGLU + causal MHA (the qwen2.5 architecture class);
+- layers stacked ``[L, ...]`` and executed with ``lax.scan`` — one compiled
+  block regardless of depth; the KV cache threads through the same scan as
+  per-layer xs/ys so single-token decode is one fused XLA program;
+- bf16 activations, f32 params/norms/logits; matmuls hit the MXU with f32
+  accumulation (``preferred_element_type``);
+- LEFT-padded batches: all sequences end at one shared column, so batched
+  decode appends at a single cursor — static shapes, no per-sequence
+  dynamic slicing under jit;
+- Megatron TP partition specs (qkv/gate/up column-, attn_out/down
+  row-sharded) over the ``model`` mesh axis; ``lm_head`` column-sharded —
+  XLA all-gathers the [B, V] logits (V=384 — trivial traffic).
+
+Params are a plain pytree; every method is a pure function of (params, ...)
+— the natural shape for jit/pjit composition.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from mediquery_rag_tpu.config import DecoderConfig
+
+DecoderParams = dict  # nested pytree of jnp arrays
+
+
+class KVCache(NamedTuple):
+    """Preallocated decode state. ``k``/``v``: [L, B, H, C, dh]; ``key_mask``:
+    [B, C] (1 = slot holds a real token); ``cursor``: next write column
+    (shared — left-padding aligns all sequences); ``next_pos``: per-sequence
+    RoPE position of the next token."""
+
+    k: jax.Array
+    v: jax.Array
+    key_mask: jax.Array
+    cursor: jax.Array       # i32 scalar
+    next_pos: jax.Array     # [B] i32
+
+
+def _init_dense(key, fan_in, shape):
+    return jax.random.normal(key, shape, jnp.float32) * (fan_in ** -0.5)
+
+
+def _rmsnorm(x, scale, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt((xf * xf).mean(-1, keepdims=True) + eps)
+    return (y * scale).astype(x.dtype)
+
+
+def _rope(x, pos, theta):
+    """Rotary embedding. x: [B, H, S, dh]; pos: [B, S] i32."""
+    dh = x.shape[-1]
+    half = dh // 2
+    freq = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)   # [half]
+    ang = pos[:, None, :, None].astype(jnp.float32) * freq          # [B,1,S,half]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
+    ).astype(x.dtype)
+
+
+class Decoder:
+    """Functional causal LM. All methods are pure given a config."""
+
+    def __init__(self, cfg: DecoderConfig = DecoderConfig()):
+        self.cfg = cfg
+        if cfg.hidden % cfg.heads:
+            raise ValueError("hidden must divide heads")
+        if (cfg.hidden // cfg.heads) % 2:
+            raise ValueError("head dim must be even for RoPE")
+
+    # -- params ----------------------------------------------------------------
+
+    def init(self, key: jax.Array) -> DecoderParams:
+        c = self.cfg
+        keys = jax.random.split(key, 8)
+        L, D, F = c.layers, c.hidden, c.mlp_dim
+
+        def stack(k, fan_in, shape):
+            ks = jax.random.split(k, L)
+            return jnp.stack([_init_dense(ks[i], fan_in, shape) for i in range(L)])
+
+        return {
+            "tok_embed": jax.random.normal(keys[0], (c.vocab_size, D), jnp.float32) * 0.02,
+            "blocks": {
+                "rms1": jnp.ones((L, D)),
+                "qkv": stack(keys[1], D, (D, 3 * D)),
+                "attn_out": stack(keys[2], D, (D, D)),
+                "rms2": jnp.ones((L, D)),
+                "w_gate": stack(keys[3], D, (D, F)),
+                "w_up": stack(keys[4], D, (D, F)),
+                "w_down": stack(keys[5], F, (F, D)),
+            },
+            "rms_f": jnp.ones((D,)),
+            "lm_head": _init_dense(keys[6], D, (D, c.vocab_size)),
+        }
+
+    def partition_specs(self) -> Any:
+        """Megatron TP layout over mesh axes ('data', 'model')."""
+        return {
+            "tok_embed": P(None, None),
+            "blocks": {
+                "rms1": P(None, None),
+                "qkv": P(None, None, "model"),       # column parallel
+                "attn_out": P(None, "model", None),   # row parallel
+                "rms2": P(None, None),
+                "w_gate": P(None, None, "model"),     # column parallel
+                "w_up": P(None, None, "model"),       # column parallel
+                "w_down": P(None, "model", None),     # row parallel
+            },
+            "rms_f": P(None),
+            "lm_head": P(None, "model"),              # vocab-sharded logits
+        }
+
+    # -- training / scoring forward ---------------------------------------------
+
+    def apply(
+        self,
+        params: DecoderParams,
+        ids: jax.Array,          # [B, S] i32
+        mask: jax.Array,         # [B, S] f32 (1 = real token; left OR right pad)
+        *,
+        remat: bool = False,
+    ) -> jax.Array:
+        """Full causal forward. Returns logits [B, S, V] f32."""
+        c = self.cfg
+        adt = jnp.dtype(c.dtype)
+        B, S = ids.shape
+
+        pos = jnp.clip(jnp.cumsum(mask, axis=1).astype(jnp.int32) - 1, 0)
+        x = params["tok_embed"][ids].astype(adt)
+        causal = jnp.tril(jnp.ones((S, S), jnp.float32))
+        bias = (causal[None, None] * mask[:, None, None, :] - 1.0) * 1e9
+
+        block_fn = functools.partial(
+            _block_full, heads=c.heads, adt=adt, bias=bias, pos=pos,
+            theta=c.rope_theta,
+        )
+        if remat:
+            block_fn = jax.checkpoint(block_fn)
+        x, _ = jax.lax.scan(
+            lambda carry, lp: (block_fn(carry, lp), None), x, params["blocks"]
+        )
+        x = _rmsnorm(x, params["rms_f"])
+        return jnp.einsum("bsd,dv->bsv", x, params["lm_head"].astype(adt),
+                          preferred_element_type=jnp.float32)
+
+    # -- KV-cache serving path ----------------------------------------------------
+
+    def prefill(
+        self,
+        params: DecoderParams,
+        ids: jax.Array,          # [B, S] i32, LEFT-padded
+        mask: jax.Array,         # [B, S] f32
+        cache_len: int,
+    ) -> tuple[jax.Array, KVCache]:
+        """Process the prompt, build the cache. Returns (last-token logits
+        [B, V] f32, cache). Left-padding puts every last prompt token at
+        column S-1, so the next-token logits are simply logits[:, -1]."""
+        c = self.cfg
+        adt = jnp.dtype(c.dtype)
+        B, S = ids.shape
+        if cache_len < S:
+            raise ValueError(f"cache_len {cache_len} < prompt length {S}")
+        H, dh = c.heads, c.hidden // c.heads
+
+        pos = jnp.clip(jnp.cumsum(mask, axis=1).astype(jnp.int32) - 1, 0)
+        x = params["tok_embed"][ids].astype(adt)
+        causal = jnp.tril(jnp.ones((S, S), jnp.float32))
+        bias = (causal[None, None] * mask[:, None, None, :] - 1.0) * 1e9
+
+        def step(carry, lp):
+            x = carry
+            x, k, v = _block_kv(x, lp, heads=c.heads, adt=adt, bias=bias,
+                                pos=pos, theta=c.rope_theta)
+            pad = [(0, 0), (0, 0), (0, cache_len - S), (0, 0)]
+            return x, (jnp.pad(k, pad), jnp.pad(v, pad))
+
+        x, (ks, vs) = jax.lax.scan(step, x, params["blocks"])
+        x = _rmsnorm(x, params["rms_f"])
+        logits = jnp.einsum("bd,dv->bv", x[:, -1], params["lm_head"].astype(adt),
+                            preferred_element_type=jnp.float32)
+
+        key_mask = jnp.pad(mask, [(0, 0), (0, cache_len - S)])
+        cache = KVCache(
+            k=ks, v=vs, key_mask=key_mask,
+            cursor=jnp.int32(S),
+            next_pos=jnp.cumsum(mask, axis=1)[:, -1].astype(jnp.int32),
+        )
+        return logits, cache
+
+    def decode_step(
+        self,
+        params: DecoderParams,
+        cache: KVCache,
+        token: jax.Array,        # [B] i32
+    ) -> tuple[jax.Array, KVCache]:
+        """One generation step: append ``token``, return (logits [B, V] f32,
+        updated cache). Static shapes — the cache column written is
+        ``cache.cursor``; attention spans the whole preallocated cache with
+        invalid slots masked."""
+        c = self.cfg
+        adt = jnp.dtype(c.dtype)
+        L, B, H, C, dh = cache.k.shape
+
+        key_mask = jax.lax.dynamic_update_slice(
+            cache.key_mask, jnp.ones((B, 1), cache.key_mask.dtype),
+            (0, cache.cursor))
+        bias = (key_mask[:, None, None, :] - 1.0) * 1e9       # [B,1,1,C]
+        pos = cache.next_pos[:, None]                          # [B, 1]
+
+        x = params["tok_embed"][token[:, None]].astype(adt)    # [B, 1, D]
+
+        # decode attends over the cache, not the fresh S=1 K/V, so the layer
+        # body differs from _block_kv in the attention span only
+        def layer(carry, xs):
+            x = carry                                          # [B, 1, D]
+            lp, k_layer, v_layer = xs
+            h = _rmsnorm(x, lp["rms1"])
+            qkv = jnp.einsum("bsd,de->bse", h, lp["qkv"].astype(adt),
+                             preferred_element_type=jnp.float32).astype(adt)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            def heads_(t):
+                return t.reshape(B, 1, H, dh).transpose(0, 2, 1, 3)
+
+            q, k, v = heads_(q), heads_(k), heads_(v)          # [B,H,1,dh]
+            q = _rope(q, pos, c.rope_theta)
+            k = _rope(k, pos, c.rope_theta)
+            k_layer = jax.lax.dynamic_update_slice(
+                k_layer, k, (0, 0, cache.cursor, 0))
+            v_layer = jax.lax.dynamic_update_slice(
+                v_layer, v, (0, 0, cache.cursor, 0))
+
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_layer,
+                                preferred_element_type=jnp.float32)
+            logits = logits * (dh ** -0.5) + bias
+            w = jax.nn.softmax(logits, axis=-1).astype(adt)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", w, v_layer,
+                             preferred_element_type=jnp.float32).astype(adt)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, c.hidden)
+            attn = jnp.einsum("bsd,de->bse", ctx, lp["attn_out"].astype(adt),
+                              preferred_element_type=jnp.float32).astype(adt)
+            x = x + attn
+
+            h = _rmsnorm(x, lp["rms2"])
+            gate = jnp.einsum("bsd,df->bsf", h, lp["w_gate"].astype(adt),
+                              preferred_element_type=jnp.float32)
+            up = jnp.einsum("bsd,df->bsf", h, lp["w_up"].astype(adt),
+                            preferred_element_type=jnp.float32)
+            ff = (jax.nn.silu(gate) * up).astype(adt)
+            ff = jnp.einsum("bsf,fd->bsd", ff, lp["w_down"].astype(adt),
+                            preferred_element_type=jnp.float32)
+            return x + ff.astype(adt), (k_layer, v_layer)
+
+        x, (ks, vs) = jax.lax.scan(
+            layer, x, (params["blocks"], cache.k, cache.v))
+        x = _rmsnorm(x, params["rms_f"])
+        logits = jnp.einsum("bd,dv->bv", x[:, 0], params["lm_head"].astype(adt),
+                            preferred_element_type=jnp.float32)
+        new_cache = KVCache(
+            k=ks, v=vs, key_mask=key_mask,
+            cursor=cache.cursor + 1,
+            next_pos=cache.next_pos + 1,
+        )
+        return logits, new_cache
+
+
+def _attend(q, k, v, bias, adt, dh):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (dh ** -0.5)
+    if bias is not None:
+        logits = logits + bias
+    w = jax.nn.softmax(logits, axis=-1).astype(adt)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v,
+                      preferred_element_type=jnp.float32).astype(adt)
+
+
+def _block_kv(x, lp, *, heads, adt, bias, pos, theta):
+    """Transformer block returning (x_out, k, v) — shared by apply/prefill."""
+    B, S, D = x.shape
+    dh = D // heads
+
+    h = _rmsnorm(x, lp["rms1"])
+    qkv = jnp.einsum("bsd,de->bse", h, lp["qkv"].astype(adt),
+                     preferred_element_type=jnp.float32).astype(adt)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads_(t):
+        return t.reshape(B, S, heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = heads_(q), heads_(k), heads_(v)
+    q = _rope(q, pos, theta)
+    k = _rope(k, pos, theta)
+
+    ctx = _attend(q, k, v, bias, adt, dh)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, D)
+    attn = jnp.einsum("bsd,de->bse", ctx, lp["attn_out"].astype(adt),
+                      preferred_element_type=jnp.float32).astype(adt)
+    x = x + attn
+
+    h = _rmsnorm(x, lp["rms2"])
+    gate = jnp.einsum("bsd,df->bsf", h, lp["w_gate"].astype(adt),
+                      preferred_element_type=jnp.float32)
+    up = jnp.einsum("bsd,df->bsf", h, lp["w_up"].astype(adt),
+                    preferred_element_type=jnp.float32)
+    ff = (jax.nn.silu(gate) * up).astype(adt)
+    ff = jnp.einsum("bsf,fd->bsd", ff, lp["w_down"].astype(adt),
+                    preferred_element_type=jnp.float32)
+    return x + ff.astype(adt), k, v
+
+
+def _block_full(x, lp, *, heads, adt, bias, pos, theta):
+    out, _, _ = _block_kv(x, lp, heads=heads, adt=adt, bias=bias, pos=pos,
+                          theta=theta)
+    return out

@@ -1,0 +1,163 @@
+"""Batched KV-cache generation engine for the TPU decoder.
+
+The serving loop the reference outsourced to Ollama's C++ runtime
+(medical_engine.py:46), rebuilt XLA-first:
+
+- prefill + the whole token loop live inside ONE jitted function — the loop
+  is ``lax.while_loop`` (no per-token host round trips through the relay,
+  which cost ~100 ms each; see CLAUDE.md) with early exit once every
+  sequence has emitted EOS;
+- static shapes throughout: prompts bucket to 128-column multiples, batch
+  to powers of two, ``max_new`` to 64-multiples — repeated calls hit the
+  jit cache (the same bucketing discipline as engine/flat.py);
+- greedy and temperature sampling share one compiled program (temperature
+  is a traced scalar; the sample/argmax choice is a ``jnp.where``);
+- per-sequence EOS: finished rows keep decoding PAD into dead cache slots
+  (masked, position-frozen) so the batch stays rectangular.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mediquery_rag_tpu.config import DecoderConfig
+from mediquery_rag_tpu.models.byte_tokenizer import (
+    EOS_ID, PAD_ID, ByteTokenizer)
+from mediquery_rag_tpu.models.decoder import Decoder, KVCache
+
+
+def _bucket_pow2(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+class Generator:
+    """Owns params + jit cache. ``generate()`` is the one public call."""
+
+    def __init__(self, cfg: DecoderConfig = DecoderConfig(), params=None,
+                 key: jax.Array | None = None):
+        self.cfg = cfg
+        self.model = Decoder(cfg)
+        if params is None:
+            key = jax.random.PRNGKey(0) if key is None else key
+            params = self.model.init(key)
+        self.params = params
+        self.tokenizer = ByteTokenizer(cfg.max_len)
+        self._jit_cache: dict = {}
+
+    # -- the compiled program ---------------------------------------------------
+
+    def _compiled(self, B: int, S: int, max_new: int):
+        key_ = (B, S, max_new)
+        fn = self._jit_cache.get(key_)
+        if fn is not None:
+            return fn
+        cache_len = min(_round_up(S + max_new, 128), self.cfg.max_len)
+        model = self.model
+
+        @jax.jit
+        def run(params, ids, mask, temperature, rng):
+            logits, cache = model.prefill(params, ids, mask, cache_len)
+
+            def pick(logits, rng, done):
+                r, rng = jax.random.split(rng)
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                t = jnp.maximum(temperature, 1e-6)
+                sampled = jax.random.categorical(r, logits / t).astype(jnp.int32)
+                tok = jnp.where(temperature > 0.0, sampled, greedy)
+                return jnp.where(done, PAD_ID, tok), rng
+
+            def cond(st):
+                _, _, _, done, t, _ = st
+                return (t < max_new) & ~done.all()
+
+            def body(st):
+                cache, out, rng, done, t, logits = st
+                tok, rng = pick(logits, rng, done)
+                out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, t))
+                done = done | (tok == EOS_ID)
+                logits, cache = model.decode_step(params, cache, tok)
+                return cache, out, rng, done, t + 1, logits
+
+            out0 = jnp.full((B, max_new), PAD_ID, jnp.int32)
+            done0 = jnp.zeros((B,), bool)
+            _, out, _, _, _, _ = jax.lax.while_loop(
+                cond, body, (cache, out0, rng, done0, jnp.int32(0), logits))
+            return out
+
+        self._jit_cache[key_] = run
+        return run
+
+    # -- public API ---------------------------------------------------------------
+
+    def generate(
+        self,
+        prompts: Sequence[str],
+        *,
+        max_new_tokens: int = 256,
+        temperature: float = 0.0,
+        seed: int = 0,
+    ) -> list[str]:
+        """Decode continuations for a batch of prompts. Greedy when
+        ``temperature == 0`` (the reference ran qwen at temperature=0,
+        medical_engine.py:46)."""
+        if not prompts:
+            return []
+        ids, mask = self.tokenizer.batch_encode(list(prompts))
+        B, S = ids.shape
+        max_new = min(_round_up(max(max_new_tokens, 1), 64),
+                      self.cfg.max_len - S)
+        if max_new <= 0:
+            raise ValueError(
+                f"prompt ({S} tokens after bucketing) leaves no room for "
+                f"generation under max_len={self.cfg.max_len}")
+        Bp = _bucket_pow2(B)
+        if Bp != B:
+            ids = np.pad(ids, ((0, Bp - B), (0, 0)))
+            mask = np.pad(mask, ((0, Bp - B), (0, 0)))
+        run = self._compiled(Bp, S, max_new)
+        out = run(self.params, jnp.asarray(ids), jnp.asarray(mask),
+                  jnp.float32(temperature), jax.random.PRNGKey(seed))
+        out = np.asarray(out[:B, :max_new_tokens])
+        return [self.tokenizer.decode(row) for row in out]
+
+    # -- checkpointing (np.savez convention, as TextEmbedder/CrossEncoder) --------
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        flat, _ = jax.tree_util.tree_flatten(self.params)
+        np.savez(os.path.join(path, "params.npz"),
+                 **{str(i): np.asarray(x) for i, x in enumerate(flat)})
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(self.cfg.__dict__, f)
+
+    @classmethod
+    def from_checkpoint(cls, path: str) -> "Generator":
+        import json
+        import os
+
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = DecoderConfig(**json.load(f))
+        gen = cls(cfg)
+        z = np.load(os.path.join(path, "params.npz"))
+        flat, treedef = jax.tree_util.tree_flatten(gen.params)
+        if len(z.files) != len(flat):
+            raise ValueError(
+                f"checkpoint at {path} has {len(z.files)} arrays but this "
+                f"architecture has {len(flat)}")
+        gen.params = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(z[str(i)]) for i in range(len(flat))])
+        return gen

@@ -1,0 +1,266 @@
+"""Decoder LM: tokenizer round-trip, causality, KV-cache equivalence,
+generation semantics, chat client, training, TP sharding.
+
+SURVEY §4 test classes applied to the new model family: (2) kernel/numerics
+— cached decode must equal the full forward; (4) multi-chip on the virtual
+8-device mesh; (5) integration through the LLMClient seam.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mediquery_rag_tpu.config import DecoderConfig, TrainConfig
+from mediquery_rag_tpu.models.byte_tokenizer import (
+    BOS_ID, EOS_ID, PAD_ID, ByteTokenizer)
+from mediquery_rag_tpu.models.decoder import Decoder
+from mediquery_rag_tpu.models.generate import Generator
+
+TINY = DecoderConfig(vocab_size=384, hidden=64, layers=2, heads=4,
+                     mlp_dim=128, max_len=512, dtype="float32")
+
+
+class TestByteTokenizer:
+    def test_round_trip_chinese(self):
+        tok = ByteTokenizer()
+        for text in ["高血压患者如何饮食？", "BMI 23.5 (正常)", "", "mixed 中英 text"]:
+            assert tok.decode(tok.encode(text, eos=True)) == text
+
+    def test_specials(self):
+        tok = ByteTokenizer()
+        ids = tok.encode("hi", eos=True)
+        assert ids[0] == BOS_ID and ids[-1] == EOS_ID
+        # decode stops at EOS and skips PAD/BOS
+        assert tok.decode([PAD_ID, BOS_ID] + ids + [99, 99]) == "hi"
+
+    def test_batch_left_padded(self):
+        tok = ByteTokenizer()
+        ids, mask = tok.batch_encode(["abc", "长一点的文本内容在这里"])
+        assert ids.shape[1] % 128 == 0
+        # left-padded: real tokens end at the last column
+        assert mask[0, -1] == 1.0 and mask[0, 0] == 0.0
+        assert ids[0, -4] == BOS_ID  # 3 bytes + BOS at the right edge
+        assert tok.decode(ids[1]) == "长一点的文本内容在这里"
+
+    def test_truncated_multibyte_ignored(self):
+        tok = ByteTokenizer(max_len=5)
+        ids = tok.encode("你好")  # BOS + 6 bytes -> capped at 5
+        assert len(ids) == 5
+        assert tok.decode(ids) == "你"  # partial trailing char dropped
+
+
+class TestDecoderForward:
+    def test_causality(self):
+        """Perturbing a future token must not change earlier logits."""
+        model = Decoder(TINY)
+        params = model.init(jax.random.PRNGKey(0))
+        ids = jnp.array([[1, 10, 20, 30, 40, 50, 60, 70]], jnp.int32)
+        mask = jnp.ones((1, 8), jnp.float32)
+        la = model.apply(params, ids, mask)
+        lb = model.apply(params, ids.at[0, 5].set(99), mask)
+        np.testing.assert_allclose(la[0, :5], lb[0, :5], rtol=1e-5, atol=1e-5)
+        assert not np.allclose(la[0, 5], lb[0, 5])
+
+    def test_left_pad_invariance(self):
+        """A left-padded sequence scores its real tokens identically to the
+        unpadded one (positions come from the mask, pads are masked keys)."""
+        model = Decoder(TINY)
+        params = model.init(jax.random.PRNGKey(0))
+        ids = jnp.array([[1, 10, 20, 30]], jnp.int32)
+        mask = jnp.ones((1, 4), jnp.float32)
+        la = model.apply(params, ids, mask)
+
+        pad = 3
+        ids_p = jnp.pad(ids, [(0, 0), (pad, 0)])
+        mask_p = jnp.pad(mask, [(0, 0), (pad, 0)])
+        lb = model.apply(params, ids_p, mask_p)
+        np.testing.assert_allclose(la[0], lb[0, pad:], rtol=1e-4, atol=1e-4)
+
+
+class TestKVCache:
+    def test_decode_matches_full_forward(self):
+        """Greedy tokens from prefill+decode_step must equal re-running the
+        full forward after each appended token — the cache is exact."""
+        model = Decoder(TINY)
+        params = model.init(jax.random.PRNGKey(1))
+        tok = ByteTokenizer(TINY.max_len)
+        prompts = ["血压高怎么办", "hi"]
+        ids, mask = tok.batch_encode(prompts, pad_to=24)
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        B, S = ids.shape
+        steps = 6
+
+        logits, cache = model.prefill(params, ids, mask, cache_len=S + steps)
+        cached_toks = []
+        full_ids, full_mask = ids, mask
+        for _ in range(steps):
+            tok_c = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # oracle: full forward over the extended sequence
+            lf = model.apply(params, full_ids, full_mask)
+            tok_f = jnp.argmax(lf[:, -1], axis=-1).astype(jnp.int32)
+            np.testing.assert_array_equal(np.asarray(tok_c), np.asarray(tok_f))
+            np.testing.assert_allclose(
+                np.asarray(logits), np.asarray(lf[:, -1]), rtol=2e-4, atol=2e-4)
+            cached_toks.append(tok_c)
+            full_ids = jnp.concatenate([full_ids, tok_c[:, None]], axis=1)
+            full_mask = jnp.concatenate(
+                [full_mask, jnp.ones((B, 1), jnp.float32)], axis=1)
+            logits, cache = model.decode_step(params, cache, tok_c)
+
+    def test_prefill_last_logits_match_apply(self):
+        model = Decoder(TINY)
+        params = model.init(jax.random.PRNGKey(2))
+        tok = ByteTokenizer(TINY.max_len)
+        ids, mask = tok.batch_encode(["高血压", "糖尿病患者运动"])
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        logits, _ = model.prefill(params, ids, mask, cache_len=ids.shape[1] + 8)
+        full = model.apply(params, ids, mask)
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(full[:, -1]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+class TestGenerator:
+    def test_greedy_deterministic_and_batch_consistent(self):
+        gen = Generator(TINY)
+        a = gen.generate(["你好", "血压"], max_new_tokens=8)
+        b = gen.generate(["你好", "血压"], max_new_tokens=8)
+        assert a == b
+        # batch membership must not change a sequence's greedy output
+        solo = gen.generate(["你好"], max_new_tokens=8)
+        assert solo[0] == a[0]
+
+    def test_sampling_seeded(self):
+        gen = Generator(TINY)
+        a = gen.generate(["你好"], max_new_tokens=8, temperature=1.0, seed=7)
+        b = gen.generate(["你好"], max_new_tokens=8, temperature=1.0, seed=7)
+        c = gen.generate(["你好"], max_new_tokens=8, temperature=1.0, seed=8)
+        assert a == b
+        assert a != c or a == [""]  # different seed usually differs
+
+    def test_eos_stops(self):
+        """Force lm_head to always emit EOS -> empty continuations."""
+        gen = Generator(TINY)
+        head = np.zeros(gen.params["lm_head"].shape, np.float32)
+        head[:, EOS_ID] = 1.0
+        gen.params = dict(gen.params, lm_head=jnp.asarray(head))
+        out = gen.generate(["你好"], max_new_tokens=32)
+        assert out == [""]
+
+    def test_prompt_too_long_raises(self):
+        cfg = DecoderConfig(vocab_size=384, hidden=64, layers=1, heads=4,
+                            mlp_dim=128, max_len=128, dtype="float32")
+        gen = Generator(cfg)
+        with pytest.raises(ValueError):
+            gen.generate(["长" * 60], max_new_tokens=64)  # 180 bytes -> S=128
+
+    def test_save_load_round_trip(self, tmp_path):
+        gen = Generator(TINY)
+        out = gen.generate(["高血压"], max_new_tokens=8)
+        gen.save(str(tmp_path / "lm"))
+        gen2 = Generator.from_checkpoint(str(tmp_path / "lm"))
+        assert gen2.generate(["高血压"], max_new_tokens=8) == out
+
+
+class TestTPULLMClient:
+    def test_complete_protocol(self):
+        from mediquery_rag_tpu.llm import TPULLMClient
+        from mediquery_rag_tpu.llm.messages import system, user
+
+        client = TPULLMClient(Generator(TINY), max_new_tokens=8)
+        out = client.complete([system("你是医生"), user("血压高怎么办")])
+        assert isinstance(out, str)
+        out2 = client.complete("plain prompt")
+        assert isinstance(out2, str)
+
+    def test_render_chat(self):
+        from mediquery_rag_tpu.llm.tpu_client import render_chat
+        from mediquery_rag_tpu.llm.messages import ai, user
+
+        p = render_chat([user("问")])
+        assert p.endswith("<|assistant|>\n")
+        t = render_chat([user("问"), ai("答")], for_training=True)
+        assert t.endswith("答") and "<|assistant|>" in t
+        with pytest.raises(ValueError):
+            render_chat([user("问")], for_training=True)
+
+    def test_stop_marker_cut(self):
+        """If the model imitates the template, output is cut at the marker."""
+        from mediquery_rag_tpu.llm.tpu_client import TPULLMClient
+
+        class FakeGen:
+            def generate(self, prompts, **kw):
+                return ["答案<|end|><|user|>下一个问题"] * len(prompts)
+
+        client = TPULLMClient(FakeGen())
+        assert client.complete("q") == "答案"
+
+
+class TestLMTraining:
+    def test_loss_decreases_and_memorizes(self):
+        from mediquery_rag_tpu.models.train_lm import (
+            LMLoader, LMTrainer, lm_loss)
+
+        texts = ["<|user|>\n血压<|end|><|assistant|>\n多吃蔬菜"] * 8
+        tok = ByteTokenizer(256)
+        loader = LMLoader(texts, tok, batch_size=8, seed=0)
+        trainer = LMTrainer(TINY, TrainConfig(lr=3e-3, warmup_steps=2,
+                                              remat=False))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        losses = []
+        for i, batch in enumerate(loader.batches(epochs=60)):
+            state, m = trainer.train_step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+        gen = Generator(TINY, params=state.params)
+        from mediquery_rag_tpu.llm.tpu_client import TPULLMClient
+
+        out = TPULLMClient(gen, max_new_tokens=32).complete("血压")
+        assert "蔬菜" in out  # memorized the single training answer
+
+    def test_loss_mask_excludes_pads(self):
+        from mediquery_rag_tpu.models.train_lm import lm_loss
+
+        B, S, V = 2, 8, 384
+        logits = jnp.zeros((B, S, V))
+        ids = jnp.full((B, S), 5, jnp.int32)
+        mask = jnp.ones((B, S), jnp.float32).at[1, 4:].set(0.0)
+        base = lm_loss(logits, ids, mask)
+        # changing logits in masked positions must not change the loss
+        logits2 = logits.at[1, 5].set(100.0)
+        assert float(lm_loss(logits2, ids, mask)) == pytest.approx(float(base))
+
+
+class TestDecoderTP:
+    def test_tp_sharded_generate_matches_single(self):
+        """TP=2 over the virtual mesh: generation must be numerically the
+        same program (XLA inserts the collectives)."""
+        from jax.sharding import NamedSharding
+        from mediquery_rag_tpu.parallel import make_mesh
+
+        gen = Generator(TINY)
+        base = gen.generate(["高血压患者"], max_new_tokens=8)
+
+        mesh = make_mesh({"data": 1, "model": 2})
+        specs = gen.model.partition_specs()
+        gen_tp = Generator(TINY)
+        gen_tp.params = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            gen.params, specs)
+        assert gen_tp.generate(["高血压患者"], max_new_tokens=8) == base
+
+    def test_dp_tp_train_step(self):
+        from mediquery_rag_tpu.models.train_lm import LMLoader, LMTrainer
+        from mediquery_rag_tpu.parallel import make_mesh
+
+        mesh = make_mesh({"data": 2, "model": 2})
+        trainer = LMTrainer(TINY, TrainConfig(lr=1e-3, warmup_steps=1,
+                                              remat=True), mesh=mesh)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        loader = LMLoader(["问答" * 5, "血压饮食", "运动建议", "睡眠质量"],
+                          ByteTokenizer(256), batch_size=4)
+        batch = next(loader.batches(epochs=1))
+        state, m = trainer.train_step(state, batch)
+        assert np.isfinite(float(m["loss"]))
