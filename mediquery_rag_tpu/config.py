@@ -21,7 +21,9 @@ class EngineConfig:
 
     dim: int = 768                  # embedding dim (shaw/dmeta-embedding-zh is 768-d)
     top_k: int = 5                  # reference graph path uses k=5 (nodes.py:93)
-    dtype: str = "bfloat16"         # corpus storage dtype: float32 | bfloat16 | int8
+    dtype: str = "bfloat16"         # corpus storage: float32 | bfloat16 | int8
+                                    # | int4 (flat/sharded-flat only, nibble-
+                                    # packed; pair with rerank_factor)
     metric: str = "cosine"          # cosine | dot
     # Pallas kernel tiling
     query_tile: int = 128           # rows of the query block per kernel step

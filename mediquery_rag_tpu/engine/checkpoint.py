@@ -54,7 +54,9 @@ def load_sharded_index(path: str, mesh: Mesh) -> ShardedFlatIndex:
     axis = cfg.mesh_axis
     import jax.numpy as jnp
 
-    dtype = jnp.int8 if cfg.dtype == "int8" else jnp.dtype(cfg.dtype)
+    # int4 corpora are stored nibble-packed in int8 bytes; meta's "d" is the
+    # stored (packed) width so the shape needs no special-casing
+    dtype = jnp.int8 if cfg.dtype in ("int8", "int4") else jnp.dtype(cfg.dtype)
     target = {
         "corpus": jax.ShapeDtypeStruct(
             (meta["n_pad"], meta["d"]), dtype,
@@ -108,7 +110,7 @@ def load_sharded_ivf(path: str, mesh: Mesh):
         meta = json.load(f)
     cfg = EngineConfig(**{**EngineConfig().__dict__, **meta["cfg"]})
     axis = cfg.mesh_axis
-    dtype = jnp.int8 if cfg.dtype == "int8" else jnp.dtype(cfg.dtype)
+    dtype = jnp.int8 if cfg.dtype in ("int8", "int4") else jnp.dtype(cfg.dtype)
     sh_rows = NamedSharding(mesh, P(axis, None))
     repl = NamedSharding(mesh, P())
     target = {

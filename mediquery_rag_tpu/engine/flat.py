@@ -21,7 +21,10 @@ import numpy as np
 
 from mediquery_rag_tpu.config import EngineConfig
 from mediquery_rag_tpu.ops.scoring import flat_search
-from mediquery_rag_tpu.ops.quant import int8_flat_search, quantize_rows
+from mediquery_rag_tpu.ops.quant import (
+    dequantize_int4, int4_flat_search, int8_flat_search, quantize_rows,
+    quantize_rows_int4,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -121,13 +124,23 @@ def _int8_dispatch(q_pad, corpus, scale, n_valid, *, k, qt, ct, cosine):
                             query_tile=qt, corpus_tile=ct)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "qt", "ct", "cosine"))
+def _int4_dispatch(q_pad, corpus, scale, n_valid, *, k, qt, ct, cosine):
+    q = q_pad.astype(jnp.float32)
+    if cosine:
+        q = l2_normalize(q)
+    return int4_flat_search(q, corpus, scale, k, n_valid=n_valid,
+                            query_tile=qt, corpus_tile=ct)
+
+
 @dataclass
 class FlatIndex:
     """Exact search over an HBM-resident, tile-padded corpus matrix.
 
     ``cfg.dtype == "int8"`` stores a symmetric per-row quantized corpus
-    (half the HBM traffic of bf16, BASELINE config 4); ``corpus_scale``
-    is None for float dtypes.
+    (half the HBM traffic of bf16, BASELINE config 4); ``"int4"`` packs two
+    codes per byte (1/4 the traffic — pair with ``rerank_factor`` to buy the
+    recall back). ``corpus_scale`` is None for float dtypes.
     """
 
     corpus: jax.Array          # [N_pad, D], storage dtype, rows >= n pad-zeroed
@@ -157,10 +170,11 @@ class FlatIndex:
         n_pad = _round_up(max(n, cfg.corpus_tile), cfg.corpus_tile)
         scale = None
         refine = None
-        if cfg.dtype == "int8":
+        if cfg.dtype in ("int8", "int4"):
             if cfg.rerank_factor:
                 refine = _refine_copy(host_src, v, cfg.metric == "cosine")
-            v, scale = quantize_rows(v)
+            quant = quantize_rows if cfg.dtype == "int8" else quantize_rows_int4
+            v, scale = quant(v)
             if n_pad != n:
                 scale = jnp.pad(scale, ((0, n_pad - n),))
         else:
@@ -187,7 +201,12 @@ class FlatIndex:
         rerank = self.refine is not None and self.cfg.rerank_factor > 0
         kk = min(128, self.cfg.rerank_factor * k, self.n) if rerank else k
         kk = max(kk, k)
-        if self.corpus_scale is not None:
+        if self.cfg.dtype == "int4":
+            s, i = _int4_dispatch(
+                q_pad, self.corpus, self.corpus_scale, n_valid,
+                k=kk, qt=self.cfg.query_tile, ct=self.cfg.corpus_tile,
+                cosine=cosine)
+        elif self.corpus_scale is not None:
             s, i = _int8_dispatch(
                 q_pad, self.corpus, self.corpus_scale, n_valid,
                 k=kk, qt=self.cfg.query_tile, ct=self.cfg.corpus_tile,
@@ -212,6 +231,9 @@ class FlatIndex:
 
     def _dequantized(self) -> jax.Array:
         """Valid rows as f32 (identity for float dtypes)."""
+        if self.cfg.dtype == "int4":
+            return dequantize_int4(self.corpus[: self.n],
+                                   self.corpus_scale[: self.n])
         rows = self.corpus[: self.n].astype(jnp.float32)
         if self.corpus_scale is not None:
             rows = rows * self.corpus_scale[: self.n, None]
@@ -243,7 +265,9 @@ class FlatIndex:
             if refine is not None:
                 refine = np.concatenate(
                     [refine, np.asarray(v, dtype=np.float16)], axis=0)
-            q8, s_new = quantize_rows(v.astype(jnp.float32))
+            quant = (quantize_rows_int4 if self.cfg.dtype == "int4"
+                     else quantize_rows)
+            q8, s_new = quant(v.astype(jnp.float32))
             merged = jnp.concatenate([self.corpus[: self.n], q8], axis=0)
             scale = jnp.concatenate([self.corpus_scale[: self.n], s_new])
         else:

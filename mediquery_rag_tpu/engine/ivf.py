@@ -180,6 +180,11 @@ class IVFIndex:
         key: jax.Array | None = None,
     ) -> "IVFIndex":
         host_src = vectors if isinstance(vectors, np.ndarray) else None
+        if cfg.dtype == "int4":
+            raise ValueError(
+                "IVF supports float/int8 storage; int4 is a FlatIndex/"
+                "ShardedFlatIndex dtype (the IVF probe kernels gather "
+                "bucket rows, which nibble packing would split)")
         v = jnp.asarray(vectors)
         n, d = v.shape
         nlist = min(cfg.ivf_nlist, max(1, n // 8))
@@ -282,6 +287,8 @@ class IVFIndex:
         set it explicitly afterwards if the host has room.
         """
         key = jax.random.PRNGKey(0) if key is None else key
+        if cfg.dtype == "int4":
+            raise ValueError("IVF supports float/int8 storage, not int4")
         d = cfg.dim
         nlist = min(cfg.ivf_nlist, max(1, n // 8))
         int8 = cfg.dtype == "int8"

@@ -24,7 +24,9 @@ from mediquery_rag_tpu.engine.flat import (
     as_query_batch, bucket_queries, l2_normalize, _round_up,
 )
 from mediquery_rag_tpu.ops.scoring import flat_search
-from mediquery_rag_tpu.ops.quant import int8_flat_search, quantize_rows
+from mediquery_rag_tpu.ops.quant import (
+    int4_flat_search, int8_flat_search, quantize_rows, quantize_rows_int4,
+)
 from mediquery_rag_tpu.parallel.collectives import sharded_topk_merge
 
 
@@ -47,8 +49,9 @@ class ShardedFlatIndex:
         # pad so each shard holds a whole number of corpus tiles
         n_pad = _round_up(max(n, s * cfg.corpus_tile), s * cfg.corpus_tile)
         scale = None
-        if cfg.dtype == "int8":
-            v, scale = quantize_rows(v)
+        if cfg.dtype in ("int8", "int4"):
+            quant = quantize_rows if cfg.dtype == "int8" else quantize_rows_int4
+            v, scale = quant(v)
             if n_pad != n:
                 scale = jnp.pad(scale, ((0, n_pad - n),))
             scale = jax.device_put(scale, NamedSharding(mesh, P(axis)))
@@ -71,11 +74,12 @@ class ShardedFlatIndex:
         q_pad, b = bucket_queries(queries)
         cosine = self.cfg.metric == "cosine"
         if self.corpus_scale is not None:
-            s, i = _sharded_search_int8(
+            s, i = _sharded_search_quant(
                 q_pad, self.corpus, self.corpus_scale, jnp.int32(self.n),
                 mesh=self.mesh, axis=self.cfg.mesh_axis, k=k,
                 query_tile=self.cfg.query_tile,
                 corpus_tile=self.cfg.corpus_tile, cosine=cosine,
+                kind=self.cfg.dtype,
             )
         else:
             s, i = _sharded_search(
@@ -134,20 +138,21 @@ def _sharded_search(q, corpus, n_valid, *, mesh, axis, k, query_tile,
 @partial(
     jax.jit,
     static_argnames=("mesh", "axis", "k", "query_tile", "corpus_tile",
-                     "cosine"),
+                     "cosine", "kind"),
 )
-def _sharded_search_int8(q, corpus, scale, n_valid, *, mesh, axis, k,
-                         query_tile, corpus_tile, cosine):
+def _sharded_search_quant(q, corpus, scale, n_valid, *, mesh, axis, k,
+                          query_tile, corpus_tile, cosine, kind="int8"):
     per_shard = corpus.shape[0] // mesh.shape[axis]
     q = q.astype(jnp.float32)
     if cosine:
         q = l2_normalize(q)
+    kernel = int8_flat_search if kind == "int8" else int4_flat_search
 
     def local(qb, shard, sh_scale, nv):
         sid = jax.lax.axis_index(axis)
         offset = sid * per_shard
         local_valid = jnp.clip(nv[0] - offset, 0, per_shard)
-        s, i = int8_flat_search(
+        s, i = kernel(
             qb, shard, sh_scale, k,
             n_valid=local_valid,
             query_tile=query_tile, corpus_tile=corpus_tile,

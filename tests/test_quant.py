@@ -1,14 +1,18 @@
-"""Int8 quantized scoring tests (BASELINE config 4: recall parity vs f32)."""
+"""Int8/int4 quantized scoring tests (BASELINE config 4: recall parity vs f32)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mediquery_rag_tpu.config import EngineConfig
 from mediquery_rag_tpu.engine import FlatIndex
 from mediquery_rag_tpu.obs import recall_at_k
 from mediquery_rag_tpu.ops import flat_search_xla
-from mediquery_rag_tpu.ops.quant import int8_flat_search, quantize_rows
+from mediquery_rag_tpu.ops.quant import (
+    dequantize_int4, int4_flat_search, int8_flat_search, quantize_rows,
+    quantize_rows_int4, unpack_int4,
+)
 
 
 def _vecs(n, d, seed=0):
@@ -89,6 +93,149 @@ class TestFlatIndexInt8:
         assert idx3.n == 510
         _, i = idx3.search(extra[0], k=1)
         assert int(i[0]) == 500
+
+
+class TestInt4Pack:
+    def test_pack_unpack_exact(self):
+        x = _vecs(64, 96, seed=20)
+        packed, s = quantize_rows_int4(x)
+        assert packed.shape == (64, 48) and packed.dtype == jnp.int8
+        codes = np.asarray(unpack_int4(packed))
+        want = np.clip(np.round(np.asarray(x, np.float32)
+                                / np.asarray(s)[:, None]), -7, 7)
+        np.testing.assert_array_equal(codes, want.astype(np.int32))
+
+    def test_dequant_error_half_step(self):
+        x = _vecs(100, 64, seed=21)
+        packed, s = quantize_rows_int4(x)
+        back = np.asarray(dequantize_int4(packed, s))
+        err = np.max(np.abs(back - np.asarray(x, np.float32)))
+        assert err <= float(jnp.max(s)) * 0.51
+
+    def test_odd_dim_rejected(self):
+        with pytest.raises(ValueError):
+            quantize_rows_int4(jnp.zeros((4, 63)))
+
+    def test_requantize_stable(self):
+        # quantize(dequantize(q)) reproduces the same codes — save/load via
+        # the dequantized corpus is lossless for int4 indexes
+        x = _vecs(32, 64, seed=22)
+        p1, s1 = quantize_rows_int4(x)
+        p2, s2 = quantize_rows_int4(dequantize_int4(p1, s1))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+class TestInt4Search:
+    def test_kernel_matches_integer_oracle(self):
+        # the kernel's integer math must match a numpy int32 oracle exactly
+        # (same codes, same accumulation); scores then differ only by f32
+        # scaling order
+        n, d, b, k = 768, 64, 8, 10
+        c = _vecs(n, d, seed=23)
+        q = _vecs(b, d, seed=24)
+        c4, cs = quantize_rows_int4(c)
+        tile = 256
+        n_pad = -(-n // tile) * tile
+        c4p = jnp.pad(c4, ((0, n_pad - n), (0, 0)))
+        csp = jnp.pad(cs, ((0, n_pad - n),))
+        s, i = int4_flat_search(q, c4p, csp, k, n_valid=n, corpus_tile=tile)
+
+        q8, qs = quantize_rows(q)
+        raw = np.asarray(q8, np.int32) @ np.asarray(
+            unpack_int4(c4), np.int32).T
+        oracle = (raw.astype(np.float32) * np.asarray(qs)[:, None]
+                  * np.asarray(cs)[None, :])
+        top = np.argsort(-oracle, axis=1, kind="stable")[:, :k]
+        np.testing.assert_allclose(
+            np.asarray(s),
+            np.take_along_axis(oracle, np.asarray(i), axis=1), rtol=1e-6)
+        assert recall_at_k(np.asarray(i), top) == 1.0
+
+    def test_recall_reasonable_plain(self):
+        n, d, b, k = 3000, 768, 16, 10
+        c = _vecs(n, d, seed=25)
+        q = _vecs(b, d, seed=26)
+        c4, cs = quantize_rows_int4(c)
+        tile = 512
+        n_pad = -(-n // tile) * tile
+        c4p = jnp.pad(c4, ((0, n_pad - n), (0, 0)))
+        csp = jnp.pad(cs, ((0, n_pad - n),))
+        _, i = int4_flat_search(q, c4p, csp, k, n_valid=n, corpus_tile=tile)
+        _, i_ref = flat_search_xla(q, c, k)
+        rec = recall_at_k(np.asarray(i), np.asarray(i_ref))
+        assert rec >= 0.5, f"int4 plain recall@10 collapsed: {rec}"
+
+
+class TestFlatIndexInt4:
+    def test_rerank_recovers_recall(self):
+        n, d = 3000, 768
+        c = _vecs(n, d, seed=27)
+        q = _vecs(32, d, seed=28)
+        _, i_ref = flat_search_xla(q, c, 10)
+        idx = FlatIndex.build(c, EngineConfig(dim=d, dtype="int4",
+                                              corpus_tile=512,
+                                              rerank_factor=8))
+        assert idx.corpus.shape == (3072, d // 2)
+        _, i = idx.search(q, k=10)
+        rec = recall_at_k(np.asarray(i), np.asarray(i_ref))
+        assert rec >= 0.95, f"int4+rerank recall@10: {rec}"
+
+    def test_memory_quarter_vs_bf16(self):
+        c = _vecs(2048, 128, seed=29)
+        i4 = FlatIndex.build(c, EngineConfig(dim=128, dtype="int4",
+                                             corpus_tile=256))
+        bf = FlatIndex.build(c, EngineConfig(dim=128, dtype="bfloat16",
+                                             corpus_tile=256))
+        assert i4.nbytes < bf.nbytes * 0.35
+
+    def test_save_load_add_delete(self, tmp_path):
+        cfg = EngineConfig(dim=64, dtype="int4", corpus_tile=256,
+                           query_tile=32, rerank_factor=4)
+        c = _vecs(500, 64, seed=30)
+        idx = FlatIndex.build(c, cfg)
+        idx.save(str(tmp_path / "i4"))
+        idx2 = FlatIndex.load(str(tmp_path / "i4"))
+        assert idx2.n == 500 and idx2.corpus.shape[1] == 32
+        _, ia = idx.search(np.asarray(c[7]), k=5)
+        _, ib = idx2.search(np.asarray(c[7]), k=5)
+        np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+        extra = _vecs(10, 64, seed=31)
+        idx3 = idx2.add(extra).delete([2, 4])
+        assert idx3.n == 508
+        _, i = idx3.search(np.asarray(extra[3]), k=1)
+        assert int(i[0]) == 503      # stable id survives the deletes
+
+    def test_ivf_rejects_int4(self):
+        from mediquery_rag_tpu.engine import IVFIndex
+        with pytest.raises(ValueError, match="int4"):
+            IVFIndex.build(_vecs(256, 64, seed=32),
+                           EngineConfig(dim=64, dtype="int4"))
+
+    def test_sharded_int4(self):
+        from mediquery_rag_tpu.engine import ShardedFlatIndex
+        from mediquery_rag_tpu.parallel import corpus_mesh
+        mesh = corpus_mesh(8)
+        cfg = EngineConfig(dim=64, dtype="int4", corpus_tile=256,
+                           query_tile=32)
+        c = _vecs(3000, 64, seed=33)
+        q = _vecs(8, 64, seed=34)
+        idx = ShardedFlatIndex.build(c, mesh, cfg)
+        assert idx.corpus.shape[1] == 32
+        s, i = idx.search(q, k=10)
+        _, i_ref = flat_search_xla(q, c, 10)
+        # global merge must route shard-local hits back to global ids
+        rec = recall_at_k(np.asarray(i), np.asarray(i_ref))
+        assert rec >= 0.5
+        # and the scores must be the int4 scores of those exact rows
+        c4, cs = quantize_rows_int4(c)
+        q8, qs = quantize_rows(q)
+        oracle = (np.asarray(q8, np.int32)
+                  @ np.asarray(unpack_int4(c4), np.int32).T
+                  ).astype(np.float32) * np.asarray(qs)[:, None] \
+            * np.asarray(cs)[None, :]
+        got = np.take_along_axis(oracle, np.asarray(i), axis=1)
+        np.testing.assert_allclose(np.asarray(s), got, rtol=1e-5)
 
 
 class TestRerankRefinement:
