@@ -54,8 +54,9 @@ def load_sharded_index(path: str, mesh: Mesh) -> ShardedFlatIndex:
     axis = cfg.mesh_axis
     import jax.numpy as jnp
 
-    # int4 corpora are stored nibble-packed in int8 bytes; meta's "d" is the
-    # stored (packed) width so the shape needs no special-casing
+    # int4 corpora are row-pair packed in int8 bytes: meta's "n_pad" is the
+    # stored PHYSICAL byte-row count, and scales are [2, n_pad] planes
+    # (even/odd logical rows) sharded along axis 1
     dtype = jnp.int8 if cfg.dtype in ("int8", "int4") else jnp.dtype(cfg.dtype)
     target = {
         "corpus": jax.ShapeDtypeStruct(
@@ -63,9 +64,14 @@ def load_sharded_index(path: str, mesh: Mesh) -> ShardedFlatIndex:
             sharding=NamedSharding(mesh, P(axis, None))),
     }
     if meta["has_scale"]:
-        target["scale"] = jax.ShapeDtypeStruct(
-            (meta["n_pad"],), jnp.float32,
-            sharding=NamedSharding(mesh, P(axis)))
+        if cfg.dtype == "int4":
+            target["scale"] = jax.ShapeDtypeStruct(
+                (2, meta["n_pad"]), jnp.float32,
+                sharding=NamedSharding(mesh, P(None, axis)))
+        else:
+            target["scale"] = jax.ShapeDtypeStruct(
+                (meta["n_pad"],), jnp.float32,
+                sharding=NamedSharding(mesh, P(axis)))
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(_arrays_dir(path), target)
     return ShardedFlatIndex(

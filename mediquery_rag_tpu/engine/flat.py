@@ -139,11 +139,13 @@ class FlatIndex:
 
     ``cfg.dtype == "int8"`` stores a symmetric per-row quantized corpus
     (half the HBM traffic of bf16, BASELINE config 4); ``"int4"`` packs two
-    codes per byte (1/4 the traffic — pair with ``rerank_factor`` to buy the
-    recall back). ``corpus_scale`` is None for float dtypes.
+    logical rows per byte-row — corpus shape ``[N_pad/2, D]``, 1/4 the
+    traffic and measurably FASTER than int8 (ops/quant.py) — pair with
+    ``rerank_factor`` to buy the recall back. ``corpus_scale`` is None for
+    float dtypes.
     """
 
-    corpus: jax.Array          # [N_pad, D], storage dtype, rows >= n pad-zeroed
+    corpus: jax.Array          # [N_pad, D] ([N_pad/2, D] int4), pad rows zero
     n: int                     # valid rows
     cfg: EngineConfig
     corpus_scale: jax.Array | None = None   # [N_pad] f32, int8 only
@@ -168,6 +170,8 @@ class FlatIndex:
         if cfg.metric == "cosine":
             v = l2_normalize(v.astype(jnp.float32))
         n_pad = _round_up(max(n, cfg.corpus_tile), cfg.corpus_tile)
+        if cfg.dtype == "int4" and cfg.corpus_tile % 2:
+            raise ValueError("int4 needs an even corpus_tile (row-pair packing)")
         scale = None
         refine = None
         if cfg.dtype in ("int8", "int4"):
@@ -175,12 +179,16 @@ class FlatIndex:
                 refine = _refine_copy(host_src, v, cfg.metric == "cosine")
             quant = quantize_rows if cfg.dtype == "int8" else quantize_rows_int4
             v, scale = quant(v)
-            if n_pad != n:
+            if cfg.dtype == "int4":       # scale planes [2, P] pad on axis 1
+                pw = n_pad // 2 - scale.shape[1]
+                scale = jnp.pad(scale, ((0, 0), (0, pw))) if pw else scale
+            elif n_pad != n:
                 scale = jnp.pad(scale, ((0, n_pad - n),))
         else:
             v = v.astype(jnp.dtype(cfg.dtype))
-        if n_pad != n:
-            v = jnp.pad(v, ((0, n_pad - n), (0, 0)))
+        rows_pad = n_pad // 2 if cfg.dtype == "int4" else n_pad
+        if rows_pad != v.shape[0]:
+            v = jnp.pad(v, ((0, rows_pad - v.shape[0]), (0, 0)))
         return cls(corpus=v, n=n, cfg=cfg, corpus_scale=scale, refine=refine)
 
     def search(self, queries, k: int | None = None):
@@ -232,8 +240,7 @@ class FlatIndex:
     def _dequantized(self) -> jax.Array:
         """Valid rows as f32 (identity for float dtypes)."""
         if self.cfg.dtype == "int4":
-            return dequantize_int4(self.corpus[: self.n],
-                                   self.corpus_scale[: self.n])
+            return dequantize_int4(self.corpus, self.corpus_scale, self.n)
         rows = self.corpus[: self.n].astype(jnp.float32)
         if self.corpus_scale is not None:
             rows = rows * self.corpus_scale[: self.n, None]
@@ -265,11 +272,16 @@ class FlatIndex:
             if refine is not None:
                 refine = np.concatenate(
                     [refine, np.asarray(v, dtype=np.float16)], axis=0)
-            quant = (quantize_rows_int4 if self.cfg.dtype == "int4"
-                     else quantize_rows)
-            q8, s_new = quant(v.astype(jnp.float32))
-            merged = jnp.concatenate([self.corpus[: self.n], q8], axis=0)
-            scale = jnp.concatenate([self.corpus_scale[: self.n], s_new])
+            if self.cfg.dtype == "int4":
+                # row-pair packing straddles rows: requantize through f32
+                # (bit-stable for existing rows — codes and scales reproduce
+                # exactly, only the pairing shifts)
+                merged, scale = quantize_rows_int4(jnp.concatenate(
+                    [self._dequantized(), v.astype(jnp.float32)], axis=0))
+            else:
+                q8, s_new = quantize_rows(v.astype(jnp.float32))
+                merged = jnp.concatenate([self.corpus[: self.n], q8], axis=0)
+                scale = jnp.concatenate([self.corpus_scale[: self.n], s_new])
         else:
             merged = jnp.concatenate(
                 [self.corpus[: self.n], v.astype(self.corpus.dtype)], axis=0)
@@ -298,9 +310,14 @@ class FlatIndex:
         if len(keep) == 0:
             raise ValueError("delete would empty the index")
         keep_j = jnp.asarray(keep, dtype=jnp.int32)
-        merged = jnp.take(self.corpus, keep_j, axis=0)
-        scale = (jnp.take(self.corpus_scale, keep_j)
-                 if self.corpus_scale is not None else None)
+        if self.cfg.dtype == "int4":
+            # packed byte-rows hold two logical rows: compact in f32, repack
+            merged, scale = quantize_rows_int4(
+                jnp.take(self._dequantized(), keep_j, axis=0))
+        else:
+            merged = jnp.take(self.corpus, keep_j, axis=0)
+            scale = (jnp.take(self.corpus_scale, keep_j)
+                     if self.corpus_scale is not None else None)
         ids = jnp.asarray(cur[keep], dtype=jnp.int32)
         refine = self.refine[keep] if self.refine is not None else None
         return self._repad(merged, len(keep), scale, ids, self.next_id,
@@ -310,12 +327,18 @@ class FlatIndex:
                refine=None) -> "FlatIndex":
         # rows are already normalized/quantized — re-pad only
         n_pad = _round_up(max(n, self.cfg.corpus_tile), self.cfg.corpus_tile)
-        if n_pad != n:
-            merged = jnp.pad(merged, ((0, n_pad - n), (0, 0)))
-            if scale is not None:
+        rows_pad = n_pad // 2 if self.cfg.dtype == "int4" else n_pad
+        if rows_pad != merged.shape[0]:
+            merged = jnp.pad(merged, ((0, rows_pad - merged.shape[0]), (0, 0)))
+        if scale is not None:
+            if self.cfg.dtype == "int4":
+                pw = rows_pad - scale.shape[1]
+                if pw:
+                    scale = jnp.pad(scale, ((0, 0), (0, pw)))
+            elif n_pad != n:
                 scale = jnp.pad(scale, ((0, n_pad - n),))
-            if ids is not None:
-                ids = jnp.pad(ids, ((0, n_pad - n),))
+        if n_pad != n and ids is not None:
+            ids = jnp.pad(ids, ((0, n_pad - n),))
         return FlatIndex(corpus=merged, n=n, cfg=self.cfg, corpus_scale=scale,
                          ids=ids, _next_id=next_id, refine=refine)
 

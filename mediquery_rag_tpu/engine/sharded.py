@@ -49,16 +49,24 @@ class ShardedFlatIndex:
         # pad so each shard holds a whole number of corpus tiles
         n_pad = _round_up(max(n, s * cfg.corpus_tile), s * cfg.corpus_tile)
         scale = None
-        if cfg.dtype in ("int8", "int4"):
-            quant = quantize_rows if cfg.dtype == "int8" else quantize_rows_int4
-            v, scale = quant(v)
+        if cfg.dtype == "int4":
+            if cfg.corpus_tile % 2:
+                raise ValueError("int4 needs an even corpus_tile")
+            # pad BEFORE packing so row pairs never straddle shard borders
+            if n_pad != n:
+                v = jnp.pad(v, ((0, n_pad - n), (0, 0)))
+            v, scale = quantize_rows_int4(v)   # [n_pad/2, D], planes [2, n_pad/2]
+            scale = jax.device_put(scale, NamedSharding(mesh, P(None, axis)))
+        elif cfg.dtype == "int8":
+            v, scale = quantize_rows(v)
             if n_pad != n:
                 scale = jnp.pad(scale, ((0, n_pad - n),))
+                v = jnp.pad(v, ((0, n_pad - n), (0, 0)))
             scale = jax.device_put(scale, NamedSharding(mesh, P(axis)))
         else:
             v = v.astype(jnp.dtype(cfg.dtype))
-        if n_pad != n:
-            v = jnp.pad(v, ((0, n_pad - n), (0, 0)))
+            if n_pad != n:
+                v = jnp.pad(v, ((0, n_pad - n), (0, 0)))
         sharding = NamedSharding(mesh, P(axis, None))
         v = jax.device_put(v, sharding)
         return cls(corpus=v, n=n, cfg=cfg, mesh=mesh, corpus_scale=scale)
@@ -142,7 +150,10 @@ def _sharded_search(q, corpus, n_valid, *, mesh, axis, k, query_tile,
 )
 def _sharded_search_quant(q, corpus, scale, n_valid, *, mesh, axis, k,
                           query_tile, corpus_tile, cosine, kind="int8"):
-    per_shard = corpus.shape[0] // mesh.shape[axis]
+    # int4 shards are row-pair packed: corpus rows are PHYSICAL byte-rows,
+    # each holding two logical rows — ids/offsets/valid counts are logical
+    mult = 2 if kind == "int4" else 1
+    per_shard = (corpus.shape[0] // mesh.shape[axis]) * mult
     q = q.astype(jnp.float32)
     if cosine:
         q = l2_normalize(q)
@@ -159,10 +170,11 @@ def _sharded_search_quant(q, corpus, scale, n_valid, *, mesh, axis, k,
         )
         return sharded_topk_merge(s, i + offset, k, axis)
 
+    scale_spec = P(None, axis) if kind == "int4" else P(axis)
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis), P()),
+        in_specs=(P(), P(axis, None), scale_spec, P()),
         out_specs=(P(), P()),
         check_vma=False,
     )(q, corpus, scale, n_valid.reshape((1,)))

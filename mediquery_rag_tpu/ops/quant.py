@@ -5,11 +5,16 @@ the throughput lever: int8 corpus + per-row scales reads ~1/2 the bytes of
 bf16 per scan; nibble-packed int4 reads ~1/4. Quantization is symmetric
 per-row (scale = max|x| / 127 or / 7); the kernels run the MXU in
 int8 x int8 -> int32 and rescale the tile with the row scales. int4 packs
-two codes per byte in a split-half layout (low nibble = dim j, high nibble =
-dim j + D/2) so unpacking is two VPU shifts and scoring is two MXU dots —
-no lane-axis interleave. Recall parity vs f32 is asserted in tests and
-measured in the bench (BASELINE config 4); int4 is meant to be paired with
-``rerank_factor`` (exact f16 host rerank) to buy back the last recall points.
+two consecutive LOGICAL ROWS per byte-row (row-pair layout: low nibble =
+row 2r biased +8, high nibble = row 2r+1 signed), so one packed tile scores
+2x the logical rows of an int8 tile with the same two MXU dots — the MXU
+work per logical row matches int8's while the HBM bytes halve. Measured on
+v5e at 1M x 768 / B=64 / k=10: int8 1.11 ms per batch, int4 0.81 ms (77K
+QPS); layouts that packed along the dim axis needed 3 dots of K=D/2 (1.5x
+the MXU work) and were compute-bound at int8 speed. Recall parity vs f32 is
+asserted in tests and measured in the bench (BASELINE config 4); int4 is
+meant to be paired with ``rerank_factor`` (exact f16 host rerank) to buy
+back the last recall points.
 """
 
 from __future__ import annotations
@@ -111,79 +116,94 @@ def _int8_search_padded(q8, qscale, c8, cscale, n_valid, *,
 
 
 def quantize_rows_int4(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Symmetric per-row int4, two codes packed per byte (split-half layout).
+    """Symmetric per-row int4, two LOGICAL ROWS packed per byte-row.
 
-    Byte ``j`` of a row stores dim ``j``'s code BIASED by +8 in the low
-    nibble (``ulo = lo + 8`` in [1, 15]) and dim ``j + D/2``'s code signed
-    in the high nibble: ``byte = 16*hi + ulo``. The bias makes the score
-    LINEAR in quantities the MXU can consume raw (see ``_int4_topk_kernel``):
+    Byte ``[r, j]`` stores logical row ``2r``'s code for dim ``j`` BIASED by
+    +8 in the low nibble (``ulo = lo + 8`` in [1, 15]) and row ``2r+1``'s
+    code signed in the high nibble: ``byte = 16*hi + ulo`` in [-111, 127].
+    The bias makes BOTH rows' scores linear in quantities the MXU consumes
+    raw (see ``_int4_topk_kernel``): with ``dotU = q . (byte & 15)`` and
+    ``dotP = q . byte``,
 
-        16 * (q_lo.lo + q_hi.hi) = 16*(q_lo.ulo) + q_hi.byte - q_hi.ulo
-                                   - 128*sum(q_lo)
+        even-row score = dotU - 8*sum(q),    odd-row score = (dotP - dotU)/16
 
-    so the kernel's only VPU unpack work is ``ulo = byte & 15`` (the packed
-    byte itself feeds one of the three int8 dots directly). A sign-extending
-    unpack costs ~7 VPU passes per tile and made the scan ALU-bound (1.6 ms
-    per 1M-row batch, slower than int8); this form is 3 passes.
-    Returns (packed ``[N, D/2]`` i8, scale ``[N]`` f32); requires even D.
+    so one packed tile covers 2x the logical rows of an int8 tile with the
+    SAME per-logical-row MXU work (two dots of K=D over N/2 byte-rows), and
+    the only VPU unpack is one ``& 15`` pass. A dim-axis split-half packing
+    needed 3 dots of K=D/2 (1.5x the MXU work) and ran no faster than int8.
+    Returns (packed ``[P, D]`` i8, scale planes ``[2, P]`` f32) with
+    ``P = ceil(N/2)``; plane 0 holds even logical rows' scales, plane 1 odd.
+    The plane layout is the STORAGE format — de-interleaving per search call
+    would be a minor-dim transpose (~1 ms/1M rows on TPU, measured, which
+    erased the entire int4 win). Odd N gets a zero phantom row (scores 0,
+    masked by ``n_valid`` downstream).
     """
     xf = x.astype(jnp.float32)
-    d = xf.shape[-1]
-    if d % 2:
-        raise ValueError(f"int4 packing needs even dim, got {d}")
+    n = xf.shape[0]
     amax = jnp.max(jnp.abs(xf), axis=-1)
     scale = jnp.maximum(amax, 1e-12) / 7.0
     q = jnp.clip(jnp.round(xf / scale[:, None]), -7, 7).astype(jnp.int32)
-    lo, hi = q[:, : d // 2], q[:, d // 2:]
-    packed = ((hi * 16) + (lo + 8)).astype(jnp.int8)    # in [-111, 127]
-    return packed, scale
+    if n % 2:
+        q = jnp.pad(q, ((0, 1), (0, 0)))
+        scale = jnp.pad(scale, ((0, 1)), constant_values=1.0)
+    lo, hi = q[0::2], q[1::2]
+    packed = ((hi * 16) + (lo + 8)).astype(jnp.int8)
+    scale2 = jnp.stack([scale[0::2], scale[1::2]])
+    return packed, scale2
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """Inverse of the split-half packing: ``[N, D/2]`` i8 -> ``[N, D]`` i32."""
+    """Inverse of the row-pair packing: ``[P, D]`` i8 -> ``[2P, D]`` i32."""
     p = packed.astype(jnp.int32)
     lo = (p & 15) - 8                       # low nibble is biased unsigned
     hi = p >> 4                             # arithmetic shift (ulo >= 0)
-    return jnp.concatenate([lo, hi], axis=-1)
+    ph, d = p.shape
+    return jnp.stack([lo, hi], axis=1).reshape(2 * ph, d)
 
 
-def dequantize_int4(packed: jax.Array, scale: jax.Array) -> jax.Array:
-    """``[N, D/2]`` i8 + ``[N]`` f32 -> ``[N, D]`` f32."""
-    return unpack_int4(packed).astype(jnp.float32) * scale[:, None]
+def dequantize_int4(packed: jax.Array, scale2: jax.Array,
+                    n: int | None = None) -> jax.Array:
+    """``[P, D]`` i8 + ``[2, P]`` scale planes -> ``[n, D]`` f32."""
+    ph = packed.shape[0]
+    n = 2 * ph if n is None else n
+    scale = scale2.T.reshape(2 * scale2.shape[1])     # logical per-row order
+    return (unpack_int4(packed)[:n].astype(jnp.float32)
+            * scale[:n, None])
 
 
-def _int4_topk_kernel(nv_ref, q_ref, qs16_ref, corr_ref, c_ref, cs_ref,
+def _int4_topk_kernel(nv_ref, q_ref, qs_ref, corr_ref, c_ref, cs_ref,
                       out_s_ref, out_i_ref, sc_ref, flag_ref, *, k, tile_c):
     n_valid = nv_ref[0]
     ci = pl.program_id(1)
+    th = tile_c // 2
 
     @pl.when(ci == 0)
     def _init():
         out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
         out_i_ref[:] = jnp.zeros_like(out_i_ref)
 
-    # one VPU mask pass (ulo = byte & 15), then three int8 MXU dots; the
-    # packed byte feeds the second dot raw. With the +8 low-nibble bias
-    # (see quantize_rows_int4):
-    #   16*raw = 16*(q_lo.ulo) + q_hi.byte - q_hi.ulo - corr,
-    #   corr = 128*sum(q_lo)   (precomputed per query row)
-    dh = c_ref.shape[1]
-    p = c_ref[:]                                        # [Tc, Dh] i8 packed
+    # one VPU mask pass, two int8 MXU dots covering tile_c LOGICAL rows
+    # (th byte-rows); the odd plane's /16 folds into the per-query scalar
+    p = c_ref[:]                                        # [th, D] i8 packed
     ulo = p & 15    # i8-native on the VPU (Mosaic rejects i8 shifts, not &)
     q = q_ref[:]                                        # [Bq, D] i8
-    q_lo, q_hi = q[:, :dh], q[:, dh:]
     dims = (((1,), (1,)), ((), ()))
-    raw16 = 16 * jax.lax.dot_general(q_lo, ulo, dimension_numbers=dims,
-                                     preferred_element_type=jnp.int32)
-    raw16 += jax.lax.dot_general(q_hi, p, dimension_numbers=dims,
-                                 preferred_element_type=jnp.int32)
-    raw16 -= jax.lax.dot_general(q_hi, ulo, dimension_numbers=dims,
-                                 preferred_element_type=jnp.int32)
-    # qs16 = query_scale / 16 folds the 16x away; corr is exact in f32
-    scores = ((raw16.astype(jnp.float32) - corr_ref[:]) * qs16_ref[:]
-              * cs_ref[:].reshape(1, tile_c))
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + ci * tile_c
-    scores = jnp.where(col < n_valid, scores, NEG_INF)
+    dotU = jax.lax.dot_general(q, ulo, dimension_numbers=dims,
+                               preferred_element_type=jnp.int32)
+    dotP = jax.lax.dot_general(q, p, dimension_numbers=dims,
+                               preferred_element_type=jnp.int32)
+    # both raws < 2^24: exact in f32 (|dotP| <= 127*127*768, dotU likewise)
+    dU = dotU.astype(jnp.float32)
+    even = (dU - corr_ref[:]) * qs_ref[:] * cs_ref[0:1, :]
+    odd = ((dotP.astype(jnp.float32) - dU) * (qs_ref[:] * 0.0625)
+           * cs_ref[1:2, :])
+    jp = jax.lax.broadcasted_iota(jnp.int32, even.shape, 1)
+    col_e = ci * tile_c + 2 * jp
+    col_o = col_e + 1
+    even = jnp.where(col_e < n_valid, even, NEG_INF)
+    odd = jnp.where(col_o < n_valid, odd, NEG_INF)
+    scores = jnp.concatenate([even, odd], axis=1)
+    col = jnp.concatenate([col_e, col_o], axis=1)
 
     _merge_tile_sorted(scores, col, k, out_s_ref, out_i_ref, sc_ref, flag_ref)
 
@@ -191,11 +211,12 @@ def _int4_topk_kernel(nv_ref, q_ref, qs16_ref, corr_ref, c_ref, cs_ref,
 @functools.partial(
     jax.jit, static_argnames=("k", "query_tile", "corpus_tile", "interpret")
 )
-def _int4_search_padded(q8, qscale16, qcorr, c4, cscale, n_valid, *,
+def _int4_search_padded(q8, qscale, qcorr, c4, cscale2, n_valid, *,
                         k, query_tile, corpus_tile, interpret):
     bq, d = q8.shape
-    nc, dh = c4.shape
-    grid = (bq // query_tile, nc // corpus_tile)
+    nph = c4.shape[0]
+    th = corpus_tile // 2
+    grid = (bq // query_tile, nph // th)
     kp = LANE
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -208,9 +229,9 @@ def _int4_search_padded(q8, qscale16, qcorr, c4, cscale, n_valid, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((query_tile, 1), lambda i, j, nv: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((corpus_tile, dh), lambda i, j, nv: (j, 0),
+            pl.BlockSpec((th, d), lambda i, j, nv: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, corpus_tile), lambda i, j, nv: (0, j),
+            pl.BlockSpec((2, th), lambda i, j, nv: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -232,40 +253,48 @@ def _int4_search_padded(q8, qscale16, qcorr, c4, cscale, n_valid, *,
             jax.ShapeDtypeStruct((bq, kp), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=3 * bq * dh * nc * 2,
-            bytes_accessed=bq * d + nc * dh + nc * 4,
+            flops=2 * bq * d * nph * 2,
+            bytes_accessed=bq * d + nph * d + nph * 8,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(n_valid, q8, qscale16, qcorr, c4, cscale)
+    )(n_valid, q8, qscale, qcorr, c4, cscale2)
     return out_s, out_i
 
 
 def int4_flat_search(
     queries: jax.Array,
-    corpus_q: jax.Array,       # [N_pad, D/2] i8 nibble-packed (pad rows zero)
-    corpus_scale: jax.Array,   # [N_pad] f32
+    corpus_q: jax.Array,       # [N_pad/2, D] i8 row-pair packed (pads zero)
+    corpus_scale: jax.Array,   # [2, N_pad/2] f32 scale planes (even, odd)
     k: int,
     *,
     n_valid: int | jax.Array | None = None,
     query_tile: int = 128,
-    corpus_tile: int = 2048,
+    corpus_tile: int = 4096,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Exact top-k over a nibble-packed int4 corpus (1/4 the bytes of bf16).
+    """Exact top-k over a row-pair-packed int4 corpus (1/4 the bytes of bf16).
 
     Queries are quantized to int8 on the fly — asymmetric precision (i8
     query x i4 corpus) keeps the query side essentially lossless, so all
-    quantization error lives in the corpus codes.
+    quantization error lives in the corpus codes. ``corpus_tile`` counts
+    LOGICAL rows per kernel step (must be even; larger tiles amortize
+    per-step overhead — 4096-6144 measured fastest at 1M x 768).
     """
     if k > LANE:
         raise ValueError(f"k={k} > {LANE}")
-    b, d2 = queries.shape
-    n_pad, dh = corpus_q.shape
-    if d2 != 2 * dh:
-        raise ValueError(f"query dim {d2} != 2 x packed dim {dh}")
+    b, d = queries.shape
+    nph, dc = corpus_q.shape
+    n_pad = 2 * nph
+    if dc != d:
+        raise ValueError(f"query dim {d} != packed corpus dim {dc}")
+    if corpus_tile % 2:
+        raise ValueError(f"int4 corpus_tile must be even, got {corpus_tile}")
     if n_pad % corpus_tile:
         raise ValueError(f"corpus rows {n_pad} % tile {corpus_tile} != 0")
+    if corpus_scale.shape != (2, nph):
+        raise ValueError(
+            f"scale planes {corpus_scale.shape} != (2, {nph})")
     n_valid = n_pad if n_valid is None else n_valid
     n_valid = jnp.asarray(n_valid, jnp.int32).reshape((1,))
     if interpret is None:
@@ -277,14 +306,12 @@ def int4_flat_search(
     if bq != b:
         q8 = jnp.pad(q8, ((0, bq - b), (0, 0)))
         qs = jnp.pad(qs, ((0, bq - b),))
-    # bias correction 128*sum(q_lo): <= 128*127*D/2 < 2^24, exact in f32
-    corr = (128 * jnp.sum(q8[:, :dh].astype(jnp.int32), axis=1,
-                          keepdims=True)).astype(jnp.float32)
+    # bias correction 8*sum(q): <= 8*127*768 < 2^24, exact in f32
+    corr = (8 * jnp.sum(q8.astype(jnp.int32), axis=1,
+                        keepdims=True)).astype(jnp.float32)
 
     s, i = _int4_search_padded(
-        q8, (qs / 16.0).reshape(bq, 1), corr,
-        corpus_q, corpus_scale.reshape(1, n_pad),
-        n_valid,
+        q8, qs.reshape(bq, 1), corr, corpus_q, corpus_scale, n_valid,
         k=k, query_tile=query_tile, corpus_tile=corpus_tile,
         interpret=interpret,
     )

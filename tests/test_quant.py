@@ -98,11 +98,13 @@ class TestFlatIndexInt8:
 class TestInt4Pack:
     def test_pack_unpack_exact(self):
         x = _vecs(64, 96, seed=20)
-        packed, s = quantize_rows_int4(x)
-        assert packed.shape == (64, 48) and packed.dtype == jnp.int8
+        packed, s2 = quantize_rows_int4(x)
+        assert packed.shape == (32, 96) and packed.dtype == jnp.int8
+        assert s2.shape == (2, 32)
         codes = np.asarray(unpack_int4(packed))
+        s_log = np.asarray(s2).T.reshape(-1)          # per-logical-row order
         want = np.clip(np.round(np.asarray(x, np.float32)
-                                / np.asarray(s)[:, None]), -7, 7)
+                                / s_log[:, None]), -7, 7)
         np.testing.assert_array_equal(codes, want.astype(np.int32))
 
     def test_dequant_error_half_step(self):
@@ -112,9 +114,14 @@ class TestInt4Pack:
         err = np.max(np.abs(back - np.asarray(x, np.float32)))
         assert err <= float(jnp.max(s)) * 0.51
 
-    def test_odd_dim_rejected(self):
-        with pytest.raises(ValueError):
-            quantize_rows_int4(jnp.zeros((4, 63)))
+    def test_odd_n_phantom_row(self):
+        x = _vecs(5, 64, seed=19)
+        packed, s2 = quantize_rows_int4(x)
+        assert packed.shape == (3, 64) and s2.shape == (2, 3)
+        back = np.asarray(dequantize_int4(packed, s2, 5))
+        assert back.shape == (5, 64)
+        # the phantom 6th row decodes to exact zeros
+        np.testing.assert_array_equal(np.asarray(unpack_int4(packed))[5], 0)
 
     def test_requantize_stable(self):
         # quantize(dequantize(q)) reproduces the same codes — save/load via
@@ -137,15 +144,16 @@ class TestInt4Search:
         c4, cs = quantize_rows_int4(c)
         tile = 256
         n_pad = -(-n // tile) * tile
-        c4p = jnp.pad(c4, ((0, n_pad - n), (0, 0)))
-        csp = jnp.pad(cs, ((0, n_pad - n),))
+        c4p = jnp.pad(c4, ((0, n_pad // 2 - c4.shape[0]), (0, 0)))
+        csp = jnp.pad(cs, ((0, 0), (0, n_pad // 2 - cs.shape[1])))
         s, i = int4_flat_search(q, c4p, csp, k, n_valid=n, corpus_tile=tile)
 
         q8, qs = quantize_rows(q)
         raw = np.asarray(q8, np.int32) @ np.asarray(
             unpack_int4(c4), np.int32).T
+        cs_log = np.asarray(cs).T.reshape(-1)[:n]
         oracle = (raw.astype(np.float32) * np.asarray(qs)[:, None]
-                  * np.asarray(cs)[None, :])
+                  * cs_log[None, :])
         top = np.argsort(-oracle, axis=1, kind="stable")[:, :k]
         np.testing.assert_allclose(
             np.asarray(s),
@@ -159,8 +167,8 @@ class TestInt4Search:
         c4, cs = quantize_rows_int4(c)
         tile = 512
         n_pad = -(-n // tile) * tile
-        c4p = jnp.pad(c4, ((0, n_pad - n), (0, 0)))
-        csp = jnp.pad(cs, ((0, n_pad - n),))
+        c4p = jnp.pad(c4, ((0, n_pad // 2 - c4.shape[0]), (0, 0)))
+        csp = jnp.pad(cs, ((0, 0), (0, n_pad // 2 - cs.shape[1])))
         _, i = int4_flat_search(q, c4p, csp, k, n_valid=n, corpus_tile=tile)
         _, i_ref = flat_search_xla(q, c, k)
         rec = recall_at_k(np.asarray(i), np.asarray(i_ref))
@@ -176,7 +184,7 @@ class TestFlatIndexInt4:
         idx = FlatIndex.build(c, EngineConfig(dim=d, dtype="int4",
                                               corpus_tile=512,
                                               rerank_factor=8))
-        assert idx.corpus.shape == (3072, d // 2)
+        assert idx.corpus.shape == (1536, d)    # row-pair packed: N_pad/2
         _, i = idx.search(q, k=10)
         rec = recall_at_k(np.asarray(i), np.asarray(i_ref))
         assert rec >= 0.95, f"int4+rerank recall@10: {rec}"
@@ -196,7 +204,7 @@ class TestFlatIndexInt4:
         idx = FlatIndex.build(c, cfg)
         idx.save(str(tmp_path / "i4"))
         idx2 = FlatIndex.load(str(tmp_path / "i4"))
-        assert idx2.n == 500 and idx2.corpus.shape[1] == 32
+        assert idx2.n == 500 and idx2.corpus.shape == (256, 64)
         _, ia = idx.search(np.asarray(c[7]), k=5)
         _, ib = idx2.search(np.asarray(c[7]), k=5)
         np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
@@ -221,7 +229,8 @@ class TestFlatIndexInt4:
         c = _vecs(3000, 64, seed=33)
         q = _vecs(8, 64, seed=34)
         idx = ShardedFlatIndex.build(c, mesh, cfg)
-        assert idx.corpus.shape[1] == 32
+        # 3000 -> n_pad 4096 logical over 8 shards -> 2048 packed byte-rows
+        assert idx.corpus.shape == (2048, 64)
         s, i = idx.search(q, k=10)
         _, i_ref = flat_search_xla(q, c, 10)
         # global merge must route shard-local hits back to global ids
@@ -230,10 +239,11 @@ class TestFlatIndexInt4:
         # and the scores must be the int4 scores of those exact rows
         c4, cs = quantize_rows_int4(c)
         q8, qs = quantize_rows(q)
+        cs_log = np.asarray(cs).T.reshape(-1)[: c.shape[0]]
         oracle = (np.asarray(q8, np.int32)
                   @ np.asarray(unpack_int4(c4), np.int32).T
                   ).astype(np.float32) * np.asarray(qs)[:, None] \
-            * np.asarray(cs)[None, :]
+            * cs_log[None, :]
         got = np.take_along_axis(oracle, np.asarray(i), axis=1)
         np.testing.assert_allclose(np.asarray(s), got, rtol=1e-5)
 
