@@ -29,25 +29,41 @@ from mediquery_rag_tpu.ops.scoring import flat_search, flat_search_xla
 
 N, D, B, K = 1_000_000, 768, 64, 10
 TC, QT = 2048, 64
+TC4 = 6144   # int4 row-pair tile (logical rows; larger tiles amortize)
 ITERS = 32   # two-point timing differences 32 vs 16 iterations; a larger
              # span amortizes relay jitter (~100 ms/round trip) better
 
 
 def main() -> None:
-    from mediquery_rag_tpu.ops.quant import int8_flat_search, quantize_rows
+    from mediquery_rag_tpu.ops.quant import (
+        int4_flat_search, int8_flat_search, quantize_rows, quantize_rows_int4,
+    )
 
-    key = jax.random.PRNGKey(0)
-    c = jax.random.normal(key, (N, D), dtype=jnp.float32)
-    c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
-    c_bf16 = c.astype(jnp.bfloat16)
     n_pad = -(-N // TC) * TC
-    c_pad = jnp.pad(c_bf16, ((0, n_pad - N), (0, 0)))
-    c8, cs = quantize_rows(c)
-    c8p = jnp.pad(c8, ((0, n_pad - N), (0, 0)))
-    csp = jnp.pad(cs, ((0, n_pad - N),))
+    n_pad4 = -(-N // TC4) * TC4
 
-    qs = jax.random.normal(jax.random.PRNGKey(1), (ITERS, B, D), dtype=jnp.float32)
-    qs = (qs / jnp.linalg.norm(qs, axis=-1, keepdims=True))
+    @jax.jit
+    def _mk():
+        """All data prep in ONE traced program: XLA frees the int32
+        quantization temporaries (3 GB each at 1M x 768) between steps —
+        eagerly they coexist with every resident copy and OOM the chip."""
+        c = jax.random.normal(jax.random.PRNGKey(0), (N, D), jnp.float32)
+        c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+        c_bf16 = c.astype(jnp.bfloat16)
+        c_pad = jnp.pad(c_bf16, ((0, n_pad - N), (0, 0)))
+        c8, cs = quantize_rows(c)
+        c8p = jnp.pad(c8, ((0, n_pad - N), (0, 0)))
+        csp = jnp.pad(cs, ((0, n_pad - N),))
+        # int4 row-pair path: its own (larger) tile — 6144 measured fastest
+        c4, cs4 = quantize_rows_int4(c)
+        c4p = jnp.pad(c4, ((0, n_pad4 // 2 - c4.shape[0]), (0, 0)))
+        cs4p = jnp.pad(cs4, ((0, 0), (0, n_pad4 // 2 - cs4.shape[1])))
+        q = jax.random.normal(jax.random.PRNGKey(1), (ITERS, B, D),
+                              jnp.float32)
+        q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+        return c, c_bf16, c_pad, c8p, csp, c4p, cs4p, q
+
+    c, c_bf16, c_pad, c8p, csp, c4p, cs4p, qs = jax.block_until_ready(_mk())
 
     # recall vs f32 oracle
     _, i_ref = flat_search_xla(qs[0], c, K)
@@ -55,6 +71,8 @@ def main() -> None:
     recall_bf16 = recall_at_k(i_bf, i_ref)
     _, i_i8 = int8_flat_search(qs[0], c8p, csp, K, n_valid=N, corpus_tile=TC)
     recall_int8 = recall_at_k(i_i8, i_ref)
+    _, i_i4 = int4_flat_search(qs[0], c4p, cs4p, K, n_valid=N, corpus_tile=TC4)
+    recall_int4 = recall_at_k(i_i4, i_ref)
 
     t_bf16 = device_time(
         lambda q, cp: flat_search(
@@ -62,6 +80,10 @@ def main() -> None:
     t_int8 = device_time(
         lambda q, cp, sp: int8_flat_search(
             q, cp, sp, K, n_valid=N, corpus_tile=TC), qs, c8p, csp)
+    t_int4 = device_time(
+        lambda q, cp, sp: int4_flat_search(
+            q, cp, sp, K, n_valid=N, query_tile=QT, corpus_tile=TC4),
+        qs, c4p, cs4p)
     t_xla = device_time(lambda q, cc: flat_search_xla(q, cc, K), qs, c_bf16)
 
     result = {
@@ -74,9 +96,13 @@ def main() -> None:
         "int8_ms_per_batch": round(t_int8 * 1e3, 3),
         "bf16_ms_per_batch": round(t_bf16 * 1e3, 3),
         "bf16_qps": round(B / t_bf16, 1),
+        "int4_ms_per_batch": round(t_int4 * 1e3, 3),
+        "int4_qps": round(B / t_int4, 1),
+        "recall_at_10_int4_vs_f32": recall_int4,
         "xla_naive_bf16_ms_per_batch": round(t_xla * 1e3, 3),
         "hbm_floor_ms_bf16": round(n_pad * D * 2 / 819e9 * 1e3, 3),
         "hbm_floor_ms_int8": round(n_pad * (D + 4) / 819e9 * 1e3, 3),
+        "hbm_floor_ms_int4": round(n_pad4 * (D // 2 + 4) / 819e9 * 1e3, 3),
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))
