@@ -119,19 +119,21 @@ def load_sharded_ivf(path: str, mesh: Mesh):
     dtype = jnp.int8 if cfg.dtype in ("int8", "int4") else jnp.dtype(cfg.dtype)
     sh_rows = NamedSharding(mesh, P(axis, None))
     repl = NamedSharding(mesh, P())
+    # meta["rows"] is the stored PHYSICAL row count: int4 buckets hold
+    # cap/2 packed byte-rows per bucket, ids/scales stay [n_buckets, cap]
+    per_bucket = meta["cap"] // 2 if cfg.dtype == "int4" else meta["cap"]
+    n_buckets = meta["rows"] // per_bucket
     target = {
         "centroids": jax.ShapeDtypeStruct(
             (meta["nlist"], meta["d"]), jnp.float32, sharding=repl),
         "buckets": jax.ShapeDtypeStruct(
             (meta["rows"], meta["d"]), dtype, sharding=sh_rows),
         "bucket_ids": jax.ShapeDtypeStruct(
-            (meta["rows"] // meta["cap"], meta["cap"]), jnp.int32,
-            sharding=sh_rows),
+            (n_buckets, meta["cap"]), jnp.int32, sharding=sh_rows),
     }
     if meta["has_scales"]:
         target["bucket_scales"] = jax.ShapeDtypeStruct(
-            (meta["rows"] // meta["cap"], meta["cap"]), jnp.float32,
-            sharding=sh_rows)
+            (n_buckets, meta["cap"]), jnp.float32, sharding=sh_rows)
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(_arrays_dir(path), target)
     return ShardedIVFIndex(

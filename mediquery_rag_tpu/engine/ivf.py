@@ -33,7 +33,8 @@ from mediquery_rag_tpu.ops.kmeans import (
     assign_clusters, assign_clusters_topr, kmeans,
 )
 from mediquery_rag_tpu.ops.ivf_kernel import (
-    ivf_batch_search, ivf_probe_search, ivf_probe_search_int8,
+    ivf_batch_search, ivf_probe_search, ivf_probe_search_int4,
+    ivf_probe_search_int8,
 )
 
 
@@ -118,23 +119,30 @@ def _scatter_scalars(buf, pos, vals):
     return buf.at[pos].set(vals)
 
 
-@functools.partial(jax.jit, static_argnames=("cosine", "int8", "storage"))
-def _prep_chunk(x, *, cosine, int8, storage="float32"):
-    """Normalize (+quantize/cast) one corpus chunk for scattering."""
+@functools.partial(jax.jit, static_argnames=("cosine", "quant", "storage"))
+def _prep_chunk(x, *, cosine, quant, storage="float32"):
+    """Normalize (+quantize/cast) one corpus chunk for scattering.
+
+    ``quant``: "none" | "int8" | "int4" — int4 yields unpacked CODES (one
+    int8 byte each); the builder packs slot pairs after layout.
+    """
     v = x.astype(jnp.float32)
     if cosine:
         v = l2_normalize(v)
-    if int8:
+    if quant == "int8":
         from mediquery_rag_tpu.ops.quant import quantize_rows
         return quantize_rows(v)
+    if quant == "int4":
+        from mediquery_rag_tpu.ops.quant import int4_codes
+        return int4_codes(v)
     return v.astype(jnp.dtype(storage)), jnp.zeros((v.shape[0],), jnp.float32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nprobe", "batched", "int8", "cosine")
+    jax.jit, static_argnames=("k", "nprobe", "batched", "quant", "cosine")
 )
 def _ivf_dispatch(q_pad, cents, buckets, bucket_ids, scales, *,
-                  k, nprobe, batched, int8, cosine):
+                  k, nprobe, batched, quant, cosine):
     """Single-trace IVF dispatch: normalize + centroid probe + kernel.
 
     Keeping the whole pipeline in one jit (with host-bucketed batch sizes)
@@ -148,9 +156,12 @@ def _ivf_dispatch(q_pad, cents, buckets, bucket_ids, scales, *,
     _, pid = jax.lax.top_k(cs, nprobe)
     pid = pid.astype(jnp.int32)
     if batched:
-        return ivf_batch_search(pid, q, buckets, bucket_ids, k=k,
-                                bucket_scales=scales if int8 else None)
-    if int8:
+        return ivf_batch_search(
+            pid, q, buckets, bucket_ids, k=k,
+            bucket_scales=scales if quant != "none" else None, quant=quant)
+    if quant == "int4":
+        return ivf_probe_search_int4(pid, q, buckets, bucket_ids, scales, k=k)
+    if quant == "int8":
         return ivf_probe_search_int8(pid, q, buckets, bucket_ids, scales, k=k)
     return ivf_probe_search(pid, q.astype(buckets.dtype), buckets,
                             bucket_ids, k=k)
@@ -159,12 +170,13 @@ def _ivf_dispatch(q_pad, cents, buckets, bucket_ids, scales, *,
 @dataclass
 class IVFIndex:
     centroids: jax.Array     # [nlist, D] f32
-    buckets: jax.Array       # [nlist * cap, D] storage dtype
+    buckets: jax.Array       # [nlist * cap, D]; int4: [nlist * cap/2, D]
+                             # split-half packed (ops/quant.py)
     bucket_ids: jax.Array    # [nlist, cap] i32 global doc id, -1 = empty
     n: int
     cap: int
     cfg: EngineConfig
-    bucket_scales: jax.Array | None = None   # [nlist, cap] f32, int8 only
+    bucket_scales: jax.Array | None = None   # [nlist, cap] f32, int8/int4
     _next_id: int | None = None              # None = n (no mutations yet)
     # host-RAM f16 copy indexed by STABLE DOC ID for two-stage refinement
     # (int8 + cfg.rerank_factor): rows are never removed (ids are stable),
@@ -180,11 +192,6 @@ class IVFIndex:
         key: jax.Array | None = None,
     ) -> "IVFIndex":
         host_src = vectors if isinstance(vectors, np.ndarray) else None
-        if cfg.dtype == "int4":
-            raise ValueError(
-                "IVF supports float/int8 storage; int4 is a FlatIndex/"
-                "ShardedFlatIndex dtype (the IVF probe kernels gather "
-                "bucket rows, which nibble packing would split)")
         v = jnp.asarray(vectors)
         n, d = v.shape
         nlist = min(cfg.ivf_nlist, max(1, n // 8))
@@ -192,7 +199,7 @@ class IVFIndex:
             v = l2_normalize(v.astype(jnp.float32))
         v32 = v.astype(jnp.float32)
         refine = None
-        if cfg.dtype == "int8" and cfg.rerank_factor:
+        if cfg.dtype in ("int8", "int4") and cfg.rerank_factor:
             from mediquery_rag_tpu.engine.flat import _refine_copy
             refine = _refine_copy(host_src, v32, cfg.metric == "cosine")
 
@@ -222,8 +229,8 @@ class IVFIndex:
         # [nlist*cap, D] vector gather on device at HBM bandwidth
         bucket_ids, _, cap = _plan_layout(
             top_ids, top_scores, nlist, n, cap_limit)
-        int8 = cfg.dtype == "int8"
-        storage = jnp.int8 if int8 else jnp.dtype(cfg.dtype)
+        quant = cfg.dtype if cfg.dtype in ("int8", "int4") else "none"
+        storage = jnp.int8 if quant != "none" else jnp.dtype(cfg.dtype)
         total = nlist * cap
         chunk = 65536
         pad_rows = _round_up(total, chunk)
@@ -231,22 +238,28 @@ class IVFIndex:
         flat_rows[:total] = bucket_ids.reshape(-1)
         # chunked gather: cast/quantize each chunk to the storage dtype
         # immediately so the f32 intermediate stays ~chunk*D instead of
-        # nlist*cap*D (OOM at 1M x 768 otherwise)
+        # nlist*cap*D (OOM at 1M x 768 otherwise). int4 gathers CODES
+        # (one byte each) and packs slot pairs once the layout is complete.
         def gather_chunk(rows):
             g = jnp.take(v32, jnp.maximum(rows, 0), axis=0)
             g = jnp.where((rows >= 0)[:, None], g, 0.0)
-            if int8:
+            if quant == "int8":
                 from mediquery_rag_tpu.ops.quant import quantize_rows
-                q8, sc = quantize_rows(g)
-                return q8, sc
+                return quantize_rows(g)
+            if quant == "int4":
+                from mediquery_rag_tpu.ops.quant import int4_codes
+                return int4_codes(g)
             return g.astype(storage), jnp.zeros((rows.shape[0],), jnp.float32)
 
         parts, part_scales = jax.lax.map(
             gather_chunk, jnp.asarray(flat_rows.reshape(-1, chunk)))
         buckets = parts.reshape(pad_rows, d)[:total]
         scales = None
-        if int8:
+        if quant != "none":
             scales = part_scales.reshape(pad_rows)[:total].reshape(nlist, cap)
+        if quant == "int4":
+            from mediquery_rag_tpu.ops.quant import ivf_pack_slots_int4
+            buckets = ivf_pack_slots_int4(buckets, nlist, cap)
 
         return cls(
             centroids=cents,
@@ -287,13 +300,11 @@ class IVFIndex:
         set it explicitly afterwards if the host has room.
         """
         key = jax.random.PRNGKey(0) if key is None else key
-        if cfg.dtype == "int4":
-            raise ValueError("IVF supports float/int8 storage, not int4")
         d = cfg.dim
         nlist = min(cfg.ivf_nlist, max(1, n // 8))
-        int8 = cfg.dtype == "int8"
+        quant = cfg.dtype if cfg.dtype in ("int8", "int4") else "none"
         cosine = cfg.metric == "cosine"
-        storage = jnp.int8 if int8 else jnp.dtype(cfg.dtype)
+        storage = jnp.int8 if quant != "none" else jnp.dtype(cfg.dtype)
 
         # pass 1: stride-sample for k-means (cheap host slicing)
         target = min(cfg.ivf_sample, n)
@@ -321,7 +332,7 @@ class IVFIndex:
             m = x.shape[0]
             if m != chunk_rows:                      # pad the short tail
                 x = jnp.pad(x, ((0, chunk_rows - m), (0, 0)))
-            v, _ = _prep_chunk(x, cosine=cosine, int8=False,
+            v, _ = _prep_chunk(x, cosine=cosine, quant="none",
                                storage="float32")
             ti, ts = assign_clusters_topr(v, cents, r=r_alt)
             ids_parts.append(np.asarray(ti[:m]))
@@ -340,26 +351,36 @@ class IVFIndex:
 
         # pass 3: scatter prepared rows into the bucket buffer. One extra
         # dummy bucket at the end absorbs the padded tail rows (probe ids
-        # are always < nlist, so it is never DMA'd).
+        # are always < nlist, so it is never DMA'd). int4 scatters CODE
+        # bytes here and pairs them into nibbles in one final donated pass
+        # (per-slot nibble RMW scatter would be a read-modify-write mess).
         total = (nlist + 1) * cap
         dummy = nlist * cap
         buckets = jnp.zeros((total, d), storage)
-        scales = jnp.zeros((total,), jnp.float32) if int8 else None
+        scales = jnp.zeros((total,), jnp.float32) if quant != "none" else None
         row0 = 0
         for chunk in make_chunks():
             x = jnp.asarray(chunk)
             m = x.shape[0]
             if m != chunk_rows:
                 x = jnp.pad(x, ((0, chunk_rows - m), (0, 0)))
-            rows, sc = _prep_chunk(x, cosine=cosine, int8=int8,
+            rows, sc = _prep_chunk(x, cosine=cosine, quant=quant,
                                    storage=cfg.dtype)
             pos = np.full(chunk_rows, dummy, dtype=np.int64)
             pos[:m] = positions[row0:row0 + m]
             pos_j = jnp.asarray(pos)
             buckets = _scatter_rows(buckets, pos_j, rows)
-            if int8:
+            if quant != "none":
                 scales = _scatter_scalars(scales, pos_j, sc)
             row0 += m
+        if quant == "int4":
+            # (donating the code buffer is futile: the packed output has a
+            # different shape, so XLA cannot alias it — peak HBM here is
+            # codes + packed = 1.5x the int8 build's buffer, still far under
+            # the f32 corpus this builder exists to avoid)
+            from mediquery_rag_tpu.ops.quant import ivf_pack_slots_int4
+            buckets = jax.jit(ivf_pack_slots_int4,
+                              static_argnums=(1, 2))(buckets, nlist + 1, cap)
 
         return cls(
             centroids=cents,
@@ -369,7 +390,7 @@ class IVFIndex:
             cap=cap,
             cfg=cfg,
             bucket_scales=(scales.reshape(nlist + 1, cap)[:nlist]
-                           if int8 else None),
+                           if quant != "none" else None),
         )
 
     def search(self, queries, k: int | None = None, nprobe: int | None = None,
@@ -392,8 +413,8 @@ class IVFIndex:
             # and B=256/nlist=2048 — benchmarks/ivf_batch.py; skewed probe
             # distributions only shift the crossover in bucket-major's favor)
             batched = b * nprobe >= 2 * self.centroids.shape[0]
-        int8 = self.bucket_scales is not None
-        scales = (self.bucket_scales if int8
+        quant = self.cfg.dtype if self.bucket_scales is not None else "none"
+        scales = (self.bucket_scales if quant != "none"
                   else jnp.zeros((0, self.cap), jnp.float32))
         cosine = self.cfg.metric == "cosine"
         rerank = self.refine is not None and self.cfg.rerank_factor > 0
@@ -401,7 +422,7 @@ class IVFIndex:
         kk = max(kk, k)
         s, i = _ivf_dispatch(
             q_pad, self.centroids, self.buckets, self.bucket_ids, scales,
-            k=kk, nprobe=nprobe, batched=bool(batched), int8=int8,
+            k=kk, nprobe=nprobe, batched=bool(batched), quant=quant,
             cosine=cosine,
         )
         s, i = s[:b], i[:b]
@@ -471,12 +492,19 @@ class IVFIndex:
             new_cap = _round_up(int((used + need).max()), 32)
 
         # compact each bucket's live ids to the front (delete leaves holes),
-        # then append the new rows — all as one host permutation + device pad
+        # then append the new rows — all as one host permutation + device pad.
+        # int4 buckets unpack to slot-ordered code bytes first (a nibble
+        # cannot be gathered), mutate as codes, and repack at the end.
+        int4 = self.cfg.dtype == "int4"
+        src = self.buckets
+        if int4:
+            from mediquery_rag_tpu.ops.quant import ivf_unpack_slots_int4
+            src = ivf_unpack_slots_int4(self.buckets, nlist, self.cap)
         order = np.argsort(ids < 0, axis=1, kind="stable")   # live first
         ids_c = np.take_along_axis(ids, order, axis=1)
         gather = order + (np.arange(nlist) * self.cap)[:, None]
         gj = jnp.asarray(gather.reshape(-1), jnp.int32)
-        bk = jnp.take(self.buckets, gj, axis=0).reshape(nlist, self.cap, d)
+        bk = jnp.take(src, gj, axis=0).reshape(nlist, self.cap, d)
         sc = (jnp.take(self.bucket_scales.reshape(-1), gj)
               .reshape(nlist, self.cap) if self.bucket_scales is not None
               else None)
@@ -500,14 +528,21 @@ class IVFIndex:
             refine = np.concatenate(
                 [refine, np.asarray(v32, dtype=np.float16)], axis=0)
         if self.bucket_scales is not None:
-            from mediquery_rag_tpu.ops.quant import quantize_rows
-            q8, s_new = quantize_rows(v32)
-            bk = bk.reshape(nlist * new_cap, d).at[flat_pos].set(q8)
+            from mediquery_rag_tpu.ops.quant import int4_codes, quantize_rows
+            rows_new, s_new = (int4_codes(v32) if int4
+                               else quantize_rows(v32))
+            bk = bk.reshape(nlist * new_cap, d).at[flat_pos].set(rows_new)
             sc = sc.reshape(-1).at[flat_pos].set(s_new).reshape(nlist, new_cap)
         else:
             bk = bk.reshape(nlist * new_cap, d).at[flat_pos].set(
                 v32.astype(self.buckets.dtype))
 
+        if int4:
+            from mediquery_rag_tpu.ops.quant import ivf_pack_slots_int4
+            bk = ivf_pack_slots_int4(bk.reshape(nlist * new_cap, d),
+                                     nlist, new_cap)
+        else:
+            bk = bk.reshape(nlist * new_cap, d)
         new_ids = ids_c.reshape(-1).copy()
         new_ids[np.asarray(flat_pos)] = self.next_id + np.arange(m)
         return replace(
@@ -557,7 +592,8 @@ class IVFIndex:
             meta = json.load(f)
         cfg = EngineConfig(**{**EngineConfig().__dict__, **meta["cfg"]})
         z = np.load(os.path.join(path, "ivf.npz"))
-        storage = jnp.int8 if cfg.dtype == "int8" else jnp.dtype(cfg.dtype)
+        storage = (jnp.int8 if cfg.dtype in ("int8", "int4")
+                   else jnp.dtype(cfg.dtype))
         return cls(
             centroids=jnp.asarray(z["centroids"]),
             buckets=jnp.asarray(z["buckets"]).astype(storage),

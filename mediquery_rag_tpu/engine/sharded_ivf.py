@@ -30,7 +30,8 @@ from mediquery_rag_tpu.engine.flat import (
 )
 from mediquery_rag_tpu.engine.ivf import IVFIndex
 from mediquery_rag_tpu.ops.ivf_kernel import (
-    ivf_batch_search, ivf_probe_search, ivf_probe_search_int8,
+    ivf_batch_search, ivf_probe_search, ivf_probe_search_int4,
+    ivf_probe_search_int8,
 )
 from mediquery_rag_tpu.parallel.collectives import sharded_topk_merge
 
@@ -66,15 +67,18 @@ class ShardedIVFIndex:
         nlist, cap = base.bucket_ids.shape
         d = base.buckets.shape[1]
         per = -(-nlist // s)                       # clusters per shard
+        # int4 buckets are split-half packed: cap/2 byte-rows per bucket;
+        # ids/scales stay slot-ordered [*, cap] like every other dtype
+        rows = cap // 2 if cfg.dtype == "int4" else cap
 
-        # host-side relayout: [s, per+1, cap, ...] with sentinel appended
+        # host-side relayout: [s, per+1, rows, ...] with sentinel appended
         bids = np.full((s, per + 1, cap), -1, dtype=np.int32)
-        bvecs = np.zeros((s, per + 1, cap, d),
+        bvecs = np.zeros((s, per + 1, rows, d),
                          dtype=np.asarray(base.buckets[:1]).dtype)
         src_ids = np.asarray(base.bucket_ids)
         # streaming-built indexes carry one dummy tail bucket — drop it
-        src_vecs = np.asarray(base.buckets)[: nlist * cap].reshape(
-            nlist, cap, d)
+        src_vecs = np.asarray(base.buckets)[: nlist * rows].reshape(
+            nlist, rows, d)
         int8 = base.bucket_scales is not None
         bscales = np.zeros((s, per + 1, cap), np.float32) if int8 else None
         src_scales = np.asarray(base.bucket_scales) if int8 else None
@@ -87,7 +91,7 @@ class ShardedIVFIndex:
 
         sharding_b = NamedSharding(mesh, P(axis, None))
         buckets = jax.device_put(
-            jnp.asarray(bvecs.reshape(s * (per + 1) * cap, d)),
+            jnp.asarray(bvecs.reshape(s * (per + 1) * rows, d)),
             sharding_b)
         bucket_ids = jax.device_put(
             jnp.asarray(bids.reshape(s * (per + 1), cap)), sharding_b)
@@ -112,8 +116,8 @@ class ShardedIVFIndex:
             # same crossover rule as IVFIndex.search (draws >= 2*nlist; the
             # per-shard dedup ratio matches the global one in expectation)
             batched = b * nprobe >= 2 * self.nlist
-        int8 = self.bucket_scales is not None
-        scales = (self.bucket_scales if int8
+        quant = self.cfg.dtype if self.bucket_scales is not None else "none"
+        scales = (self.bucket_scales if quant != "none"
                   else jnp.zeros((0, self.cap), jnp.float32))
         # replicate the small operands explicitly: a checkpoint-restored
         # index is committed to the whole mesh, and jit refuses to mix
@@ -126,7 +130,7 @@ class ShardedIVFIndex:
             self.bucket_ids, scales,
             mesh=self.mesh, axis=self.cfg.mesh_axis, k=k, nprobe=nprobe,
             per_shard=self.per_shard, cap=self.cap, batched=bool(batched),
-            int8=int8, cosine=self.cfg.metric == "cosine",
+            quant=quant, cosine=self.cfg.metric == "cosine",
         )
         s, i = s[:b], i[:b]
         if squeeze:
@@ -140,9 +144,9 @@ class ShardedIVFIndex:
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "k", "nprobe", "per_shard",
-                                   "cap", "batched", "int8", "cosine"))
+                                   "cap", "batched", "quant", "cosine"))
 def _sharded_ivf_search(q, cents, buckets, bucket_ids, scales, *, mesh, axis,
-                        k, nprobe, per_shard, cap, batched, int8, cosine):
+                        k, nprobe, per_shard, cap, batched, quant, cosine):
     q = q.astype(jnp.float32)
     if cosine:
         q = l2_normalize(q)
@@ -157,9 +161,12 @@ def _sharded_ivf_search(q, cents, buckets, bucket_ids, scales, *, mesh, axis,
         # foreign probes -> the sentinel empty bucket (index per_shard)
         local_pid = jnp.where(mine, local_pid, per_shard).astype(jnp.int32)
         if batched:
-            s, i = ivf_batch_search(local_pid, qb, bk, bids, k=k,
-                                    bucket_scales=bsc if int8 else None)
-        elif int8:
+            s, i = ivf_batch_search(
+                local_pid, qb, bk, bids, k=k,
+                bucket_scales=bsc if quant != "none" else None, quant=quant)
+        elif quant == "int4":
+            s, i = ivf_probe_search_int4(local_pid, qb, bk, bids, bsc, k=k)
+        elif quant == "int8":
             s, i = ivf_probe_search_int8(local_pid, qb, bk, bids, bsc, k=k)
         else:
             s, i = ivf_probe_search(local_pid, qb.astype(bk.dtype), bk, bids,

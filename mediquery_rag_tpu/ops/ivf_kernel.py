@@ -215,6 +215,111 @@ def ivf_probe_search_int8(probe_ids, queries, buckets, bucket_ids,
     return s * qs[:, None], i
 
 
+def _ivf_int4_kernel(pids_ref, q_ref, buckets_ref, bids_ref, bsc_ref,
+                     out_s_ref, out_i_ref, sc_ref, flag_ref, *, k):
+    """int4 variant: buckets are bucket-local split-half packed (slot j in
+    the low nibble of packed row j, slot j+cap/2 in the high nibble — see
+    ops/quant.py ivf_pack_slots_int4), so half the probe DMA bytes of int8.
+    Scoring is the row-pair identity from the flat int4 kernel: two i8 MXU
+    dots + one ``& 15`` VPU pass per probed bucket. The per-query scale is
+    rank-preserving and applied by the caller."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.zeros_like(out_i_ref)
+
+    p = buckets_ref[:]                                      # [cap/2, D] i8
+    caph = p.shape[0]
+    ulo = p & 15
+    q = q_ref[:].reshape(1, q_ref.shape[-1])                # [1, D] i8
+    dims = (((1,), (1,)), ((), ()))
+    dotU = jax.lax.dot_general(q, ulo, dimension_numbers=dims,
+                               preferred_element_type=jnp.int32)
+    dotP = jax.lax.dot_general(q, p, dimension_numbers=dims,
+                               preferred_element_type=jnp.int32)
+    corr = 8.0 * jnp.sum(q.astype(jnp.int32)).astype(jnp.float32)
+    dU = dotU.astype(jnp.float32)
+    # scales arrive pre-shaped [1, 2, caph]: slicing the SUBLANE axis is
+    # always aligned — a lane slice at offset caph (not a multiple of 128)
+    # fails Mosaic lowering on real TPU (interpret mode never catches it)
+    scales = bsc_ref[:].reshape(2, caph)
+    even = (dU - corr) * scales[0:1, :]
+    odd = (dotP.astype(jnp.float32) - dU) * scales[1:2, :] * 0.0625
+    scores = jnp.concatenate([even, odd], axis=1)           # slot order
+    ids = bids_ref[:].reshape(1, bids_ref.shape[-1])
+    scores = jnp.where(ids >= 0, scores, NEG_INF)
+
+    _merge_tile_sorted(scores, ids, k, out_s_ref.at[0], out_i_ref.at[0],
+                       sc_ref, flag_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cap", "interpret"))
+def _ivf_probe_search_int4(probe_ids, q8, buckets, bucket_ids, bucket_scales,
+                           *, k, cap, interpret):
+    b, d = q8.shape
+    nlist = bucket_ids.shape[0]
+    nprobe = probe_ids.shape[1]
+    kp = LANE
+    caph = cap // 2
+
+    q3 = q8.reshape(b, 1, d)
+    bids3 = bucket_ids.reshape(nlist, 1, cap)
+    bsc3 = bucket_scales.reshape(nlist, 2, caph)   # (even, odd) plane rows
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nprobe),
+        in_specs=[
+            pl.BlockSpec((1, 1, d), lambda i, j, pids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((caph, d), lambda i, j, pids: (pids[i, j], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cap), lambda i, j, pids: (pids[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, caph), lambda i, j, pids: (pids[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, kp), lambda i, j, pids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kp), lambda i, j, pids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, cap), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    out_s, out_i = pl.pallas_call(
+        functools.partial(_ivf_int4_kernel, k=k),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, kp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, kp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(probe_ids, q3, buckets, bids3, bsc3)
+    return out_s[:, 0, :k], out_i[:, 0, :k]
+
+
+def ivf_probe_search_int4(probe_ids, queries, buckets, bucket_ids,
+                          bucket_scales, *, k, interpret=None):
+    """int4 probe search over split-half packed buckets. ``queries`` f32
+    [B, D] (int8-quantized here); returned scores are rescaled."""
+    from mediquery_rag_tpu.ops.quant import quantize_rows
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    q8, qs = quantize_rows(queries)
+    cap = bucket_ids.shape[1]
+    s, i = _ivf_probe_search_int4(
+        probe_ids, q8, buckets, bucket_ids, bucket_scales,
+        k=k, cap=cap, interpret=interpret)
+    return s * qs[:, None], i
+
+
 # -- bucket-major batched probe search ---------------------------------------
 #
 # The per-query kernel above runs grid (B, nprobe): each step is a
@@ -293,8 +398,49 @@ def _ivf_batch_int8_kernel(uniq_ref, probe_ref, q_ref, buckets_ref, bids_ref,
                            sc_ref, flag_ref)
 
 
+def _ivf_batch_int4_kernel(uniq_ref, probe_ref, q_ref, buckets_ref, bids_ref,
+                           bsc_ref, out_s_ref, out_i_ref, sc_ref, flag_ref,
+                           *, k):
+    """int4 bucket-major variant: split-half packed bucket, whole-batch
+    row-pair scoring (two i8 MXU dots per unique bucket)."""
+    u = pl.program_id(0)
+    uid = uniq_ref[u]
+
+    @pl.when(u == 0)
+    def _init():
+        out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
+        out_i_ref[:] = jnp.zeros_like(out_i_ref)
+
+    @pl.when(uid >= 0)
+    def _body():
+        p = buckets_ref[:]                                  # [cap/2, D] i8
+        caph = p.shape[0]
+        ulo = p & 15
+        q = q_ref[:]                                        # [B, D] i8
+        dims = (((1,), (1,)), ((), ()))
+        dotU = jax.lax.dot_general(q, ulo, dimension_numbers=dims,
+                                   preferred_element_type=jnp.int32)
+        dotP = jax.lax.dot_general(q, p, dimension_numbers=dims,
+                                   preferred_element_type=jnp.int32)
+        corr = 8.0 * jnp.sum(q.astype(jnp.int32), axis=1,
+                             keepdims=True).astype(jnp.float32)
+        dU = dotU.astype(jnp.float32)
+        # sublane-axis plane slices (lane slices at offset caph misalign)
+        scales = bsc_ref[:].reshape(2, caph)
+        even = (dU - corr) * scales[0:1, :]
+        odd = (dotP.astype(jnp.float32) - dU) * scales[1:2, :] * 0.0625
+        scores = jnp.concatenate([even, odd], axis=1)       # [B, cap] slots
+        ids = bids_ref[:].reshape(1, bids_ref.shape[-1])
+        probed = jnp.any(probe_ref[:] == uid, axis=1, keepdims=True)
+        scores = jnp.where(ids >= 0, scores, NEG_INF)
+        scores = jnp.where(probed, scores, NEG_INF)
+        col = jnp.broadcast_to(ids, scores.shape)
+        _merge_tile_sorted(scores, col, k, out_s_ref, out_i_ref,
+                           sc_ref, flag_ref)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "cap", "n_uniq", "interpret", "int8")
+    jax.jit, static_argnames=("k", "cap", "n_uniq", "interpret", "quant")
 )
 def _ivf_batch_search(
     probe_pad: jax.Array,     # [Bp, nprobe] i32, -1 on padded query rows
@@ -308,7 +454,7 @@ def _ivf_batch_search(
     cap: int,
     n_uniq: int,
     interpret: bool,
-    int8: bool,
+    quant: str,          # "none" | "int8" | "int4"
 ):
     bp, d = q_pad.shape
     nlist = bucket_ids.shape[0]
@@ -316,9 +462,15 @@ def _ivf_batch_search(
     kp = LANE
 
     # singleton sublane axis so per-bucket row blocks satisfy the TPU block
-    # tiling rule (same layout trick as the query-major kernel above)
+    # tiling rule (same layout trick as the query-major kernel above);
+    # int4 scales reshape to (even, odd) plane rows for aligned slicing
     bids3 = bucket_ids.reshape(nlist, 1, cap)
-    bsc3 = bucket_scales.reshape(nlist, 1, cap) if int8 else bucket_scales
+    if quant == "int4":
+        bsc3 = bucket_scales.reshape(nlist, 2, cap // 2)
+    elif quant == "int8":
+        bsc3 = bucket_scales.reshape(nlist, 1, cap)
+    else:
+        bsc3 = bucket_scales
 
     # padded uniq entries sit contiguously at the tail; clamping their
     # index_map to bucket 0 means at most one redundant DMA for the whole tail
@@ -328,19 +480,23 @@ def _ivf_batch_search(
     def bucket_map3(u, uq):
         return (jnp.maximum(uq[u], 0), 0, 0)
 
+    rows = cap // 2 if quant == "int4" else cap   # packed byte-rows per bucket
     in_specs = [
         pl.BlockSpec((bp, nprobe), lambda u, uq: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((bp, d), lambda u, uq: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((cap, d), bucket_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, d), bucket_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, cap), bucket_map3, memory_space=pltpu.VMEM),
     ]
     operands = [probe_pad, q_pad, buckets, bids3]
-    if int8:
-        in_specs.append(pl.BlockSpec((1, 1, cap), bucket_map3,
+    if quant != "none":
+        sc_block = (1, 2, cap // 2) if quant == "int4" else (1, 1, cap)
+        in_specs.append(pl.BlockSpec(sc_block, bucket_map3,
                                      memory_space=pltpu.VMEM))
         operands.append(bsc3)
-        kern = functools.partial(_ivf_batch_int8_kernel, k=k)
+        kern = functools.partial(
+            _ivf_batch_int4_kernel if quant == "int4"
+            else _ivf_batch_int8_kernel, k=k)
     else:
         kern = functools.partial(_ivf_batch_kernel, k=k)
 
@@ -376,7 +532,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def ivf_batch_search(probe_ids, queries, buckets, bucket_ids, *,
-                     k, bucket_scales=None, interpret=None):
+                     k, bucket_scales=None, quant=None, interpret=None):
     """Bucket-major batched probe search (see module notes above).
 
     Args:
@@ -384,17 +540,20 @@ def ivf_batch_search(probe_ids, queries, buckets, bucket_ids, *,
       queries: [B, D] f32/bf16 (quantized here when ``bucket_scales`` given).
       buckets / bucket_ids / bucket_scales: IVF storage as in
         :func:`ivf_probe_search` / :func:`ivf_probe_search_int8`.
+      quant: "none" | "int8" | "int4"; default int8 when scales are given
+        (int4 buckets are split-half packed — ivf_pack_slots_int4).
 
     Returns (scores [B, k] f32, global doc indices [B, k] i32).
     """
     if interpret is None:
         interpret = not _on_tpu()
+    if quant is None:
+        quant = "int8" if bucket_scales is not None else "none"
     b, nprobe = probe_ids.shape
     cap = bucket_ids.shape[1]
     nlist = bucket_ids.shape[0]
-    int8 = bucket_scales is not None
 
-    if int8:
+    if quant != "none":
         from mediquery_rag_tpu.ops.quant import quantize_rows
         q, qs = quantize_rows(queries)
     else:
@@ -410,14 +569,15 @@ def ivf_batch_search(probe_ids, queries, buckets, bucket_ids, *,
     n_uniq = min(b * nprobe, nlist)
     uniq = jnp.unique(probe_ids[:b].reshape(-1), size=n_uniq, fill_value=-1)
 
-    scales = bucket_scales if int8 else jnp.zeros((nlist, cap), jnp.float32)
+    scales = (bucket_scales if quant != "none"
+              else jnp.zeros((nlist, cap), jnp.float32))
     s, i = _ivf_batch_search(
         probe_ids.astype(jnp.int32), uniq.astype(jnp.int32), q,
         buckets, bucket_ids, scales,
-        k=k, cap=cap, n_uniq=n_uniq, interpret=interpret, int8=int8,
+        k=k, cap=cap, n_uniq=n_uniq, interpret=interpret, quant=quant,
     )
     s, i = s[:b, :k], i[:b, :k]
-    if int8:
+    if quant != "none":
         s = s * qs[:, None]
     return s, i
 

@@ -152,6 +152,49 @@ def quantize_rows_int4(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return packed, scale2
 
 
+def int4_codes(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-row int4 CODES (unpacked, one per byte) + scales.
+
+    The scatter-friendly intermediate for IVF builds: codes land in bucket
+    slots like int8 rows, then :func:`ivf_pack_slots_int4` pairs them.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-12) / 7.0
+    codes = jnp.clip(jnp.round(xf / scale[:, None]), -7, 7).astype(jnp.int8)
+    return codes, scale
+
+
+def ivf_pack_slots_int4(codes: jax.Array, nlist: int, cap: int) -> jax.Array:
+    """Bucket-local split-half packing for IVF: slot ``j`` of a bucket goes
+    to the LOW nibble (biased +8) of packed row ``j``, slot ``j + cap/2`` to
+    the HIGH nibble — so the probe kernels' ``concat([even, odd])`` scores
+    line up with the existing slot-ordered ``bucket_ids``/``bucket_scales``
+    arrays with zero reordering. ``codes`` is ``[nlist*cap, D]`` (int4 codes
+    in int8 bytes, slot order); returns ``[nlist*cap/2, D]`` i8.
+    """
+    if cap % 2:
+        raise ValueError(f"int4 IVF needs even cap, got {cap}")
+    d = codes.shape[1]
+    c3 = codes.reshape(nlist, cap, d).astype(jnp.int32)
+    caph = cap // 2
+    lo, hi = c3[:, :caph], c3[:, caph:]
+    return ((hi * 16) + (lo + 8)).astype(jnp.int8).reshape(nlist * caph, d)
+
+
+def ivf_unpack_slots_int4(packed: jax.Array, nlist: int,
+                          cap: int) -> jax.Array:
+    """Inverse of :func:`ivf_pack_slots_int4`: ``[nlist*cap/2, D]`` i8 ->
+    slot-ordered codes ``[nlist*cap, D]`` i8."""
+    d = packed.shape[1]
+    caph = cap // 2
+    p = packed.reshape(nlist, caph, d).astype(jnp.int32)
+    lo = (p & 15) - 8
+    hi = p >> 4
+    return jnp.concatenate([lo, hi], axis=1).reshape(
+        nlist * cap, d).astype(jnp.int8)
+
+
 def unpack_int4(packed: jax.Array) -> jax.Array:
     """Inverse of the row-pair packing: ``[P, D]`` i8 -> ``[2P, D]`` i32."""
     p = packed.astype(jnp.int32)

@@ -214,12 +214,6 @@ class TestFlatIndexInt4:
         _, i = idx3.search(np.asarray(extra[3]), k=1)
         assert int(i[0]) == 503      # stable id survives the deletes
 
-    def test_ivf_rejects_int4(self):
-        from mediquery_rag_tpu.engine import IVFIndex
-        with pytest.raises(ValueError, match="int4"):
-            IVFIndex.build(_vecs(256, 64, seed=32),
-                           EngineConfig(dim=64, dtype="int4"))
-
     def test_sharded_int4(self):
         from mediquery_rag_tpu.engine import ShardedFlatIndex
         from mediquery_rag_tpu.parallel import corpus_mesh
@@ -246,6 +240,130 @@ class TestFlatIndexInt4:
             * cs_log[None, :]
         got = np.take_along_axis(oracle, np.asarray(i), axis=1)
         np.testing.assert_allclose(np.asarray(s), got, rtol=1e-5)
+
+
+class TestIVFInt4:
+    """Int4 split-half packed buckets: half int8's probe bytes and HBM."""
+
+    def test_full_probe_recall_and_scores(self):
+        from mediquery_rag_tpu.engine import IVFIndex
+        cfg = EngineConfig(dim=64, dtype="int4", ivf_nlist=16,
+                           ivf_kmeans_iters=4)
+        c = _vecs(2000, 64, seed=40)
+        idx = IVFIndex.build(c, cfg)
+        assert idx.buckets.shape == (16 * idx.cap // 2, 64)
+        assert idx.bucket_scales.shape == (16, idx.cap)
+        q = _vecs(6, 64, seed=41)
+        s, i = idx.search(q, k=5, nprobe=16)       # full probe = exact-ish
+        _, i_ref = flat_search_xla(q, c, 5)
+        assert recall_at_k(np.asarray(i), np.asarray(i_ref)) >= 0.85
+        # rescaled scores approximate true cosine (int4 is coarser than int8)
+        s_ref, _ = flat_search_xla(q, c, 5)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=0.1)
+
+    def test_batched_matches_query_major(self):
+        from mediquery_rag_tpu.engine import IVFIndex
+        cfg = EngineConfig(dim=64, dtype="int4", ivf_nlist=8,
+                           ivf_kmeans_iters=3)
+        c = _vecs(1000, 64, seed=42)
+        idx = IVFIndex.build(c, cfg)
+        q = _vecs(16, 64, seed=43)
+        s1, i1 = idx.search(q, k=5, nprobe=4, batched=False)
+        s2, i2 = idx.search(q, k=5, nprobe=4, batched=True)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+
+    def test_memory_half_of_int8(self):
+        from mediquery_rag_tpu.engine import IVFIndex
+        c = _vecs(2000, 128, seed=44)
+        kw = dict(ivf_nlist=16, ivf_kmeans_iters=2)
+        i4 = IVFIndex.build(c, EngineConfig(dim=128, dtype="int4", **kw),
+                            key=jax.random.PRNGKey(1))
+        i8 = IVFIndex.build(c, EngineConfig(dim=128, dtype="int8", **kw),
+                            key=jax.random.PRNGKey(1))
+        vec4 = i4.buckets.size
+        vec8 = i8.buckets.size
+        assert vec4 * 2 == vec8
+
+    def test_add_delete_stable_ids(self):
+        from mediquery_rag_tpu.engine import IVFIndex
+        cfg = EngineConfig(dim=64, dtype="int4", ivf_nlist=4,
+                           ivf_kmeans_iters=2)
+        c = _vecs(300, 64, seed=45)
+        idx = IVFIndex.build(c, cfg)
+        extra = _vecs(10, 64, seed=46)
+        idx2 = idx.add(extra).delete([5, 7])
+        assert idx2.n == 310 and idx2.live == 308
+        _, i = idx2.search(np.asarray(extra[3]), k=1, nprobe=4)
+        assert int(i[0]) == 303
+        # deleted ids never come back
+        s, ii = idx2.search(np.asarray(c[5]), k=5, nprobe=4)
+        assert 5 not in np.asarray(ii)
+
+    def test_save_load(self, tmp_path):
+        from mediquery_rag_tpu.engine import IVFIndex
+        cfg = EngineConfig(dim=64, dtype="int4", ivf_nlist=8,
+                           ivf_kmeans_iters=3)
+        c = _vecs(500, 64, seed=47)
+        idx = IVFIndex.build(c, cfg)
+        idx.save(str(tmp_path / "i4"))
+        idx2 = IVFIndex.load(str(tmp_path / "i4"))
+        assert idx2.buckets.dtype.name == "int8"
+        q = _vecs(3, 64, seed=48)
+        _, i1 = idx.search(q, k=4)
+        _, i2 = idx2.search(q, k=4)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_streaming_matches_in_memory(self):
+        from mediquery_rag_tpu.engine import IVFIndex
+        cfg = EngineConfig(dim=64, dtype="int4", ivf_nlist=8,
+                           ivf_kmeans_iters=3, ivf_sample=512)
+        rng = np.random.default_rng(49)
+        c = rng.standard_normal((1000, 64), dtype=np.float32)
+
+        def chunks():
+            for i in range(0, 1000, 256):
+                yield c[i:i + 256]
+
+        mem = IVFIndex.build(c, cfg, key=jax.random.PRNGKey(2))
+        st = IVFIndex.build_streaming(chunks, 1000, cfg, chunk_rows=256,
+                                      key=jax.random.PRNGKey(2))
+        q = rng.standard_normal((5, 64), dtype=np.float32)
+        _, i1 = mem.search(q, k=5, nprobe=8)
+        _, i2 = st.search(q, k=5, nprobe=8)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_sharded_matches_single_chip(self):
+        from mediquery_rag_tpu.engine.sharded_ivf import ShardedIVFIndex
+        from mediquery_rag_tpu.engine import IVFIndex
+        from mediquery_rag_tpu.parallel import corpus_mesh
+        mesh = corpus_mesh(8)
+        cfg = EngineConfig(dim=64, dtype="int4", ivf_nlist=16,
+                           ivf_kmeans_iters=3)
+        c = _vecs(2000, 64, seed=50)
+        base = IVFIndex.build(c, cfg, key=jax.random.PRNGKey(3))
+        sh = ShardedIVFIndex.from_single(base, mesh)
+        q = _vecs(8, 64, seed=51)
+        s1, i1 = base.search(q, k=5, nprobe=6, batched=False)
+        s2, i2 = sh.search(q, k=5, nprobe=6, batched=False)
+        np.testing.assert_array_equal(np.sort(np.asarray(i1), axis=1),
+                                      np.sort(np.asarray(i2), axis=1))
+        s3, i3 = sh.search(q, k=5, nprobe=6, batched=True)
+        np.testing.assert_array_equal(np.sort(np.asarray(i2), axis=1),
+                                      np.sort(np.asarray(i3), axis=1))
+
+    def test_rerank_recovers_recall(self):
+        from mediquery_rag_tpu.engine import IVFIndex
+        cfg = EngineConfig(dim=768, dtype="int4", ivf_nlist=16,
+                           ivf_kmeans_iters=3, rerank_factor=8)
+        c = _vecs(2000, 768, seed=52)
+        idx = IVFIndex.build(c, cfg)
+        assert idx.refine is not None
+        q = _vecs(8, 768, seed=53)
+        _, i = idx.search(q, k=10, nprobe=16)
+        _, i_ref = flat_search_xla(q, c, 10)
+        rec = recall_at_k(np.asarray(i), np.asarray(i_ref))
+        assert rec >= 0.9, f"int4 IVF + rerank recall@10: {rec}"
 
 
 class TestRerankRefinement:
