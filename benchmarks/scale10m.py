@@ -1,10 +1,11 @@
 """10M x 768 exact search on a single v5e chip (BASELINE config 5 scale).
 
 The config-5 target assumed 10M vectors need a v5e-8 slice; int8 storage
-(7.7 GB + 40 MB scales) fits the whole corpus in ONE chip's HBM. The corpus
-is generated, normalized, and quantized on-device in chunks into a donated
-int8 buffer (materializing 10M x 768 f32 = 30 GB is impossible), then the
-fused int8 kernel scans it.
+(7.7 GB + 40 MB scales) fits the whole corpus in ONE chip's HBM, and
+--dtype int4 (row-pair packed, 3.9 GB at 10M) doubles that headroom —
+20M+ vectors per chip. The corpus is generated, normalized, and quantized
+on-device in chunks into a donated buffer (materializing 10M x 768 f32 =
+30 GB is impossible), then the fused kernel scans it.
 
 Correctness proxy at this scale (no f32 oracle fits): queries are noisy
 copies of known rows; we report the planted-row hit rate in the top-k
@@ -35,6 +36,7 @@ def main():
     ap.add_argument("--ivf-chunk", type=int, default=62_500)
     ap.add_argument("--nlist", type=int, default=4096)
     ap.add_argument("--skip-ivf", action="store_true")
+    ap.add_argument("--dtype", choices=("int8", "int4"), default="int8")
     args = ap.parse_args()
     n, d, b, k, ch = args.n, args.d, args.b, args.k, args.chunk
     assert n % ch == 0
@@ -43,25 +45,36 @@ def main():
     import jax.numpy as jnp
 
     from mediquery_rag_tpu.obs.metrics import device_time
-    from mediquery_rag_tpu.ops.quant import int8_flat_search
+    from mediquery_rag_tpu.ops.quant import (
+        int4_flat_search, int8_flat_search, quantize_rows, quantize_rows_int4,
+    )
 
-    TC = 2048
+    int4 = args.dtype == "int4"
+    TC = 6144 if int4 else 2048
     n_pad = -(-n // TC) * TC
+    flat_search_q = int4_flat_search if int4 else int8_flat_search
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def fill_chunk(buf, scales, seed, start):
         x = jax.random.normal(jax.random.PRNGKey(seed), (ch, d), jnp.float32)
         x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
-        amax = jnp.max(jnp.abs(x), axis=-1)
-        sc = jnp.maximum(amax, 1e-12) / 127.0
-        q = jnp.clip(jnp.round(x / sc[:, None]), -127, 127).astype(jnp.int8)
-        buf = jax.lax.dynamic_update_slice(buf, q, (start, 0))
-        scales = jax.lax.dynamic_update_slice(scales, sc, (start,))
+        if int4:
+            qq, sc = quantize_rows_int4(x)       # [ch/2, d], planes [2, ch/2]
+            buf = jax.lax.dynamic_update_slice(buf, qq, (start // 2, 0))
+            scales = jax.lax.dynamic_update_slice(scales, sc, (0, start // 2))
+        else:
+            qq, sc = quantize_rows(x)
+            buf = jax.lax.dynamic_update_slice(buf, qq, (start, 0))
+            scales = jax.lax.dynamic_update_slice(scales, sc, (start,))
         return buf, scales
 
     t0 = time.perf_counter()
-    buf = jnp.zeros((n_pad, d), jnp.int8)
-    scales = jnp.zeros((n_pad,), jnp.float32)
+    if int4:
+        buf = jnp.zeros((n_pad // 2, d), jnp.int8)
+        scales = jnp.zeros((2, n_pad // 2), jnp.float32)
+    else:
+        buf = jnp.zeros((n_pad, d), jnp.int8)
+        scales = jnp.zeros((n_pad,), jnp.float32)
     for i in range(n // ch):
         buf, scales = fill_chunk(buf, scales, i, i * ch)
     jax.block_until_ready(buf)
@@ -82,23 +95,24 @@ def main():
     q = np.stack(q_list) + 0.02 * rng.standard_normal((b, d)).astype(np.float32)
     q = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True), jnp.float32)
 
-    s, i = int8_flat_search(q, buf, scales, k, n_valid=n, corpus_tile=TC)
+    s, i = flat_search_q(q, buf, scales, k, n_valid=n, corpus_tile=TC)
     hits = float(np.mean([int(target_rows[r]) in np.asarray(i[r]).tolist()
                           for r in range(b)]))
 
     iters = 8
     qs = jnp.stack([q + 0.0005 * t for t in range(iters)])
     t = device_time(
-        lambda qb, corp, sc: int8_flat_search(qb, corp, sc, k, n_valid=n,
-                                              corpus_tile=TC),
+        lambda qb, corp, sc: flat_search_q(qb, corp, sc, k, n_valid=n,
+                                           corpus_tile=TC),
         qs, buf, scales)
+    floor_bytes = (d // 2 + 8) if int4 else (d + 4)
     print(json.dumps({
-        "stage": "search", "engine": "flat_int8_single_chip",
+        "stage": "search", "engine": f"flat_{args.dtype}_single_chip",
         "n": n, "d": d, "batch": b, "k": k,
         "ms_per_batch": round(t * 1e3, 3),
         "qps": round(b / t, 1),
         "planted_neighbor_hit_rate": hits,
-        "hbm_floor_ms": round(n_pad * (d + 4) / 819e9 * 1e3, 3),
+        "hbm_floor_ms": round(n_pad * floor_bytes / 819e9 * 1e3, 3),
     }), flush=True)
 
     if args.skip_ivf:
@@ -120,7 +134,7 @@ def main():
             yield jax.random.normal(jax.random.PRNGKey(10_000 + s_),
                                     (rows, d), jnp.float32)
 
-    cfg = EngineConfig(dim=d, dtype="int8", ivf_nlist=args.nlist,
+    cfg = EngineConfig(dim=d, dtype=args.dtype, ivf_nlist=args.nlist,
                        ivf_kmeans_iters=8, ivf_cap_factor=1.25,
                        ivf_balance=0.05)
     t0 = time.perf_counter()
@@ -149,11 +163,13 @@ def main():
         scales_iv = iv.bucket_scales
         def one(qrow, cents, bk, bids, sc, npb=nprobe):
             return _ivf_dispatch(qrow, cents, bk, bids, sc, k=k, nprobe=npb,
-                                 batched=False, int8=True, cosine=True)[0]
+                                 batched=False, quant=args.dtype,
+                                 cosine=True)[0]
         t1 = device_time(one, q2[:, None, :], iv.centroids, iv.buckets,
                          iv.bucket_ids, scales_iv)
         print(json.dumps({
-            "stage": "ivf_search", "engine": "ivf_int8_single_chip_10m",
+            "stage": "ivf_search",
+            "engine": f"ivf_{args.dtype}_single_chip_10m",
             "nprobe": nprobe, "batch": 1, "k": k,
             "latency_us": round(t1 * 1e6, 1),
             "qps_single_stream": round(1 / t1, 1),
