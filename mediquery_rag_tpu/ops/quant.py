@@ -176,10 +176,13 @@ def ivf_pack_slots_int4(codes: jax.Array, nlist: int, cap: int) -> jax.Array:
     if cap % 2:
         raise ValueError(f"int4 IVF needs even cap, got {cap}")
     d = codes.shape[1]
-    c3 = codes.reshape(nlist, cap, d).astype(jnp.int32)
+    # arithmetic stays in int8: hi*16 in [-112, 112], +lo+8 <= 127 — an
+    # int32 upcast materializes a 4x buffer (33 GB at 10M, OOM)
+    c3 = codes.reshape(nlist, cap, d).astype(jnp.int8)
     caph = cap // 2
     lo, hi = c3[:, :caph], c3[:, caph:]
-    return ((hi * 16) + (lo + 8)).astype(jnp.int8).reshape(nlist * caph, d)
+    return ((hi * jnp.int8(16)) + (lo + jnp.int8(8))).reshape(
+        nlist * caph, d)
 
 
 def ivf_unpack_slots_int4(packed: jax.Array, nlist: int,
