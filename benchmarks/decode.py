@@ -1,0 +1,91 @@
+"""TPU-hosted LM decode throughput (the serving loop the reference rented
+from Ollama's CPU GGML runtime, medical_engine.py:46).
+
+Decode at small batch is weight-BANDWIDTH bound: every token re-reads all
+params from HBM, so tokens/s/seq ~ HBM_BW / param_bytes. bf16 weights
+(Generator.to_serving_dtype / DecoderConfig.param_dtype) are therefore 2x
+f32 tok/s. One JSON line per (model, batch); run on the real chip.
+
+Tokens/s counts ACTUALLY emitted tokens (random weights can hit EOS by
+chance; finished rows decode masked PAD into dead slots at full cost, so
+per-sequence tok/s is conservative).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MODELS = {
+    # name: (hidden, layers, heads, mlp_dim)
+    "base-60M": (512, 8, 8, 1536),
+    "1B-class": (2048, 16, 16, 5632),
+    "7B-class": (3584, 28, 28, 18944),   # qwen2.5-7b-ish dims (MHA, byte vocab)
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="base-60M,1B-class,7B-class")
+    ap.add_argument("--batches", default="1,8")
+    ap.add_argument("--max-new", type=int, default=256)
+    ap.add_argument("--prompt-len", type=int, default=96)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mediquery_rag_tpu.config import DecoderConfig
+    from mediquery_rag_tpu.models.byte_tokenizer import PAD_ID
+    from mediquery_rag_tpu.models.generate import Generator, _round_up
+    from mediquery_rag_tpu.obs.metrics import device_time
+
+    for name in args.models.split(","):
+        h, l_, heads, mlp = MODELS[name]
+        cfg = DecoderConfig(hidden=h, layers=l_, heads=heads, mlp_dim=mlp,
+                            max_len=512, param_dtype="bfloat16")
+        gen = Generator(cfg)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(gen.params))
+        bytes_ = sum(x.nbytes for x in jax.tree_util.tree_leaves(gen.params))
+        for b in (int(x) for x in args.batches.split(",")):
+            S = _round_up(args.prompt_len, 128)
+            max_new = _round_up(args.max_new, 64)
+            ids = np.full((b, S), 65, np.int32)        # 'A' bytes
+            mask = np.ones((b, S), np.float32)
+            run = gen._compiled(b, S, max_new)
+            out = run(gen.params, jnp.asarray(ids), jnp.asarray(mask),
+                      jnp.float32(1.0), jax.random.PRNGKey(0))
+            emitted = int((np.asarray(out) != PAD_ID).sum())
+            if emitted == 0:
+                emitted = b * max_new        # degenerate; count loop length
+
+            rngs = jnp.stack([jax.random.PRNGKey(i) for i in range(4)])
+            # params must be an explicit argument: a closure would
+            # serialize the full weight tree into the remote-compile request
+            t = device_time(
+                lambda r, i_, m, pp: run(pp, i_, m, jnp.float32(1.0), r),
+                rngs, jnp.asarray(ids), jnp.asarray(mask), gen.params,
+                reps=3)
+            print(json.dumps({
+                "model": name,
+                "params_m": round(n_params / 1e6, 1),
+                "weight_gb": round(bytes_ / 1e9, 2),
+                "batch": b,
+                "prompt_len": S,
+                "emitted_tokens": emitted,
+                "seconds_per_call": round(t, 4),
+                "tokens_per_s_total": round(emitted / t, 1),
+                "tokens_per_s_per_seq": round(emitted / b / t, 1),
+                "bw_bound_floor_tok_s": round(819e9 / bytes_, 1),
+            }), flush=True)
+        del gen
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,10 @@ class DecoderConfig:
     max_len: int = 1024             # max prompt+generation length (KV cache cap)
     rope_theta: float = 10000.0
     dtype: str = "bfloat16"         # activation dtype
+    param_dtype: str = "float32"    # weight storage: float32 for training
+                                    # masters; bfloat16 halves serving HBM
+                                    # traffic (decode is weight-bandwidth
+                                    # bound — see Generator.to_serving_dtype)
 
 
 @dataclass(frozen=True)

@@ -54,6 +54,10 @@ def _init_dense(key, fan_in, shape):
     return jax.random.normal(key, shape, jnp.float32) * (fan_in ** -0.5)
 
 
+def _pdt(cfg):
+    return jnp.dtype(getattr(cfg, "param_dtype", "float32"))
+
+
 def _rmsnorm(x, scale, eps=1e-6):
     xf = x.astype(jnp.float32)
     y = xf * jax.lax.rsqrt((xf * xf).mean(-1, keepdims=True) + eps)
@@ -87,26 +91,29 @@ class Decoder:
 
     def init(self, key: jax.Array) -> DecoderParams:
         c = self.cfg
+        pdt = _pdt(c)
         keys = jax.random.split(key, 8)
         L, D, F = c.layers, c.hidden, c.mlp_dim
 
         def stack(k, fan_in, shape):
             ks = jax.random.split(k, L)
-            return jnp.stack([_init_dense(ks[i], fan_in, shape) for i in range(L)])
+            return jnp.stack([_init_dense(ks[i], fan_in, shape).astype(pdt)
+                              for i in range(L)])
 
         return {
-            "tok_embed": jax.random.normal(keys[0], (c.vocab_size, D), jnp.float32) * 0.02,
+            "tok_embed": (jax.random.normal(keys[0], (c.vocab_size, D),
+                                            jnp.float32) * 0.02).astype(pdt),
             "blocks": {
-                "rms1": jnp.ones((L, D)),
+                "rms1": jnp.ones((L, D), pdt),
                 "qkv": stack(keys[1], D, (D, 3 * D)),
                 "attn_out": stack(keys[2], D, (D, D)),
-                "rms2": jnp.ones((L, D)),
+                "rms2": jnp.ones((L, D), pdt),
                 "w_gate": stack(keys[3], D, (D, F)),
                 "w_up": stack(keys[4], D, (D, F)),
                 "w_down": stack(keys[5], F, (F, D)),
             },
-            "rms_f": jnp.ones((D,)),
-            "lm_head": _init_dense(keys[6], D, (D, c.vocab_size)),
+            "rms_f": jnp.ones((D,), pdt),
+            "lm_head": _init_dense(keys[6], D, (D, c.vocab_size)).astype(pdt),
         }
 
     def partition_specs(self) -> Any:

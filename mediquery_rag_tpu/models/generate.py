@@ -50,10 +50,28 @@ class Generator:
         self.model = Decoder(cfg)
         if params is None:
             key = jax.random.PRNGKey(0) if key is None else key
-            params = self.model.init(key)
+            # one traced program instead of ~7*layers eager ops — through a
+            # remote-compile relay the eager path costs minutes at 1B+
+            params = jax.jit(self.model.init)(key)
         self.params = params
         self.tokenizer = ByteTokenizer(cfg.max_len)
         self._jit_cache: dict = {}
+
+    def to_serving_dtype(self, dtype=jnp.bfloat16) -> "Generator":
+        """Cast weights to ``dtype`` in place (returns self). B=1 decode is
+        weight-BANDWIDTH bound — every step re-reads all params from HBM —
+        so serving f32 training masters wastes 2x the bytes (and tok/s).
+        Cast per leaf so peak HBM is old tree + one leaf, not two trees."""
+        def walk(d):
+            for k2, v2 in d.items():
+                if isinstance(v2, dict):
+                    walk(v2)
+                elif v2.dtype == jnp.float32:
+                    d[k2] = v2.astype(dtype)      # old leaf freed on rebind
+
+        walk(self.params)
+        self._jit_cache.clear()
+        return self
 
     # -- the compiled program ---------------------------------------------------
 

