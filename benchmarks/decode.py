@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--batches", default="1,8")
     ap.add_argument("--max-new", type=int, default=256)
     ap.add_argument("--prompt-len", type=int, default=96)
+    ap.add_argument("--weights", choices=("bf16", "int8"), default="bf16")
     args = ap.parse_args()
 
     import jax
@@ -50,7 +51,18 @@ def main():
         h, l_, heads, mlp = MODELS[name]
         cfg = DecoderConfig(hidden=h, layers=l_, heads=heads, mlp_dim=mlp,
                             max_len=512, param_dtype="bfloat16")
-        gen = Generator(cfg)
+        if args.weights == "int8":
+            # compose init+quantize under ONE jit so the bf16 tree never
+            # coexists with the int8 one (14 GB + 7 GB would OOM at 7B)
+            from mediquery_rag_tpu.models.decoder import Decoder
+            from mediquery_rag_tpu.ops.matvec import quantize_decoder_params
+            model = Decoder(cfg)
+            params = jax.jit(
+                lambda k: quantize_decoder_params(model.init(k)))(
+                    jax.random.PRNGKey(0))
+            gen = Generator(cfg, params=params)
+        else:
+            gen = Generator(cfg)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(gen.params))
         bytes_ = sum(x.nbytes for x in jax.tree_util.tree_leaves(gen.params))
         for b in (int(x) for x in args.batches.split(",")):
@@ -74,6 +86,7 @@ def main():
                 reps=3)
             print(json.dumps({
                 "model": name,
+                "weights": args.weights,
                 "params_m": round(n_params / 1e6, 1),
                 "weight_gb": round(bytes_ / 1e9, 2),
                 "batch": b,

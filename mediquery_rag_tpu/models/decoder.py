@@ -58,6 +58,35 @@ def _pdt(cfg):
     return jnp.dtype(getattr(cfg, "param_dtype", "float32"))
 
 
+def _is_quant(w) -> bool:
+    return isinstance(w, dict) and "q" in w
+
+
+def _mm(x, w, adt):
+    """``x @ W`` for a weight that is either a plain ``[in, out]`` float
+    matrix or an int8-quantized ``{"q": [out, in] i8, "s": [out] f32}``
+    (Generator.quantize_weights). Returns f32 (same contraction/accumulation
+    as the original einsums). The quantized serving path streams weights
+    through the Pallas matvec at int8-byte HBM rate (ops/matvec.py) for
+    small row counts (decode); larger row counts (prefill/scoring, which
+    are MXU- not bandwidth-bound) dequantize into the normal dot.
+    """
+    if not _is_quant(w):
+        return jnp.einsum("...d,df->...f", x, w.astype(adt),
+                          preferred_element_type=jnp.float32)
+    lead = x.shape[:-1]
+    rows = 1
+    for m in lead:
+        rows *= m
+    if rows <= 128:
+        from mediquery_rag_tpu.ops.matvec import quant_matvec
+        out = quant_matvec(x.reshape(rows, x.shape[-1]), w["q"], w["s"])
+        return out.reshape(*lead, out.shape[-1])
+    wd = w["q"].astype(adt) * w["s"][:, None].astype(adt)
+    return jnp.einsum("...d,fd->...f", x, wd,
+                      preferred_element_type=jnp.float32)
+
+
 def _rmsnorm(x, scale, eps=1e-6):
     xf = x.astype(jnp.float32)
     y = xf * jax.lax.rsqrt((xf * xf).mean(-1, keepdims=True) + eps)
@@ -163,8 +192,7 @@ class Decoder:
             lambda carry, lp: (block_fn(carry, lp), None), x, params["blocks"]
         )
         x = _rmsnorm(x, params["rms_f"])
-        return jnp.einsum("bsd,dv->bsv", x, params["lm_head"].astype(adt),
-                          preferred_element_type=jnp.float32)
+        return _mm(x, params["lm_head"], adt)
 
     # -- KV-cache serving path ----------------------------------------------------
 
@@ -199,8 +227,7 @@ class Decoder:
 
         x, (ks, vs) = jax.lax.scan(step, x, params["blocks"])
         x = _rmsnorm(x, params["rms_f"])
-        logits = jnp.einsum("bd,dv->bv", x[:, -1], params["lm_head"].astype(adt),
-                            preferred_element_type=jnp.float32)
+        logits = _mm(x[:, -1], params["lm_head"], adt)
 
         key_mask = jnp.pad(mask, [(0, 0), (0, cache_len - S)])
         cache = KVCache(
@@ -238,8 +265,7 @@ class Decoder:
             x = carry                                          # [B, 1, D]
             lp, k_layer, v_layer = xs
             h = _rmsnorm(x, lp["rms1"])
-            qkv = jnp.einsum("bsd,de->bse", h, lp["qkv"].astype(adt),
-                             preferred_element_type=jnp.float32).astype(adt)
+            qkv = _mm(h, lp["qkv"], adt).astype(adt)
             q, k, v = jnp.split(qkv, 3, axis=-1)
 
             def heads_(t):
@@ -260,25 +286,20 @@ class Decoder:
             ctx = jnp.einsum("bhqk,bhkd->bhqd", w, v_layer,
                              preferred_element_type=jnp.float32).astype(adt)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, c.hidden)
-            attn = jnp.einsum("bsd,de->bse", ctx, lp["attn_out"].astype(adt),
-                              preferred_element_type=jnp.float32).astype(adt)
+            attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
             x = x + attn
 
             h = _rmsnorm(x, lp["rms2"])
-            gate = jnp.einsum("bsd,df->bsf", h, lp["w_gate"].astype(adt),
-                              preferred_element_type=jnp.float32)
-            up = jnp.einsum("bsd,df->bsf", h, lp["w_up"].astype(adt),
-                            preferred_element_type=jnp.float32)
+            gate = _mm(h, lp["w_gate"], adt)
+            up = _mm(h, lp["w_up"], adt)
             ff = (jax.nn.silu(gate) * up).astype(adt)
-            ff = jnp.einsum("bsf,fd->bsd", ff, lp["w_down"].astype(adt),
-                            preferred_element_type=jnp.float32)
+            ff = _mm(ff, lp["w_down"], adt)
             return x + ff.astype(adt), (k_layer, v_layer)
 
         x, (ks, vs) = jax.lax.scan(
             layer, x, (params["blocks"], cache.k, cache.v))
         x = _rmsnorm(x, params["rms_f"])
-        logits = jnp.einsum("bd,dv->bv", x[:, 0], params["lm_head"].astype(adt),
-                            preferred_element_type=jnp.float32)
+        logits = _mm(x[:, 0], params["lm_head"], adt)
         new_cache = KVCache(
             k=ks, v=vs, key_mask=key_mask,
             cursor=cache.cursor + 1,
@@ -303,8 +324,7 @@ def _block_kv(x, lp, *, heads, adt, bias, pos, theta):
     dh = D // heads
 
     h = _rmsnorm(x, lp["rms1"])
-    qkv = jnp.einsum("bsd,de->bse", h, lp["qkv"].astype(adt),
-                     preferred_element_type=jnp.float32).astype(adt)
+    qkv = _mm(h, lp["qkv"], adt).astype(adt)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads_(t):
@@ -316,18 +336,14 @@ def _block_kv(x, lp, *, heads, adt, bias, pos, theta):
 
     ctx = _attend(q, k, v, bias, adt, dh)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, D)
-    attn = jnp.einsum("bsd,de->bse", ctx, lp["attn_out"].astype(adt),
-                      preferred_element_type=jnp.float32).astype(adt)
+    attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
     x = x + attn
 
     h = _rmsnorm(x, lp["rms2"])
-    gate = jnp.einsum("bsd,df->bsf", h, lp["w_gate"].astype(adt),
-                      preferred_element_type=jnp.float32)
-    up = jnp.einsum("bsd,df->bsf", h, lp["w_up"].astype(adt),
-                    preferred_element_type=jnp.float32)
+    gate = _mm(h, lp["w_gate"], adt)
+    up = _mm(h, lp["w_up"], adt)
     ff = (jax.nn.silu(gate) * up).astype(adt)
-    ff = jnp.einsum("bsf,fd->bsd", ff, lp["w_down"].astype(adt),
-                    preferred_element_type=jnp.float32)
+    ff = _mm(ff, lp["w_down"], adt)
     return x + ff.astype(adt), k, v
 
 

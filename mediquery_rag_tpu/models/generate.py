@@ -73,6 +73,27 @@ class Generator:
         self._jit_cache.clear()
         return self
 
+    def quantize_weights(self) -> "Generator":
+        """Weight-only int8 serving (returns self): matmul weights become
+        per-output-channel int8 streamed by the Pallas matvec
+        (ops/matvec.py) — half bf16's weight bytes, so up to ~2x B=1
+        tok/s and a 7B-class model in ~7 GB. Converts leaf-by-leaf so the
+        old leaf frees before the next converts; at 7B+ scale prefer
+        building quantized directly:
+        ``jax.jit(lambda k: quantize_decoder_params(model.init(k)))``.
+        """
+        from mediquery_rag_tpu.ops.matvec import quantize_weight
+
+        blocks = self.params["blocks"]
+        for k in ("qkv", "attn_out", "w_gate", "w_up", "w_down"):
+            q, s = jax.jit(lambda w: jax.lax.map(quantize_weight, w))(
+                blocks[k])
+            blocks[k] = {"q": q, "s": s}                # old leaf freed here
+        q, s = jax.jit(quantize_weight)(self.params["lm_head"])
+        self.params["lm_head"] = {"q": q, "s": s}
+        self._jit_cache.clear()
+        return self
+
     # -- the compiled program ---------------------------------------------------
 
     def _compiled(self, B: int, S: int, max_new: int):

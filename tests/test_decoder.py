@@ -288,3 +288,47 @@ class TestServingDtype:
         # bf16 weights round-trip the same greedy tokens on this tiny model
         out = gen.generate(["血压高"], max_new_tokens=8)
         assert isinstance(out[0], str) and len(base) == 1
+
+
+class TestInt8WeightServing:
+    def test_matvec_matches_oracle(self):
+        from mediquery_rag_tpu.ops.matvec import quant_matvec, quantize_weight
+        rng = np.random.default_rng(0)
+        w = rng.standard_normal((96, 512)).astype(np.float32)   # [in, out]
+        x = rng.standard_normal((3, 96)).astype(np.float32)
+        q, s = quantize_weight(jnp.asarray(w))
+        assert q.shape == (512, 96) and s.shape == (512,)
+        out = np.asarray(quant_matvec(jnp.asarray(x), q, s, out_tile=128))
+        # integer oracle: same codes, same accumulation order
+        qs = np.maximum(np.abs(x).max(axis=1), 1e-12) / 127.0
+        x8 = np.clip(np.round(x / qs[:, None]), -127, 127).astype(np.int32)
+        oracle = (x8 @ np.asarray(q, np.int32).T).astype(np.float32) \
+            * qs[:, None] * np.asarray(s)[None, :]
+        np.testing.assert_allclose(out, oracle, rtol=1e-5)
+        # and close to the float matmul (int8 weight + activation error)
+        np.testing.assert_allclose(out, x @ w, rtol=0.05, atol=0.35)
+
+    def test_quantized_generation_runs_and_matches_shapes(self):
+        from mediquery_rag_tpu.models.generate import Generator
+        gen = Generator(TINY)
+        base = gen.generate(["血压高怎么办", "hi"], max_new_tokens=8)
+        gen.quantize_weights()
+        nbytes = sum(
+            x.nbytes for x in jax.tree_util.tree_leaves(gen.params))
+        out = gen.generate(["血压高怎么办", "hi"], max_new_tokens=8)
+        assert len(out) == 2 and all(isinstance(t, str) for t in out)
+        assert len(base) == 2
+
+    def test_quantized_scoring_close_to_float(self):
+        # full forward (apply) uses the dequant path: logits stay close
+        from mediquery_rag_tpu.models.decoder import Decoder
+        from mediquery_rag_tpu.ops.matvec import quantize_decoder_params
+        model = Decoder(TINY)
+        params = model.init(jax.random.PRNGKey(0))
+        ids = jnp.asarray([[65, 66, 67, 68] * 8])
+        mask = jnp.ones_like(ids, jnp.float32)
+        lf = model.apply(params, ids, mask)
+        lq = model.apply(jax.jit(quantize_decoder_params)(params), ids, mask)
+        # same top-1 tokens nearly everywhere on this tiny model
+        agree = np.mean(np.asarray(jnp.argmax(lf, -1) == jnp.argmax(lq, -1)))
+        assert agree >= 0.9, f"top-1 agreement {agree}"
