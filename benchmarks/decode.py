@@ -23,10 +23,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MODELS = {
-    # name: (hidden, layers, heads, mlp_dim)
-    "base-60M": (512, 8, 8, 1536),
-    "1B-class": (2048, 16, 16, 5632),
-    "7B-class": (3584, 28, 28, 18944),   # qwen2.5-7b-ish dims (MHA, byte vocab)
+    # name: (hidden, layers, heads, kv_heads, mlp_dim)
+    "base-60M": (512, 8, 8, None, 1536),
+    "1B-class": (2048, 16, 16, None, 5632),
+    "7B-class": (3584, 28, 28, 4, 18944),   # qwen2.5-7b dims incl. GQA 28q/4kv
 }
 
 
@@ -48,9 +48,9 @@ def main():
     from mediquery_rag_tpu.obs.metrics import device_time
 
     for name in args.models.split(","):
-        h, l_, heads, mlp = MODELS[name]
-        cfg = DecoderConfig(hidden=h, layers=l_, heads=heads, mlp_dim=mlp,
-                            max_len=512, param_dtype="bfloat16")
+        h, l_, heads, kvh, mlp = MODELS[name]
+        cfg = DecoderConfig(hidden=h, layers=l_, heads=heads, kv_heads=kvh,
+                            mlp_dim=mlp, max_len=512, param_dtype="bfloat16")
         if args.weights == "int8":
             # compose init+quantize under ONE jit so the bf16 tree never
             # coexists with the int8 one (14 GB + 7 GB would OOM at 7B)

@@ -74,6 +74,9 @@ class DecoderConfig:
     hidden: int = 512
     layers: int = 8
     heads: int = 8
+    kv_heads: int | None = None     # GQA: KV heads (None = heads, i.e. MHA);
+                                    # qwen2.5-7b uses 28 q / 4 kv — the KV
+                                    # cache shrinks by heads/kv_heads
     mlp_dim: int = 1536             # SwiGLU inner dim
     max_len: int = 1024             # max prompt+generation length (KV cache cap)
     rope_theta: float = 10000.0

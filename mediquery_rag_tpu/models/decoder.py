@@ -115,6 +115,9 @@ class Decoder:
             raise ValueError("hidden must divide heads")
         if (cfg.hidden // cfg.heads) % 2:
             raise ValueError("head dim must be even for RoPE")
+        kvh = cfg.kv_heads or cfg.heads
+        if cfg.heads % kvh:
+            raise ValueError(f"heads {cfg.heads} % kv_heads {kvh} != 0")
 
     # -- params ----------------------------------------------------------------
 
@@ -123,6 +126,9 @@ class Decoder:
         pdt = _pdt(c)
         keys = jax.random.split(key, 8)
         L, D, F = c.layers, c.hidden, c.mlp_dim
+        kvh = c.kv_heads or c.heads
+        dh = D // c.heads
+        qkv_out = (c.heads + 2 * kvh) * dh
 
         def stack(k, fan_in, shape):
             ks = jax.random.split(k, L)
@@ -134,7 +140,7 @@ class Decoder:
                                             jnp.float32) * 0.02).astype(pdt),
             "blocks": {
                 "rms1": jnp.ones((L, D), pdt),
-                "qkv": stack(keys[1], D, (D, 3 * D)),
+                "qkv": stack(keys[1], D, (D, qkv_out)),
                 "attn_out": stack(keys[2], D, (D, D)),
                 "rms2": jnp.ones((L, D), pdt),
                 "w_gate": stack(keys[3], D, (D, F)),
@@ -183,8 +189,8 @@ class Decoder:
         bias = (causal[None, None] * mask[:, None, None, :] - 1.0) * 1e9
 
         block_fn = functools.partial(
-            _block_full, heads=c.heads, adt=adt, bias=bias, pos=pos,
-            theta=c.rope_theta,
+            _block_full, heads=c.heads, kv_heads=c.kv_heads or c.heads,
+            adt=adt, bias=bias, pos=pos, theta=c.rope_theta,
         )
         if remat:
             block_fn = jax.checkpoint(block_fn)
@@ -220,8 +226,9 @@ class Decoder:
 
         def step(carry, lp):
             x = carry
-            x, k, v = _block_kv(x, lp, heads=c.heads, adt=adt, bias=bias,
-                                pos=pos, theta=c.rope_theta)
+            x, k, v = _block_kv(x, lp, heads=c.heads,
+                                kv_heads=c.kv_heads or c.heads, adt=adt,
+                                bias=bias, pos=pos, theta=c.rope_theta)
             pad = [(0, 0), (0, 0), (0, cache_len - S), (0, 0)]
             return x, (jnp.pad(k, pad), jnp.pad(v, pad))
 
@@ -266,12 +273,8 @@ class Decoder:
             lp, k_layer, v_layer = xs
             h = _rmsnorm(x, lp["rms1"])
             qkv = _mm(h, lp["qkv"], adt).astype(adt)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-
-            def heads_(t):
-                return t.reshape(B, 1, H, dh).transpose(0, 2, 1, 3)
-
-            q, k, v = heads_(q), heads_(k), heads_(v)          # [B,H,1,dh]
+            kvh = c.kv_heads or c.heads
+            q, k, v = _split_qkv(qkv, B, 1, c.heads, kvh, dh)  # [B,*,1,dh]
             q = _rope(q, pos, c.rope_theta)
             k = _rope(k, pos, c.rope_theta)
             k_layer = jax.lax.dynamic_update_slice(
@@ -279,11 +282,13 @@ class Decoder:
             v_layer = jax.lax.dynamic_update_slice(
                 v_layer, v, (0, 0, cache.cursor, 0))
 
-            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_layer,
+            g = c.heads // kvh
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q,
+                                _repeat_kv(k_layer, g),
                                 preferred_element_type=jnp.float32)
             logits = logits * (dh ** -0.5) + bias
             w = jax.nn.softmax(logits, axis=-1).astype(adt)
-            ctx = jnp.einsum("bhqk,bhkd->bhqd", w, v_layer,
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", w, _repeat_kv(v_layer, g),
                              preferred_element_type=jnp.float32).astype(adt)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, c.hidden)
             attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
@@ -308,7 +313,16 @@ class Decoder:
         return logits, new_cache
 
 
+def _repeat_kv(t, groups):
+    """[B, KH, S, dh] -> [B, KH*groups, S, dh] (GQA: share KV across the
+    query-head group; the CACHE stays at KH heads — only the attention
+    compute expands, and XLA fuses the broadcast into the einsum)."""
+    return t if groups == 1 else jnp.repeat(t, groups, axis=1)
+
+
 def _attend(q, k, v, bias, adt, dh):
+    g = q.shape[1] // k.shape[1]
+    k, v = _repeat_kv(k, g), _repeat_kv(v, g)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * (dh ** -0.5)
     if bias is not None:
@@ -318,19 +332,22 @@ def _attend(q, k, v, bias, adt, dh):
                       preferred_element_type=jnp.float32).astype(adt)
 
 
-def _block_kv(x, lp, *, heads, adt, bias, pos, theta):
+def _split_qkv(qkv, B, S, heads, kv_heads, dh):
+    qd, kvd = heads * dh, kv_heads * dh
+    q = qkv[..., :qd].reshape(B, S, heads, dh).transpose(0, 2, 1, 3)
+    k = qkv[..., qd:qd + kvd].reshape(B, S, kv_heads, dh).transpose(0, 2, 1, 3)
+    v = qkv[..., qd + kvd:].reshape(B, S, kv_heads, dh).transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def _block_kv(x, lp, *, heads, kv_heads, adt, bias, pos, theta):
     """Transformer block returning (x_out, k, v) — shared by apply/prefill."""
     B, S, D = x.shape
     dh = D // heads
 
     h = _rmsnorm(x, lp["rms1"])
     qkv = _mm(h, lp["qkv"], adt).astype(adt)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-
-    def heads_(t):
-        return t.reshape(B, S, heads, dh).transpose(0, 2, 1, 3)
-
-    q, k, v = heads_(q), heads_(k), heads_(v)
+    q, k, v = _split_qkv(qkv, B, S, heads, kv_heads, dh)
     q = _rope(q, pos, theta)
     k = _rope(k, pos, theta)
 
@@ -347,7 +364,7 @@ def _block_kv(x, lp, *, heads, adt, bias, pos, theta):
     return x + ff.astype(adt), k, v
 
 
-def _block_full(x, lp, *, heads, adt, bias, pos, theta):
-    out, _, _ = _block_kv(x, lp, heads=heads, adt=adt, bias=bias, pos=pos,
-                          theta=theta)
+def _block_full(x, lp, *, heads, kv_heads, adt, bias, pos, theta):
+    out, _, _ = _block_kv(x, lp, heads=heads, kv_heads=kv_heads, adt=adt,
+                          bias=bias, pos=pos, theta=theta)
     return out

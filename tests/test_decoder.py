@@ -332,3 +332,52 @@ class TestInt8WeightServing:
         # same top-1 tokens nearly everywhere on this tiny model
         agree = np.mean(np.asarray(jnp.argmax(lf, -1) == jnp.argmax(lq, -1)))
         assert agree >= 0.9, f"top-1 agreement {agree}"
+
+
+GQA = DecoderConfig(vocab_size=384, hidden=64, layers=2, heads=4, kv_heads=2,
+                    mlp_dim=128, max_len=256, dtype="float32")
+
+
+class TestGQA:
+    def test_cache_holds_kv_heads_only(self):
+        from mediquery_rag_tpu.models.decoder import Decoder
+        model = Decoder(GQA)
+        params = model.init(jax.random.PRNGKey(0))
+        # qkv projects H*dh + 2*KH*dh = (4 + 4) * 16
+        assert params["blocks"]["qkv"].shape == (2, 64, 128)
+        ids = jnp.asarray([[65, 66, 67, 68]])
+        mask = jnp.ones_like(ids, jnp.float32)
+        _, cache = model.prefill(params, ids, mask, cache_len=16)
+        assert cache.k.shape == (2, 1, 2, 16, 16)     # KH=2 heads cached
+
+    def test_decode_matches_full_forward(self):
+        from mediquery_rag_tpu.models.decoder import Decoder
+        model = Decoder(GQA)
+        params = model.init(jax.random.PRNGKey(1))
+        ids = jnp.asarray([[65, 66, 67, 68, 69, 70]])
+        mask = jnp.ones_like(ids, jnp.float32)
+        full = model.apply(params, ids, mask)          # [1, 6, V]
+        logits, cache = model.prefill(params, ids[:, :5], mask[:, :5],
+                                      cache_len=8)
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(full[:, 4]), rtol=2e-4,
+                                   atol=2e-4)
+        step, _ = model.decode_step(params, cache, ids[:, 5])
+        np.testing.assert_allclose(np.asarray(step),
+                                   np.asarray(full[:, 5]), rtol=2e-4,
+                                   atol=2e-4)
+
+    def test_generation_and_quantized(self):
+        from mediquery_rag_tpu.models.generate import Generator
+        gen = Generator(GQA)
+        out = gen.generate(["血压", "hi"], max_new_tokens=8)
+        assert len(out) == 2
+        gen.quantize_weights()
+        out2 = gen.generate(["血压", "hi"], max_new_tokens=8)
+        assert len(out2) == 2
+
+    def test_heads_must_divide(self):
+        import pytest
+        from mediquery_rag_tpu.models.decoder import Decoder
+        with pytest.raises(ValueError, match="kv_heads"):
+            Decoder(DecoderConfig(hidden=64, heads=4, kv_heads=3))
