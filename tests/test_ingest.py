@@ -218,3 +218,24 @@ def test_where_filter_large_k_and_corpus():
     assert len(rows) == 2
     for d in rows[0]:
         assert "主题3" in d.metadata["tags"]
+
+
+class TestInt4Store:
+    """End-to-end: parse -> embed -> int4 index -> retrieve (the full RAG
+    document path on the quarter-byte storage)."""
+
+    def test_int4_flat_store_retrieves(self):
+        cfg = EngineConfig(dim=256, dtype="int4", corpus_tile=256,
+                           query_tile=32, rerank_factor=4)
+        store = build_document_store(CORPUS, HashingEmbedder(dim=256), cfg)
+        docs = store.similarity_search("高血压患者吃饭要注意什么 饮食 限盐", k=3)
+        assert len(docs) == 3
+        assert any("高血压" in d.text for d in docs)
+
+    def test_int4_ivf_store_retrieves(self):
+        cfg = EngineConfig(dim=256, dtype="int4", ivf_nlist=4,
+                           ivf_kmeans_iters=2)
+        store = build_document_store(CORPUS, HashingEmbedder(dim=256), cfg,
+                                     kind="ivf")
+        docs = store.similarity_search("睡眠不好怎么办", k=2)
+        assert len(docs) == 2
