@@ -368,7 +368,8 @@ class FlatIndex:
         ids = None
         if os.path.exists(ids_path):
             raw = np.load(ids_path)
-            n_pad = idx.corpus.shape[0]
+            # ids are per LOGICAL row; int4 corpora store n_pad/2 byte-rows
+            n_pad = idx.corpus.shape[0] * (2 if cfg.dtype == "int4" else 1)
             ids = jnp.asarray(np.pad(raw, (0, n_pad - len(raw))), jnp.int32)
         # the saved refine copy carries the ORIGINAL f16 rows; build() above
         # could only reconstruct a dequantized-int8 one

@@ -81,6 +81,9 @@ class Generator:
         old leaf frees before the next converts; at 7B+ scale prefer
         building quantized directly:
         ``jax.jit(lambda k: quantize_decoder_params(model.init(k)))``.
+        Checkpoints store FLOAT params — ``save()`` before quantizing and
+        re-quantize after ``from_checkpoint`` (the tree structures differ;
+        ``from_checkpoint`` raises a clear count mismatch otherwise).
         """
         from mediquery_rag_tpu.ops.matvec import quantize_weight
 

@@ -112,3 +112,46 @@ class TestShardedIVFCheckpoint:
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestInt4Checkpoints:
+    def test_sharded_flat_int4_roundtrip(self, tmp_path):
+        mesh = corpus_mesh(8)
+        cfg = EngineConfig(dim=64, dtype="int4", corpus_tile=256,
+                           query_tile=32)
+        idx = ShardedFlatIndex.build(_vecs(2000, 64, seed=4), mesh, cfg)
+        assert idx.corpus_scale.shape[0] == 2     # (even, odd) scale planes
+        save_sharded_index(idx, str(tmp_path / "ck4"))
+        idx2 = load_sharded_index(str(tmp_path / "ck4"), mesh)
+        assert idx2.corpus.shape == idx.corpus.shape
+        q = _vecs(3, 64, seed=5)
+        s1, i1 = idx.search(q, k=5)
+        s2, i2 = idx2.search(q, k=5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-6)
+
+    def test_sharded_ivf_int4_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from mediquery_rag_tpu.engine.checkpoint import (
+            load_sharded_ivf, save_sharded_ivf)
+        from mediquery_rag_tpu.engine.sharded_ivf import ShardedIVFIndex
+
+        mesh = corpus_mesh(8)
+        c = jax.random.normal(jax.random.PRNGKey(180), (2000, 64))
+        c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+        cfg = EngineConfig(dim=64, dtype="int4", ivf_nlist=16,
+                           ivf_kmeans_iters=3)
+        idx = ShardedIVFIndex.build(c, mesh, cfg)
+        save_sharded_ivf(idx, str(tmp_path / "sivf4"))
+        idx2 = load_sharded_ivf(str(tmp_path / "sivf4"), mesh)
+        # packed byte-rows: cap/2 physical rows per bucket survive the trip
+        assert idx2.buckets.shape == idx.buckets.shape
+        assert idx2.bucket_ids.shape == idx.bucket_ids.shape
+        q = jax.random.normal(jax.random.PRNGKey(181), (5, 64))
+        s1, i1 = idx.search(q, k=5, nprobe=8)
+        s2, i2 = idx2.search(q, k=5, nprobe=8)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-5, atol=1e-5)

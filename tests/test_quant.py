@@ -439,3 +439,16 @@ class TestRerankRefinement:
         _, i1 = idx.search(q, k=5, nprobe=8)
         _, i2 = idx2.search(q, k=5, nprobe=8)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_int4_save_after_delete_keeps_stable_ids(tmp_path):
+    """Regression: FlatIndex.load padded the stable-id map to the PHYSICAL
+    (packed) row count — negative pad once deletes had materialized ids."""
+    cfg = EngineConfig(dim=64, dtype="int4", corpus_tile=256, query_tile=32)
+    c = _vecs(500, 64, seed=60)
+    idx = FlatIndex.build(c, cfg).delete([3, 7])
+    idx.save(str(tmp_path / "i4d"))
+    idx2 = FlatIndex.load(str(tmp_path / "i4d"))
+    assert idx2.n == 498 and idx2.next_id == 500
+    _, i = idx2.search(np.asarray(c[10]), k=1)
+    assert int(i[0]) == 10            # stable id survives delete+save+load
