@@ -105,7 +105,8 @@ def main():
         lambda qb, corp, sc: flat_search_q(qb, corp, sc, k, n_valid=n,
                                            corpus_tile=TC),
         qs, buf, scales)
-    floor_bytes = (d // 2 + 8) if int4 else (d + 4)
+    # int4 scale planes are [2, n_pad/2] f32 = 4 bytes per LOGICAL row
+    floor_bytes = (d // 2 + 4) if int4 else (d + 4)
     print(json.dumps({
         "stage": "search", "engine": f"flat_{args.dtype}_single_chip",
         "n": n, "d": d, "batch": b, "k": k,

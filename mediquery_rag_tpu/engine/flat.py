@@ -148,7 +148,7 @@ class FlatIndex:
     corpus: jax.Array          # [N_pad, D] ([N_pad/2, D] int4), pad rows zero
     n: int                     # valid rows
     cfg: EngineConfig
-    corpus_scale: jax.Array | None = None   # [N_pad] f32, int8 only
+    corpus_scale: jax.Array | None = None   # int8: [N_pad] f32; int4: [2, N_pad/2] planes
     # row -> stable doc id; None = identity (build/add keep ids consecutive,
     # only delete() compacts rows and materializes the map — hnswlib-style
     # stable labels without paying a gather in the common case)

@@ -499,7 +499,11 @@ class IVFIndex:
         src = self.buckets
         if int4:
             from mediquery_rag_tpu.ops.quant import ivf_unpack_slots_int4
-            src = ivf_unpack_slots_int4(self.buckets, nlist, self.cap)
+            # build_streaming keeps a dummy tail bucket (packed rows beyond
+            # nlist*cap/2) that the unpack reshape must not see; int8/f32
+            # paths are immune because jnp.take ignores the tail.
+            src = ivf_unpack_slots_int4(
+                self.buckets[: nlist * self.cap // 2], nlist, self.cap)
         order = np.argsort(ids < 0, axis=1, kind="stable")   # live first
         ids_c = np.take_along_axis(ids, order, axis=1)
         gather = order + (np.arange(nlist) * self.cap)[:, None]

@@ -552,6 +552,12 @@ def ivf_batch_search(probe_ids, queries, buckets, bucket_ids, *,
     b, nprobe = probe_ids.shape
     cap = bucket_ids.shape[1]
     nlist = bucket_ids.shape[0]
+    if quant == "int8" and buckets.shape[0] < nlist * cap:
+        # split-half packed int4 buckets have nlist*cap/2 rows; scoring the
+        # packed bytes as int8 codes is silently wrong — demand quant="int4"
+        raise ValueError(
+            f"buckets has {buckets.shape[0]} rows but int8 needs "
+            f"nlist*cap={nlist * cap}; packed int4 input? pass quant='int4'")
 
     if quant != "none":
         from mediquery_rag_tpu.ops.quant import quantize_rows

@@ -333,6 +333,36 @@ class TestIVFInt4:
         _, i2 = st.search(q, k=5, nprobe=8)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
+    def test_streaming_build_then_add(self):
+        """Regression: int4 add() on a streaming-built index must slice the
+        dummy tail bucket before unpacking (ADVICE r1: reshape TypeError)."""
+        from mediquery_rag_tpu.engine import IVFIndex
+        cfg = EngineConfig(dim=64, dtype="int4", ivf_nlist=8,
+                           ivf_kmeans_iters=3, ivf_sample=512)
+        rng = np.random.default_rng(53)
+        c = rng.standard_normal((1000, 64), dtype=np.float32)
+
+        def chunks():
+            for i in range(0, 1000, 256):
+                yield c[i:i + 256]
+
+        st = IVFIndex.build_streaming(chunks, 1000, cfg, chunk_rows=256,
+                                      key=jax.random.PRNGKey(4))
+        extra = rng.standard_normal((7, 64), dtype=np.float32)
+        st2 = st.add(extra)
+        assert st2.live == 1007
+        # the new rows must be findable under their stable ids
+        _, ii = st2.search(extra, k=1, nprobe=8)
+        hits = (np.asarray(ii).ravel() >= 1000).mean()
+        assert hits >= 5 / 7  # int4 quantization may cost a couple
+        # and pre-existing rows still match the pre-add index
+        q = rng.standard_normal((5, 64), dtype=np.float32)
+        _, i1 = st.search(q, k=5, nprobe=8)
+        _, i2 = st2.search(q, k=5, nprobe=8)
+        old = np.asarray(i2)
+        assert (np.sort(np.asarray(i1), 1) == np.sort(
+            np.where(old >= 1000, np.asarray(i1), old), 1)).mean() > 0.9
+
     def test_sharded_matches_single_chip(self):
         from mediquery_rag_tpu.engine.sharded_ivf import ShardedIVFIndex
         from mediquery_rag_tpu.engine import IVFIndex
