@@ -80,6 +80,8 @@ class DecoderConfig:
     mlp_dim: int = 1536             # SwiGLU inner dim
     max_len: int = 1024             # max prompt+generation length (KV cache cap)
     rope_theta: float = 10000.0
+    qkv_bias: bool = False          # qwen2/2.5 checkpoints carry q/k/v biases
+    rms_eps: float = 1e-6           # rms_norm_eps in HF configs
     dtype: str = "bfloat16"         # activation dtype
     param_dtype: str = "float32"    # weight storage: float32 for training
                                     # masters; bfloat16 halves serving HBM

@@ -22,11 +22,25 @@ _END = "<|end|>"
 
 
 def render_chat(messages: Sequence[Message] | str, *,
-                for_training: bool = False) -> str:
+                for_training: bool = False, template: str = "plain") -> str:
     """Messages -> the decoder's prompt string. Serving prompts end with an
     open assistant turn; training samples close it (EOS is appended by the
-    tokenizer, so ``_END`` only terminates *inner* turns)."""
+    tokenizer, so ``_END`` only terminates *inner* turns).
+
+    ``template="chatml"`` renders the qwen2.5-instruct ChatML format
+    (<|im_start|>role\\n...<|im_end|>) for HF-imported checkpoints, whose
+    tokenizers carry those markers as special tokens."""
     from mediquery_rag_tpu.llm.client import _as_messages
+
+    if template == "chatml":
+        parts = [f"<|im_start|>{m.role}\n{m.content}<|im_end|>\n"
+                 for m in _as_messages(messages)]
+        if for_training:
+            if not parts or _as_messages(messages)[-1].role != "assistant":
+                raise ValueError(
+                    "training samples must end with an assistant turn")
+            return "".join(parts).removesuffix("<|im_end|>\n")
+        return "".join(parts) + "<|im_start|>assistant\n"
 
     parts = []
     for m in _as_messages(messages):
@@ -43,10 +57,11 @@ class TPULLMClient:
     """``LLMClient`` implementation backed by the TPU decoder."""
 
     def __init__(self, generator: Generator, *, max_new_tokens: int = 256,
-                 temperature: float = 0.0):
+                 temperature: float = 0.0, template: str = "plain"):
         self.generator = generator
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature
+        self.template = template
 
     def complete(self, messages: Sequence[Message] | str, **kw) -> str:
         return self.complete_batch([messages], **kw)[0]
@@ -55,16 +70,19 @@ class TPULLMClient:
         """Batched completion — one TPU program for N conversations (the
         capability the reference's one-request-at-a-time HTTP client never
         had)."""
-        prompts = [render_chat(m) for m in message_lists]
+        prompts = [render_chat(m, template=self.template)
+                   for m in message_lists]
         outs = self.generator.generate(
             prompts,
             max_new_tokens=kw.get("max_new_tokens", self.max_new_tokens),
             temperature=kw.get("temperature", self.temperature),
         )
+        stops = (("<|im_start|>", "<|im_end|>") if self.template == "chatml"
+                 else (_END, *_ROLE.values()))
         cut = []
         for out in outs:
             # the model may imitate the template and open another turn; stop there
-            for stop in (_END, *_ROLE.values()):
+            for stop in stops:
                 idx = out.find(stop)
                 if idx >= 0:
                     out = out[:idx]
@@ -74,3 +92,18 @@ class TPULLMClient:
     @classmethod
     def from_checkpoint(cls, path: str, **kw) -> "TPULLMClient":
         return cls(Generator.from_checkpoint(path), **kw)
+
+    @classmethod
+    def from_hf(cls, model_dir: str, *, quantize: bool = False,
+                **kw) -> "TPULLMClient":
+        """Serve a real HF qwen2-class checkpoint from the TPU: imported
+        weights + the checkpoint's BPE tokenizer + ChatML prompts (what
+        qwen2.5-instruct was trained on). ``quantize=True`` converts to
+        int8 weight-only serving (7B-class in ~7 GB, ops/matvec.py)."""
+        from mediquery_rag_tpu.models.hf_import import load_qwen2_generator
+
+        gen = load_qwen2_generator(model_dir)
+        if quantize:
+            gen.quantize_weights()
+        kw.setdefault("template", "chatml")
+        return cls(gen, **kw)

@@ -18,5 +18,9 @@ from mediquery_rag_tpu.models.cross_encoder import (  # noqa: F401
     CrossEncoder, make_grader, train_cross_encoder,
 )
 from mediquery_rag_tpu.models.byte_tokenizer import ByteTokenizer  # noqa: F401
+from mediquery_rag_tpu.models.bpe_tokenizer import BPETokenizer  # noqa: F401
 from mediquery_rag_tpu.models.decoder import Decoder, KVCache  # noqa: F401
 from mediquery_rag_tpu.models.generate import Generator  # noqa: F401
+from mediquery_rag_tpu.models.hf_import import (  # noqa: F401
+    load_qwen2, load_qwen2_generator, read_safetensors,
+)

@@ -30,6 +30,10 @@ VOCAB_USED = _BYTE0 + 256
 class ByteTokenizer:
     max_len: int = 1024
 
+    # uniform tokenizer interface (shared with models.bpe_tokenizer.BPETokenizer)
+    pad_id: int = PAD_ID
+    eos_id: int = EOS_ID
+
     def encode(self, text: str, *, bos: bool = True, eos: bool = False) -> list[int]:
         ids = [BOS_ID] if bos else []
         ids.extend(_BYTE0 + b for b in text.encode("utf-8"))

@@ -135,35 +135,41 @@ class Decoder:
             return jnp.stack([_init_dense(ks[i], fan_in, shape).astype(pdt)
                               for i in range(L)])
 
+        blocks = {
+            "rms1": jnp.ones((L, D), pdt),
+            "qkv": stack(keys[1], D, (D, qkv_out)),
+            "attn_out": stack(keys[2], D, (D, D)),
+            "rms2": jnp.ones((L, D), pdt),
+            "w_gate": stack(keys[3], D, (D, F)),
+            "w_up": stack(keys[4], D, (D, F)),
+            "w_down": stack(keys[5], F, (F, D)),
+        }
+        if c.qkv_bias:
+            blocks["qkv_b"] = jnp.zeros((L, qkv_out), pdt)
         return {
             "tok_embed": (jax.random.normal(keys[0], (c.vocab_size, D),
                                             jnp.float32) * 0.02).astype(pdt),
-            "blocks": {
-                "rms1": jnp.ones((L, D), pdt),
-                "qkv": stack(keys[1], D, (D, qkv_out)),
-                "attn_out": stack(keys[2], D, (D, D)),
-                "rms2": jnp.ones((L, D), pdt),
-                "w_gate": stack(keys[3], D, (D, F)),
-                "w_up": stack(keys[4], D, (D, F)),
-                "w_down": stack(keys[5], F, (F, D)),
-            },
+            "blocks": blocks,
             "rms_f": jnp.ones((D,), pdt),
             "lm_head": _init_dense(keys[6], D, (D, c.vocab_size)).astype(pdt),
         }
 
     def partition_specs(self) -> Any:
         """Megatron TP layout over mesh axes ('data', 'model')."""
+        blocks = {
+            "rms1": P(None, None),
+            "qkv": P(None, None, "model"),       # column parallel
+            "attn_out": P(None, "model", None),   # row parallel
+            "rms2": P(None, None),
+            "w_gate": P(None, None, "model"),     # column parallel
+            "w_up": P(None, None, "model"),       # column parallel
+            "w_down": P(None, "model", None),     # row parallel
+        }
+        if self.cfg.qkv_bias:
+            blocks["qkv_b"] = P(None, "model")   # follows qkv columns
         return {
             "tok_embed": P(None, None),
-            "blocks": {
-                "rms1": P(None, None),
-                "qkv": P(None, None, "model"),       # column parallel
-                "attn_out": P(None, "model", None),   # row parallel
-                "rms2": P(None, None),
-                "w_gate": P(None, None, "model"),     # column parallel
-                "w_up": P(None, None, "model"),       # column parallel
-                "w_down": P(None, "model", None),     # row parallel
-            },
+            "blocks": blocks,
             "rms_f": P(None),
             "lm_head": P(None, "model"),              # vocab-sharded logits
         }
@@ -190,14 +196,14 @@ class Decoder:
 
         block_fn = functools.partial(
             _block_full, heads=c.heads, kv_heads=c.kv_heads or c.heads,
-            adt=adt, bias=bias, pos=pos, theta=c.rope_theta,
+            adt=adt, bias=bias, pos=pos, theta=c.rope_theta, eps=c.rms_eps,
         )
         if remat:
             block_fn = jax.checkpoint(block_fn)
         x, _ = jax.lax.scan(
             lambda carry, lp: (block_fn(carry, lp), None), x, params["blocks"]
         )
-        x = _rmsnorm(x, params["rms_f"])
+        x = _rmsnorm(x, params["rms_f"], c.rms_eps)
         return _mm(x, params["lm_head"], adt)
 
     # -- KV-cache serving path ----------------------------------------------------
@@ -228,12 +234,13 @@ class Decoder:
             x = carry
             x, k, v = _block_kv(x, lp, heads=c.heads,
                                 kv_heads=c.kv_heads or c.heads, adt=adt,
-                                bias=bias, pos=pos, theta=c.rope_theta)
+                                bias=bias, pos=pos, theta=c.rope_theta,
+                                eps=c.rms_eps)
             pad = [(0, 0), (0, 0), (0, cache_len - S), (0, 0)]
             return x, (jnp.pad(k, pad), jnp.pad(v, pad))
 
         x, (ks, vs) = jax.lax.scan(step, x, params["blocks"])
-        x = _rmsnorm(x, params["rms_f"])
+        x = _rmsnorm(x, params["rms_f"], c.rms_eps)
         logits = _mm(x[:, -1], params["lm_head"], adt)
 
         key_mask = jnp.pad(mask, [(0, 0), (0, cache_len - S)])
@@ -271,8 +278,11 @@ class Decoder:
         def layer(carry, xs):
             x = carry                                          # [B, 1, D]
             lp, k_layer, v_layer = xs
-            h = _rmsnorm(x, lp["rms1"])
-            qkv = _mm(h, lp["qkv"], adt).astype(adt)
+            h = _rmsnorm(x, lp["rms1"], c.rms_eps)
+            qkv = _mm(h, lp["qkv"], adt)
+            if "qkv_b" in lp:
+                qkv = qkv + lp["qkv_b"].astype(jnp.float32)
+            qkv = qkv.astype(adt)
             kvh = c.kv_heads or c.heads
             q, k, v = _split_qkv(qkv, B, 1, c.heads, kvh, dh)  # [B,*,1,dh]
             q = _rope(q, pos, c.rope_theta)
@@ -294,7 +304,7 @@ class Decoder:
             attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
             x = x + attn
 
-            h = _rmsnorm(x, lp["rms2"])
+            h = _rmsnorm(x, lp["rms2"], c.rms_eps)
             gate = _mm(h, lp["w_gate"], adt)
             up = _mm(h, lp["w_up"], adt)
             ff = (jax.nn.silu(gate) * up).astype(adt)
@@ -303,7 +313,7 @@ class Decoder:
 
         x, (ks, vs) = jax.lax.scan(
             layer, x, (params["blocks"], cache.k, cache.v))
-        x = _rmsnorm(x, params["rms_f"])
+        x = _rmsnorm(x, params["rms_f"], c.rms_eps)
         logits = _mm(x[:, 0], params["lm_head"], adt)
         new_cache = KVCache(
             k=ks, v=vs, key_mask=key_mask,
@@ -340,13 +350,16 @@ def _split_qkv(qkv, B, S, heads, kv_heads, dh):
     return q, k, v
 
 
-def _block_kv(x, lp, *, heads, kv_heads, adt, bias, pos, theta):
+def _block_kv(x, lp, *, heads, kv_heads, adt, bias, pos, theta, eps=1e-6):
     """Transformer block returning (x_out, k, v) — shared by apply/prefill."""
     B, S, D = x.shape
     dh = D // heads
 
-    h = _rmsnorm(x, lp["rms1"])
-    qkv = _mm(h, lp["qkv"], adt).astype(adt)
+    h = _rmsnorm(x, lp["rms1"], eps)
+    qkv = _mm(h, lp["qkv"], adt)
+    if "qkv_b" in lp:
+        qkv = qkv + lp["qkv_b"].astype(jnp.float32)
+    qkv = qkv.astype(adt)
     q, k, v = _split_qkv(qkv, B, S, heads, kv_heads, dh)
     q = _rope(q, pos, theta)
     k = _rope(k, pos, theta)
@@ -356,7 +369,7 @@ def _block_kv(x, lp, *, heads, kv_heads, adt, bias, pos, theta):
     attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
     x = x + attn
 
-    h = _rmsnorm(x, lp["rms2"])
+    h = _rmsnorm(x, lp["rms2"], eps)
     gate = _mm(h, lp["w_gate"], adt)
     up = _mm(h, lp["w_up"], adt)
     ff = (jax.nn.silu(gate) * up).astype(adt)
@@ -364,7 +377,7 @@ def _block_kv(x, lp, *, heads, kv_heads, adt, bias, pos, theta):
     return x + ff.astype(adt), k, v
 
 
-def _block_full(x, lp, *, heads, kv_heads, adt, bias, pos, theta):
+def _block_full(x, lp, *, heads, kv_heads, adt, bias, pos, theta, eps=1e-6):
     out, _, _ = _block_kv(x, lp, heads=heads, kv_heads=kv_heads, adt=adt,
-                          bias=bias, pos=pos, theta=theta)
+                          bias=bias, pos=pos, theta=theta, eps=eps)
     return out

@@ -25,8 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mediquery_rag_tpu.config import DecoderConfig
-from mediquery_rag_tpu.models.byte_tokenizer import (
-    EOS_ID, PAD_ID, ByteTokenizer)
+from mediquery_rag_tpu.models.byte_tokenizer import ByteTokenizer
 from mediquery_rag_tpu.models.decoder import Decoder, KVCache
 
 
@@ -45,7 +44,7 @@ class Generator:
     """Owns params + jit cache. ``generate()`` is the one public call."""
 
     def __init__(self, cfg: DecoderConfig = DecoderConfig(), params=None,
-                 key: jax.Array | None = None):
+                 key: jax.Array | None = None, tokenizer=None):
         self.cfg = cfg
         self.model = Decoder(cfg)
         if params is None:
@@ -54,7 +53,9 @@ class Generator:
             # remote-compile relay the eager path costs minutes at 1B+
             params = jax.jit(self.model.init)(key)
         self.params = params
-        self.tokenizer = ByteTokenizer(cfg.max_len)
+        # any object with batch_encode/decode + pad_id/eos_id works: the
+        # in-repo ByteTokenizer (toy training) or BPETokenizer (HF imports)
+        self.tokenizer = tokenizer or ByteTokenizer(cfg.max_len)
         self._jit_cache: dict = {}
 
     def to_serving_dtype(self, dtype=jnp.bfloat16) -> "Generator":
@@ -106,6 +107,8 @@ class Generator:
             return fn
         cache_len = min(_round_up(S + max_new, 128), self.cfg.max_len)
         model = self.model
+        pad_id = jnp.int32(self.tokenizer.pad_id)
+        eos_id = jnp.int32(self.tokenizer.eos_id)
 
         @jax.jit
         def run(params, ids, mask, temperature, rng):
@@ -117,7 +120,7 @@ class Generator:
                 t = jnp.maximum(temperature, 1e-6)
                 sampled = jax.random.categorical(r, logits / t).astype(jnp.int32)
                 tok = jnp.where(temperature > 0.0, sampled, greedy)
-                return jnp.where(done, PAD_ID, tok), rng
+                return jnp.where(done, pad_id, tok), rng
 
             def cond(st):
                 _, _, _, done, t, _ = st
@@ -127,11 +130,11 @@ class Generator:
                 cache, out, rng, done, t, logits = st
                 tok, rng = pick(logits, rng, done)
                 out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, t))
-                done = done | (tok == EOS_ID)
+                done = done | (tok == eos_id)
                 logits, cache = model.decode_step(params, cache, tok)
                 return cache, out, rng, done, t + 1, logits
 
-            out0 = jnp.full((B, max_new), PAD_ID, jnp.int32)
+            out0 = jnp.full((B, max_new), pad_id, jnp.int32)
             done0 = jnp.zeros((B,), bool)
             _, out, _, _, _, _ = jax.lax.while_loop(
                 cond, body, (cache, out0, rng, done0, jnp.int32(0), logits))
