@@ -48,10 +48,12 @@ class AppContext:
     ) -> "AppContext":
         cfg = load_config(root)
 
-        # embedder selection: a *trained* TPU encoder when a checkpoint
-        # exists (models/train.py writes one), else the lexical hash
+        # embedder selection: a pretrained HF zh encoder (dmeta-class BERT,
+        # MEDIQUERY_HF_EMBEDDER=<dir>) beats everything > a *trained* TPU
+        # encoder checkpoint (models/train.py writes one) > the lexical hash
         # embedder — random encoder weights embed worse than hashing, so
         # "TPU-by-default" would hurt retrieval quality, not help it.
+        hf_emb = os.environ.get("MEDIQUERY_HF_EMBEDDER", "")
         ckpt = os.path.join(root, "checkpoints", "embedder")
         if use_tpu_embedder is None:
             try:
@@ -61,7 +63,11 @@ class AppContext:
                                         os.path.join(ckpt, "params.npz")))
             except Exception:
                 use_tpu_embedder = False
-        if use_tpu_embedder:
+        if hf_emb and os.path.isdir(hf_emb):
+            from mediquery_rag_tpu.models import BertTextEmbedder
+            embedder = BertTextEmbedder.from_hf(hf_emb)
+            print("  预训练 HF 嵌入模型已加载（TPU 本地推理）")
+        elif use_tpu_embedder:
             from mediquery_rag_tpu.models import TextEmbedder
             if os.path.exists(os.path.join(ckpt, "config.json")):
                 embedder = TextEmbedder.from_checkpoint(ckpt)
@@ -86,16 +92,25 @@ class AppContext:
             except OSError:
                 pass
 
-        # LLM selection: scripted fake > TPU-hosted decoder checkpoint
+        # LLM selection: scripted fake > pretrained HF qwen2-class
+        # checkpoint (MEDIQUERY_HF_LLM=<dir>, served from the TPU with int8
+        # weight-only quantization) > TPU-hosted decoder checkpoint
         # (models/train_lm writes one) > HTTP client to a local server —
         # the TPU decoder removes the reference's hard dependency on an
         # out-of-process Ollama daemon (medical_engine.py:46).
+        hf_llm = os.environ.get("MEDIQUERY_HF_LLM", "")
         lm_ckpt = os.path.join(root, "checkpoints", "lm")
         if fake_llm:
             llm = FakeLLM(default=(
                 "（演示模式：未连接本地 LLM 服务，回答为占位内容。"
                 "启动兼容 OpenAI 接口的本地服务后去掉 --fake-llm 即可。）"
             ))
+        elif hf_llm and os.path.isdir(hf_llm):
+            from mediquery_rag_tpu.llm import TPULLMClient
+            llm = TPULLMClient.from_hf(
+                hf_llm, quantize=os.environ.get(
+                    "MEDIQUERY_HF_LLM_QUANT", "1") != "0")
+            print("  预训练 HF 语言模型已加载（TPU 本地推理，无需外部服务）")
         elif os.path.exists(os.path.join(lm_ckpt, "params.npz")):
             try:
                 from mediquery_rag_tpu.llm import TPULLMClient

@@ -62,6 +62,27 @@ class EmbedderConfig:
 
 
 @dataclass(frozen=True)
+class BertEmbedderConfig:
+    """Post-LN BERT encoder — the exact architecture of pretrained zh
+    embedding checkpoints (shaw/dmeta-embedding-zh is a Chinese BERT
+    derivative, reference medical_engine.py:43). The from-scratch
+    ``EmbedderConfig``/``Embedder`` pair stays pre-LN (the better design to
+    train); this one exists so HF weights import bit-faithfully
+    (models/hf_import.py:load_bert)."""
+
+    vocab_size: int = 21128         # bert-base-chinese WordPiece vocab
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_dim: int = 3072
+    max_len: int = 512
+    type_vocab: int = 2
+    ln_eps: float = 1e-12
+    pooling: str = "mean"           # mean | cls
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
 class DecoderConfig:
     """TPU-hosted causal LM (replaces ChatOllama/qwen2.5:7b's GGML inference,
     reference medical_engine.py:46 — SURVEY §2b row 2's optional completion).

@@ -21,6 +21,11 @@ from mediquery_rag_tpu.models.byte_tokenizer import ByteTokenizer  # noqa: F401
 from mediquery_rag_tpu.models.bpe_tokenizer import BPETokenizer  # noqa: F401
 from mediquery_rag_tpu.models.decoder import Decoder, KVCache  # noqa: F401
 from mediquery_rag_tpu.models.generate import Generator  # noqa: F401
+from mediquery_rag_tpu.models.bert_encoder import BertEncoder  # noqa: F401
+from mediquery_rag_tpu.models.wordpiece_tokenizer import (  # noqa: F401
+    WordPieceTokenizer,
+)
 from mediquery_rag_tpu.models.hf_import import (  # noqa: F401
-    load_qwen2, load_qwen2_generator, read_safetensors,
+    BertTextEmbedder, load_bert, load_qwen2, load_qwen2_generator,
+    read_safetensors,
 )

@@ -170,6 +170,144 @@ def load_qwen2(model_dir: str, *, max_len: int = 4096,
     return cfg, params
 
 
+def load_bert(model_dir: str, *, max_len: int | None = None,
+              pooling: str = "mean", dtype: str = "bfloat16"):
+    """Read an HF BERT-family checkpoint (the reference's embedding model
+    shaw/dmeta-embedding-zh is a Chinese BERT derivative — reference
+    medical_engine.py:43). Returns ``(BertEmbedderConfig, params)`` for
+    ``models.bert_encoder.BertEncoder``.
+
+    Layout mapping (HF Linear ``[out, in]`` -> decoder-style ``[in, out]``):
+
+        embeddings.{word,position,token_type}_embeddings -> *_embed
+        embeddings.LayerNorm                 -> emb_ln_{scale,bias}
+        encoder.layer.i.attention.self.{query,key,value} -> blocks.qkv[i]
+        encoder.layer.i.attention.output.dense           -> blocks.attn_out[i]
+        encoder.layer.i.attention.output.LayerNorm       -> blocks.ln1_*[i]
+        encoder.layer.i.intermediate.dense               -> blocks.wi/bi[i]
+        encoder.layer.i.output.dense                     -> blocks.wo/bo[i]
+        encoder.layer.i.output.LayerNorm                 -> blocks.ln2_*[i]
+    """
+    from mediquery_rag_tpu.config import BertEmbedderConfig
+
+    with open(os.path.join(model_dir, "config.json"), encoding="utf-8") as f:
+        hf = json.load(f)
+    t = _load_all_tensors(model_dir)
+    # BertModel saves bare names; BertFor* tasks prefix with "bert."
+    prefix = "bert." if any(k.startswith("bert.") for k in t) else ""
+
+    def g(name):
+        return t[prefix + name]
+
+    L = hf["num_hidden_layers"]
+
+    def W(name):
+        return np.asarray(g(name).T, dtype=np.float32)
+
+    def vec(name):
+        return np.asarray(g(name), dtype=np.float32)
+
+    blocks = {k: [] for k in ("qkv", "qkv_b", "attn_out", "attn_out_b",
+                              "ln1_scale", "ln1_bias", "wi", "bi", "wo",
+                              "bo", "ln2_scale", "ln2_bias")}
+    for i in range(L):
+        p = f"encoder.layer.{i}."
+        blocks["qkv"].append(np.concatenate(
+            [W(p + "attention.self.query.weight"),
+             W(p + "attention.self.key.weight"),
+             W(p + "attention.self.value.weight")], axis=1))
+        blocks["qkv_b"].append(np.concatenate(
+            [vec(p + "attention.self.query.bias"),
+             vec(p + "attention.self.key.bias"),
+             vec(p + "attention.self.value.bias")]))
+        blocks["attn_out"].append(W(p + "attention.output.dense.weight"))
+        blocks["attn_out_b"].append(vec(p + "attention.output.dense.bias"))
+        blocks["ln1_scale"].append(vec(p + "attention.output.LayerNorm.weight"))
+        blocks["ln1_bias"].append(vec(p + "attention.output.LayerNorm.bias"))
+        blocks["wi"].append(W(p + "intermediate.dense.weight"))
+        blocks["bi"].append(vec(p + "intermediate.dense.bias"))
+        blocks["wo"].append(W(p + "output.dense.weight"))
+        blocks["bo"].append(vec(p + "output.dense.bias"))
+        blocks["ln2_scale"].append(vec(p + "output.LayerNorm.weight"))
+        blocks["ln2_bias"].append(vec(p + "output.LayerNorm.bias"))
+
+    import jax.numpy as jnp
+    params = {
+        "tok_embed": jnp.asarray(vec("embeddings.word_embeddings.weight")),
+        "pos_embed": jnp.asarray(
+            vec("embeddings.position_embeddings.weight")),
+        "type_embed": jnp.asarray(
+            vec("embeddings.token_type_embeddings.weight")),
+        "emb_ln_scale": jnp.asarray(vec("embeddings.LayerNorm.weight")),
+        "emb_ln_bias": jnp.asarray(vec("embeddings.LayerNorm.bias")),
+        "blocks": {k: jnp.asarray(np.stack(v)) for k, v in blocks.items()},
+    }
+    cfg = BertEmbedderConfig(
+        vocab_size=hf["vocab_size"], hidden=hf["hidden_size"],
+        layers=L, heads=hf["num_attention_heads"],
+        mlp_dim=hf["intermediate_size"],
+        max_len=min(max_len or hf["max_position_embeddings"],
+                    hf["max_position_embeddings"]),
+        type_vocab=hf.get("type_vocab_size", 2),
+        ln_eps=float(hf.get("layer_norm_eps", 1e-12)),
+        pooling=pooling, dtype=dtype,
+    )
+    return cfg, params
+
+
+class BertTextEmbedder:
+    """Imported-BERT counterpart of ``TextEmbedder``: tokenizer + encoder +
+    params behind one ``embed()`` call, batch shapes bucketed so repeated
+    calls hit the jit cache. Drop-in for the ingest pipeline / engine."""
+
+    def __init__(self, cfg, params, tokenizer):
+        import jax
+
+        from mediquery_rag_tpu.models.bert_encoder import BertEncoder
+
+        self.cfg = cfg
+        self.model = BertEncoder(cfg)
+        self.params = params
+        self.tokenizer = tokenizer
+        self._apply = jax.jit(self.model.apply)
+
+    @property
+    def dim(self) -> int:
+        return self.cfg.hidden
+
+    def embed(self, texts):
+        import jax.numpy as jnp
+        if not len(texts):
+            return np.zeros((0, self.cfg.hidden), np.float32)
+        ids, mask = self.tokenizer.batch_encode(list(texts))
+        b = ids.shape[0]
+        bp = 1
+        while bp < b:
+            bp *= 2
+        if bp != b:
+            pad_rows = np.full((bp - b, ids.shape[1]), self.tokenizer.pad_id,
+                               ids.dtype)
+            ids = np.concatenate([ids, pad_rows])
+            mask = np.concatenate(
+                [mask, np.zeros((bp - b, mask.shape[1]), mask.dtype)])
+        out = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(out[:b])
+
+    def __call__(self, texts):
+        return self.embed(texts)
+
+    @classmethod
+    def from_hf(cls, model_dir: str, *, pooling: str = "mean",
+                max_len: int | None = None) -> "BertTextEmbedder":
+        from mediquery_rag_tpu.models.wordpiece_tokenizer import (
+            WordPieceTokenizer)
+
+        cfg, params = load_bert(model_dir, max_len=max_len, pooling=pooling)
+        tok = WordPieceTokenizer.from_pretrained(model_dir,
+                                                 max_len=cfg.max_len)
+        return cls(cfg, params, tok)
+
+
 def load_qwen2_generator(model_dir: str, *, max_len: int = 4096,
                          dtype: str = "bfloat16",
                          param_dtype: str = "bfloat16"):

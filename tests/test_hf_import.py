@@ -197,6 +197,105 @@ class TestBPETokenizer:
         assert ours.decode(row) == "血压"
 
 
+def _tiny_bert(tmp_path, vocab=120):
+    from transformers import BertConfig, BertModel
+
+    cfg = BertConfig(
+        vocab_size=vocab, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=128, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-12,
+    )
+    torch.manual_seed(11)
+    model = BertModel(cfg).eval()
+    d = tmp_path / "bert"
+    model.save_pretrained(str(d), safe_serialization=True)
+    return model, str(d)
+
+
+class TestBertImport:
+    def test_hidden_states_and_pooling_parity(self, tmp_path):
+        from mediquery_rag_tpu.models import BertEncoder
+        from mediquery_rag_tpu.models.hf_import import load_bert
+
+        hf_model, d = _tiny_bert(tmp_path)
+        cfg, params = load_bert(d, dtype="float32")
+        enc = BertEncoder(cfg)
+
+        ids = np.array([[2, 9, 23, 77, 41, 3, 8, 101],
+                        [2, 11, 64, 12, 0, 0, 0, 0]], dtype=np.int32)
+        mask = np.ones_like(ids, dtype=np.float32)
+        mask[1, 4:] = 0.0  # right padding on row 1
+
+        ours = np.asarray(enc.hidden_states(
+            params, jnp.asarray(ids), jnp.asarray(mask)))
+        with torch.no_grad():
+            theirs = hf_model(
+                input_ids=torch.tensor(ids, dtype=torch.long),
+                attention_mask=torch.tensor(mask, dtype=torch.long),
+            ).last_hidden_state.numpy()
+        live = mask.astype(bool)
+        np.testing.assert_allclose(ours[live], theirs[live],
+                                   rtol=2e-4, atol=2e-4)
+
+        # mean-pooled sentence embeddings match the sentence-transformers
+        # recipe applied to the torch hidden states
+        pooled = np.asarray(enc.apply(params, jnp.asarray(ids),
+                                      jnp.asarray(mask)))
+        ref = (theirs * mask[..., None]).sum(1) / mask.sum(1, keepdims=True)
+        ref = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+        np.testing.assert_allclose(pooled, ref, rtol=2e-4, atol=2e-4)
+
+    def test_wordpiece_matches_transformers(self, tmp_path):
+        from transformers import BertTokenizerFast
+
+        from mediquery_rag_tpu.models import WordPieceTokenizer
+
+        pieces = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                  "高", "血", "压", "患", "者", "饮", "食", "的", "建", "议",
+                  "what", "should", "i", "eat", "blood", "pressure",
+                  "##s", "##ing", "##ed", "bp", "120", "80", "1", "2", "0",
+                  "##0", "##2", "/", "?", "!", ",", "。", "，", "mm", "##hg"]
+        d = tmp_path / "wp"
+        d.mkdir()
+        (d / "vocab.txt").write_text("\n".join(pieces) + "\n",
+                                     encoding="utf-8")
+        (d / "tokenizer_config.json").write_text(
+            json.dumps({"do_lower_case": True}))
+
+        theirs = BertTokenizerFast(str(d / "vocab.txt"), do_lower_case=True)
+        ours = WordPieceTokenizer.from_pretrained(str(d))
+        cases = [
+            "高血压患者的饮食建议",
+            "What should I eat?",
+            "BP 120/80 mmHg!",
+            "混合 mixed 病例 eating",
+            "unknownword 高血压",
+            "",
+        ]
+        for text in cases:
+            expect = theirs(text)["input_ids"]
+            got = ours.encode(text)
+            assert got == expect, f"mismatch on {text!r}"
+
+    def test_bert_text_embedder_end_to_end(self, tmp_path):
+        from mediquery_rag_tpu.models import BertTextEmbedder
+
+        _, d = _tiny_bert(tmp_path)
+        pieces = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "高", "血", "压",
+                  "饮", "食", "好"]
+        with open(os.path.join(d, "vocab.txt"), "w", encoding="utf-8") as f:
+            f.write("\n".join(pieces) + "\n")
+        emb = BertTextEmbedder.from_hf(d)
+        out = emb.embed(["高血压", "饮食好", "血压"])
+        assert out.shape == (3, 48)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0,
+                                   rtol=1e-5)
+        # deterministic + distinct inputs give distinct embeddings
+        assert not np.allclose(out[0], out[1])
+
+
 class TestRealCheckpoint:
     """Only runs when a real HF qwen2-class checkpoint directory is provided
     (no weights ship in this image — zero egress)."""
