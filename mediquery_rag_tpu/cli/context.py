@@ -77,12 +77,24 @@ class AppContext:
             from mediquery_rag_tpu.models import HashingEmbedder
             embedder = HashingEmbedder(cfg.embedder.hidden)
 
-        # document store: load checkpoint or (re)build from corpus
+        # document store: load checkpoint or (re)build from corpus; a saved
+        # index whose chunk ids no longer match the corpus file (content
+        # added/removed since the save) is stale and rebuilt
         idx = cfg.paths.index_dir
         store = None
         if os.path.exists(os.path.join(idx, "chunks.jsonl")):
             try:
                 store = DocumentStore.load(idx, embedder)
+                if os.path.exists(cfg.paths.corpus_file):
+                    from mediquery_rag_tpu.ingest.parser import (
+                        parse_corpus_file)
+                    want = {c.chunk_id
+                            for c in parse_corpus_file(cfg.paths.corpus_file)}
+                    have = {c.chunk_id for c in store.chunks if c is not None}
+                    if want != have:
+                        print(f"（语料已更新：{len(have)} -> {len(want)} "
+                              "条，重新构建索引）")
+                        store = None
             except ValueError as e:       # embedder fingerprint mismatch
                 print(f"（索引与当前嵌入模型不匹配，重新构建：{e}）")
         if store is None:

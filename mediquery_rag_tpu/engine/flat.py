@@ -345,9 +345,24 @@ class FlatIndex:
     # -- persistence (index checkpoint: SURVEY §5 "add a 4th mechanism") -----
 
     def save(self, path: str) -> None:
+        """Persist the RAW stored representation (bf16/int8/int4 bytes +
+        scale planes) — a device->host fetch with ZERO device compute.
+
+        The previous format dequantized to f32 on device first; through the
+        axon remote-compile relay those novel-shape eager ops (slice + cast
+        at n rows) cost minutes of compile round trips (measured 457 s for a
+        160-row corpus — CLAUDE.md gotcha). Raw is also lossless and 2-8x
+        smaller on disk."""
         os.makedirs(path, exist_ok=True)
-        arr = np.asarray(self._dequantized())
-        np.save(os.path.join(path, "corpus.npy"), arr)
+        raw = np.asarray(self.corpus)          # fetch only
+        if raw.dtype.name == "bfloat16":       # np.save chokes on ml_dtypes
+            np.save(os.path.join(path, "corpus_raw.npy"),
+                    raw.view(np.uint16))
+        else:
+            np.save(os.path.join(path, "corpus_raw.npy"), raw)
+        if self.corpus_scale is not None:
+            np.save(os.path.join(path, "scales.npy"),
+                    np.asarray(self.corpus_scale))
         if self.ids is not None:
             np.save(os.path.join(path, "ids.npy"),
                     np.asarray(self.ids[: self.n]))
@@ -355,24 +370,37 @@ class FlatIndex:
             np.save(os.path.join(path, "refine.npy"), self.refine)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump({"n": self.n, "kind": "flat", "cfg": self.cfg.__dict__,
-                       "next_id": self.next_id}, f)
+                       "next_id": self.next_id, "format": 2}, f)
 
     @classmethod
     def load(cls, path: str) -> "FlatIndex":
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         cfg = EngineConfig(**{**EngineConfig().__dict__, **meta["cfg"]})
-        arr = np.load(os.path.join(path, "corpus.npy"))
-        idx = cls.build(arr, cfg)
+        if meta.get("format", 1) >= 2:
+            raw = np.load(os.path.join(path, "corpus_raw.npy"))
+            if cfg.dtype == "bfloat16":
+                import ml_dtypes
+                raw = raw.view(ml_dtypes.bfloat16)
+            corpus = jnp.asarray(raw)
+            scale = None
+            sc_path = os.path.join(path, "scales.npy")
+            if os.path.exists(sc_path):
+                scale = jnp.asarray(np.load(sc_path))
+            idx = cls(corpus=corpus, n=meta["n"], cfg=cfg, corpus_scale=scale)
+        else:   # legacy format: dequantized f32 corpus, re-quantize via build
+            arr = np.load(os.path.join(path, "corpus.npy"))
+            idx = cls.build(arr, cfg)
         ids_path = os.path.join(path, "ids.npy")
         ids = None
         if os.path.exists(ids_path):
-            raw = np.load(ids_path)
+            raw_ids = np.load(ids_path)
             # ids are per LOGICAL row; int4 corpora store n_pad/2 byte-rows
             n_pad = idx.corpus.shape[0] * (2 if cfg.dtype == "int4" else 1)
-            ids = jnp.asarray(np.pad(raw, (0, n_pad - len(raw))), jnp.int32)
-        # the saved refine copy carries the ORIGINAL f16 rows; build() above
-        # could only reconstruct a dequantized-int8 one
+            ids = jnp.asarray(np.pad(raw_ids, (0, n_pad - len(raw_ids))),
+                              jnp.int32)
+        # the saved refine copy carries the ORIGINAL f16 rows; a legacy
+        # build() above could only reconstruct a dequantized-int8 one
         refine = idx.refine
         ref_path = os.path.join(path, "refine.npy")
         if os.path.exists(ref_path):

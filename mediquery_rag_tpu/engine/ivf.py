@@ -570,12 +570,14 @@ class IVFIndex:
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        buckets = self.buckets
-        if buckets.dtype != jnp.int8:
-            buckets = buckets.astype(jnp.float32)   # npz has no bf16
+        # fetch raw storage — no device compute in save (eager casts through
+        # the remote-compile relay cost seconds/minutes; see FlatIndex.save)
+        buckets = np.asarray(self.buckets)
+        if buckets.dtype.name == "bfloat16":        # npz has no bf16
+            buckets = buckets.view(np.uint16)
         arrays = {
             "centroids": np.asarray(self.centroids),
-            "buckets": np.asarray(buckets),
+            "buckets": buckets,
             "bucket_ids": np.asarray(self.bucket_ids),
         }
         if self.bucket_scales is not None:
@@ -596,11 +598,20 @@ class IVFIndex:
             meta = json.load(f)
         cfg = EngineConfig(**{**EngineConfig().__dict__, **meta["cfg"]})
         z = np.load(os.path.join(path, "ivf.npz"))
-        storage = (jnp.int8 if cfg.dtype in ("int8", "int4")
-                   else jnp.dtype(cfg.dtype))
+        storage = jnp.dtype("int8" if cfg.dtype in ("int8", "int4")
+                            else cfg.dtype)
+        raw = z["buckets"]
+        if storage == jnp.bfloat16:
+            import ml_dtypes
+            # new format stores the raw bf16 bits as uint16; legacy stored
+            # f32 — both convert on HOST (no device cast round trip)
+            raw = (raw.view(ml_dtypes.bfloat16) if raw.dtype == np.uint16
+                   else raw.astype(ml_dtypes.bfloat16))
+        elif raw.dtype != storage.name:
+            raw = raw.astype(storage.name)
         return cls(
             centroids=jnp.asarray(z["centroids"]),
-            buckets=jnp.asarray(z["buckets"]).astype(storage),
+            buckets=jnp.asarray(raw),
             bucket_ids=jnp.asarray(z["bucket_ids"]),
             n=meta["n"],
             cap=meta["cap"],
