@@ -66,6 +66,10 @@ QUESTIONS: dict[str, list[Question]] = {
     Stage.MEDICAL_HISTORY: [
         Question("chronic", "您有确诊的慢性疾病吗？（如高血压、糖尿病，没有请答无）",
                  "text", store_in="profile", important=True),
+        Question("family_history",
+                 "您的直系亲属中有人患以下疾病吗？（可多选，逗号分隔）",
+                 "multi", ("高血压", "糖尿病", "心脏病", "脑卒中", "癌症", "无"),
+                 store_in="profile"),
         Question("allergy", "您有药物或食物过敏吗？（没有请答无）",
                  "text", store_in="profile", important=True),
         Question("medication", "您目前在长期服用哪些药物？（没有请答无）",
@@ -88,6 +92,17 @@ QUESTIONS: dict[str, list[Question]] = {
         Question("exercise", "您目前每周的运动情况如何？", "text"),
         Question("sleep", "您平均每晚睡几个小时？", "number"),
     ],
+}
+
+# numeric sanity ranges per question key (reference parity:
+# structured_consultation.py:195-212 validates age 0-120, height 50-250,
+# weight 20-300, severity bounds); out-of-range answers are re-asked
+NUMERIC_BOUNDS: dict[str, tuple[float, float, str]] = {
+    "age": (0, 120, "年龄应在 0-120 之间"),
+    "height_cm": (50, 250, "身高应在 50-250 厘米之间"),
+    "weight_kg": (20, 300, "体重应在 20-300 公斤之间"),
+    "severity": (0, 10, "严重程度请打 0-10 分"),
+    "sleep": (0, 24, "每晚睡眠小时数应在 0-24 之间"),
 }
 
 FOLLOWUP_PROMPT = """你是一名问诊医生助理。根据用户档案和已收集的回答，判断是否需要
@@ -123,6 +138,9 @@ class UserProfile:
     chronic: str | None = None
     allergy: str | None = None
     medication: str | None = None
+    # multi-choice list (["无"] = asked, none); not part of is_complete so
+    # profiles saved before this field existed stay complete
+    family_history: list | None = None
     created_at: float = field(default_factory=time.time)
 
     def is_complete(self) -> bool:
@@ -316,6 +334,9 @@ class StructuredConsultation:
                 return None, "请输入数字。"
             if not math.isfinite(v):               # 'inf'/'nan' parse as float
                 return None, "请输入数字。"
+            bounds = NUMERIC_BOUNDS.get(q_key)
+            if bounds and not (bounds[0] <= v <= bounds[1]):
+                return None, f"{bounds[2]}，请重新输入。"
             return (int(v) if v == int(v) else v), None
         if qtype == "choice":
             if a in options:
@@ -469,6 +490,7 @@ class StructuredConsultation:
             "chronic": p.chronic,
             "allergy": p.allergy,
             "medication": p.medication,
+            "family_history": p.family_history,
             "consult_type": s.consult_type,
             "answers": dict(s.answers),
             "followup_qa": list(s.followup_qa),
@@ -546,6 +568,8 @@ class StructuredConsultation:
             v = getattr(p, key)
             if v:
                 lines.append(f"- {label}：{v}")
+        if p.family_history and p.family_history != ["无"]:
+            lines.append(f"- 家族史：{'、'.join(p.family_history)}")
         lines.append("")
         for h in self.get_history_summary(last_n=50, include_current=True):
             lines.append(f"## {h['date']}（{h['consult_type'] or '未分类'}）")
@@ -572,6 +596,9 @@ class StructuredConsultation:
                            ("medication", "用药")):
             if sm[key] and sm[key] not in ("无", "没有"):
                 profile_bits.append(f"{label}：{sm[key]}")
+        fh = sm.get("family_history")
+        if fh and fh != ["无"]:
+            profile_bits.append(f"家族史：{'、'.join(fh)}")
         profile_line = "；".join(profile_bits) or "未提供"
 
         if sm["consult_type"] == "健康管理":

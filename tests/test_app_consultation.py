@@ -256,6 +256,63 @@ class TestReviewRegressions:
             r = sc.process_answer(bad)
             assert not r["ok"]
 
+    def test_numeric_range_validation(self, tmp_path):
+        """Reference parity (structured_consultation.py:195-212): age 0-120,
+        height 50-250, weight 20-300, severity 0-10 — 'age 999' rejected."""
+        sc = make_sc(tmp_path)
+        sc.identify_user("106")
+        sc.start_session()
+        sc.process_answer("张三")                 # name
+        r = sc.process_answer("999")              # age out of range
+        assert not r["ok"] and "0-120" in r["error"]
+        assert sc.process_answer("45")["ok"]
+        sc.process_answer("男")                   # gender
+        r = sc.process_answer("500")              # height out of range
+        assert not r["ok"] and "50-250" in r["error"]
+        assert sc.process_answer("175")["ok"]
+        r = sc.process_answer("5")                # weight out of range
+        assert not r["ok"] and "20-300" in r["error"]
+        assert sc.process_answer("80")["ok"]
+        # walk to severity and bound-check it
+        answers = {"chronic": "无", "family_history": "无", "allergy": "无",
+                   "medication": "无", "consult_type": "症状咨询",
+                   "chief_complaint": "头晕", "duration": "一周"}
+        while True:
+            q = sc.get_current_question()
+            if q is None or q["key"] == "severity":
+                break
+            a = answers.get(q["key"], "无")
+            assert sc.process_answer(a)["ok"]
+        r = sc.process_answer("15")
+        assert not r["ok"] and "0-10" in r["error"]
+        assert sc.process_answer("4")["ok"]
+
+    def test_family_history_multi_choice(self, tmp_path):
+        sc = make_sc(tmp_path)
+        sc.identify_user("107")
+        sc.start_session()
+        answers = {**BASIC, "family_history": "高血压，糖尿病",
+                   "consult_type": "症状咨询", "chief_complaint": "最近头晕",
+                   "duration": "两周", "severity": "4"}
+        seen = drive(sc, answers)
+        assert "family_history" in seen
+        assert sc.profile.family_history == ["高血压", "糖尿病"]
+        q = sc.build_rag_query()
+        assert "家族史：高血压、糖尿病" in q
+        # invalid option rejected
+        sc2 = make_sc(tmp_path)
+        sc2.identify_user("108")
+        sc2.start_session()
+        while True:
+            q = sc2.get_current_question()
+            if q["key"] == "family_history":
+                break
+            sc2.process_answer(BASIC.get(q["key"], "无"))
+        r = sc2.process_answer("外星病")
+        assert not r["ok"] and "无效选项" in r["error"]
+        assert sc2.process_answer("无")["ok"]
+        assert sc2.profile.family_history == ["无"]
+
     def test_corrupt_session_file_skipped(self, tmp_path):
         from mediquery_rag_tpu.app.consultation import StructuredConsultation
         sc = StructuredConsultation(FakeLLM(), data_dir=str(tmp_path))
