@@ -76,13 +76,14 @@ def main():
         t0 = time.perf_counter()
         h.add(x)
         t_build = time.perf_counter() - t0
+        n_threads = os.cpu_count() or 1
         for ef in (32, 64, 128):
             t0 = time.perf_counter()
-            _, ih = h.search(q, k, ef=ef)
+            _, ih = h.search(q, k, ef=ef, threads=n_threads)
             t_q = (time.perf_counter() - t0) / b
             emit("cpu_hnsw", recall_at_k(ih, i_ref), 1.0 / t_q,
                  h.nbytes / 1e6, {"ef": ef, "build_s": round(t_build, 2),
-                                  "threads": 1})
+                                  "threads": n_threads})
 
     # NOTE: big arrays must be *arguments* of the timed fn (not closures) —
     # closure constants get serialized into the remote-compile payload.

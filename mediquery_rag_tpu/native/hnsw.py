@@ -39,6 +39,12 @@ def _load():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint64),
         ctypes.POINTER(ctypes.c_float)]
+    lib.hnsw_search_batch.restype = ctypes.c_int
+    lib.hnsw_search_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int]
     lib.hnsw_memory_bytes.restype = ctypes.c_uint64
     lib.hnsw_memory_bytes.argtypes = [ctypes.c_void_p]
     lib.hnsw_size.restype = ctypes.c_uint64
@@ -77,21 +83,27 @@ class HNSWIndex:
             n,
         )
 
-    def search(self, queries: np.ndarray, k: int, ef: int = 64):
+    def search(self, queries: np.ndarray, k: int, ef: int = 64,
+               threads: int = 1):
+        """Batch top-k. ``threads`` > 1 (or 0 = all cores) runs the batch
+        through the OpenMP path — per-thread visited tables over the
+        read-only graph, the same query-parallel scheme hnswlib uses."""
         q = np.ascontiguousarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None]
         b = q.shape[0]
         labels = np.zeros((b, k), dtype=np.uint64)
         scores = np.full((b, k), -np.inf, dtype=np.float32)
-        for r in range(b):
-            self._lib.hnsw_search(
-                self._h,
-                q[r].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                k, ef,
-                labels[r].ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-                scores[r].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            )
+        counts = np.zeros(b, dtype=np.int32)
+        self._lib.hnsw_search_batch(
+            self._h,
+            q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            b, k, ef,
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            threads,
+        )
         return scores, labels.astype(np.int64)
 
     @property

@@ -23,7 +23,18 @@
 #include <random>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
+
+// epoch-stamped visited set: avoids an O(n) allocation per search. One per
+// thread in batch search — the graph itself is read-only during queries.
+struct VisitTable {
+    std::vector<uint32_t> stamp;
+    uint32_t epoch = 0;
+};
 
 struct Hnsw {
     int dim;
@@ -40,9 +51,9 @@ struct Hnsw {
     int entry = -1;
     int max_level = -1;
     std::mt19937 rng{12345};
-    // epoch-stamped visited set: avoids an O(n) allocation per search
-    mutable std::vector<uint32_t> visited_stamp;
-    mutable uint32_t visit_epoch = 0;
+    // scratch for build-time searches (single-writer); query-time batch
+    // search uses per-thread tables instead
+    mutable VisitTable build_visit;
 
     size_t n() const { return labels.size(); }
 
@@ -81,12 +92,14 @@ struct Hnsw {
     // beam search at one level; returns min-heap-ordered vector of
     // (dist, id) pairs, best first, size <= ef.
     std::vector<std::pair<float, int>> search_layer(
-        const float* q, int ep, int level, int ef) const {
+        const float* q, int ep, int level, int ef,
+        VisitTable& vt) const {
         using P = std::pair<float, int>;
         std::priority_queue<P> best;                       // max-heap by dist
         std::priority_queue<P, std::vector<P>, std::greater<P>> cand;
+        auto& visited_stamp = vt.stamp;
         if (visited_stamp.size() < n()) visited_stamp.resize(n() * 2 + 64, 0);
-        const uint32_t epoch = ++visit_epoch;
+        const uint32_t epoch = ++vt.epoch;
 
         float d0 = dist(q, vec(ep));
         best.push({d0, ep});
@@ -184,7 +197,7 @@ struct Hnsw {
         }
         // beam insert at levels min(lvl, max_level)..0
         for (int l = std::min(lvl, max_level); l >= 0; --l) {
-            auto cands = search_layer(v, ep, l, efc);
+            auto cands = search_layer(v, ep, l, efc, build_visit);
             auto sel = select_neighbors(v, cands, cap(l));
             int* nb = neigh(l, id);
             nb[0] = (int)sel.size();
@@ -196,7 +209,8 @@ struct Hnsw {
     }
 
     int search(const float* q, int k, int ef,
-               uint64_t* out_labels, float* out_scores) const {
+               uint64_t* out_labels, float* out_scores,
+               VisitTable& vt) const {
         if (entry < 0) return 0;
         int ep = entry;
         for (int l = max_level; l > 0; --l) {
@@ -211,7 +225,7 @@ struct Hnsw {
                 }
             }
         }
-        auto res = search_layer(q, ep, 0, std::max(ef, k));
+        auto res = search_layer(q, ep, 0, std::max(ef, k), vt);
         int m = std::min((int)res.size(), k);
         for (int i = 0; i < m; ++i) {
             out_labels[i] = labels[res[i].second];
@@ -252,7 +266,38 @@ void hnsw_add_batch(void* p, const float* vecs, const uint64_t* lab, int n) {
 
 int hnsw_search(void* p, const float* q, int k, int ef,
                 uint64_t* labels, float* scores) {
-    return static_cast<Hnsw*>(p)->search(q, k, ef, labels, scores);
+    auto* h = static_cast<Hnsw*>(p);
+    return h->search(q, k, ef, labels, scores, h->build_visit);
+}
+
+// Parallel batch search: OpenMP over the query batch, one VisitTable per
+// thread (the graph is read-only during queries, so this is race-free —
+// hnswlib parallelizes queries the same way). threads<=0 means "all cores".
+// out_labels/out_scores are [nq, k]; out_counts[i] = hits for query i
+// (slots past the count are untouched). Returns the thread count used.
+int hnsw_search_batch(void* p, const float* qs, int nq, int k, int ef,
+                      uint64_t* out_labels, float* out_scores,
+                      int* out_counts, int threads) {
+    auto* h = static_cast<Hnsw*>(p);
+#ifdef _OPENMP
+    int nt = threads > 0 ? threads : omp_get_max_threads();
+    std::vector<VisitTable> vts(nt);
+#pragma omp parallel for schedule(dynamic, 4) num_threads(nt)
+    for (int i = 0; i < nq; ++i) {
+        VisitTable& vt = vts[omp_get_thread_num()];
+        out_counts[i] = h->search(qs + (size_t)i * h->dim, k, ef,
+                                  out_labels + (size_t)i * k,
+                                  out_scores + (size_t)i * k, vt);
+    }
+    return nt;
+#else
+    VisitTable vt;
+    for (int i = 0; i < nq; ++i)
+        out_counts[i] = h->search(qs + (size_t)i * h->dim, k, ef,
+                                  out_labels + (size_t)i * k,
+                                  out_scores + (size_t)i * k, vt);
+    return 1;
+#endif
 }
 
 uint64_t hnsw_memory_bytes(void* p) {

@@ -55,6 +55,20 @@ class TestHNSW:
         s, i = ix.search(np.zeros(16, np.float32), 5)
         assert (s == -np.inf).all()
 
+    def test_parallel_batch_matches_serial(self):
+        """OpenMP query-parallel search (per-thread visited tables over the
+        read-only graph) must be bit-identical to the serial path."""
+        from mediquery_rag_tpu.native import HNSWIndex
+        x = _clustered(3000, 48, seed=3)
+        rng = np.random.default_rng(4)
+        q = x[rng.integers(0, 3000, 64)]
+        ix = HNSWIndex(48, M=16, ef_construction=100)
+        ix.add(x)
+        s1, i1 = ix.search(q, 10, ef=64, threads=1)
+        s4, i4 = ix.search(q, 10, ef=64, threads=4)
+        np.testing.assert_array_equal(i1, i4)
+        np.testing.assert_array_equal(s1, s4)
+
 
 class TestNativeTokenizer:
     """C++ batch tokenizer must be BIT-IDENTICAL to the Python loop: the
