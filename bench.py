@@ -29,7 +29,10 @@ from mediquery_rag_tpu.ops.scoring import flat_search, flat_search_xla
 
 N, D, B, K = 1_000_000, 768, 64, 10
 TC, QT = 2048, 64
-TC4 = 6144   # int4 row-pair tile (logical rows; larger tiles amortize)
+TC8 = 6144   # int8 tile: 89.7% of HBM floor measured (2048: 84%)
+TC4 = 10240  # int4 row-pair tile (logical rows): 75.2% of floor measured
+RERANK = 4   # int4 ships with rerank_factor=4 (engine/flat.py) — candidate
+             # generation at 1/4 the bytes, exact f32 re-score of the top 4k
 ITERS = 32   # two-point timing differences 32 vs 16 iterations; a larger
              # span amortizes relay jitter (~100 ms/round trip) better
 
@@ -69,17 +72,51 @@ def main() -> None:
     _, i_ref = flat_search_xla(qs[0], c, K)
     _, i_bf = flat_search(qs[0], c_pad, K, n_valid=N, query_tile=QT, corpus_tile=TC)
     recall_bf16 = recall_at_k(i_bf, i_ref)
-    _, i_i8 = int8_flat_search(qs[0], c8p, csp, K, n_valid=N, corpus_tile=TC)
+    _, i_i8 = int8_flat_search(qs[0], c8p, csp, K, n_valid=N, corpus_tile=TC8)
     recall_int8 = recall_at_k(i_i8, i_ref)
     _, i_i4 = int4_flat_search(qs[0], c4p, cs4p, K, n_valid=N, corpus_tile=TC4)
     recall_int4 = recall_at_k(i_i4, i_ref)
+
+    # the SHIPPING int4 config (engine/flat.py rerank_factor=4): the int4
+    # scan generates RERANK*K candidates, an exact re-score picks the final
+    # K. Recall measured with an exact f32 re-score on device; the serving
+    # engine re-scores on HOST against the f16 refine copy (host_rerank),
+    # whose stage time is measured separately below (device row-gather via
+    # XLA is ~µs/row and NOT the shipping path).
+    @jax.jit
+    def _int4_rerank(q, cp, sp, corpus):
+        _, cand = int4_flat_search(q, cp, sp, RERANK * K, n_valid=N,
+                                   corpus_tile=TC4)
+        rows = jnp.take(corpus, cand, axis=0)          # [B, RK, D] f32
+        exact = jnp.einsum("bd,bkd->bk", q, rows)
+        s, j = jax.lax.top_k(exact, K)
+        return s, jnp.take_along_axis(cand, j, axis=1)
+    s_rr, i_rr = jax.block_until_ready(_int4_rerank(qs[0], c4p, cs4p, c))
+    recall_int4_rr = recall_at_k(i_rr, i_ref)
+
+    # host rerank stage time (content-independent: same shapes/dtype as the
+    # engine's f16 refine copy; zeros avoid denormal slowdowns)
+    import time as _time
+
+    import numpy as np
+    from mediquery_rag_tpu.engine.flat import host_rerank
+    refine_shape = np.zeros((N, D), np.float16)
+    q_h = np.asarray(qs[0])
+    s_h = np.zeros((B, RERANK * K), np.float32)
+    i_h = np.asarray(i_rr)
+    i_h = np.tile(i_h, (1, RERANK))[:, : RERANK * K]
+    host_rerank(refine_shape, q_h, s_h, i_h, K, cosine=False)  # warm
+    t0 = _time.perf_counter()
+    for _ in range(10):
+        host_rerank(refine_shape, q_h, s_h, i_h, K, cosine=False)
+    t_rr_host = (_time.perf_counter() - t0) / 10
 
     t_bf16 = device_time(
         lambda q, cp: flat_search(
             q, cp, K, n_valid=N, query_tile=QT, corpus_tile=TC), qs, c_pad)
     t_int8 = device_time(
         lambda q, cp, sp: int8_flat_search(
-            q, cp, sp, K, n_valid=N, corpus_tile=TC), qs, c8p, csp)
+            q, cp, sp, K, n_valid=N, corpus_tile=TC8), qs, c8p, csp)
     t_int4 = device_time(
         lambda q, cp, sp: int4_flat_search(
             q, cp, sp, K, n_valid=N, query_tile=QT, corpus_tile=TC4),
@@ -99,6 +136,8 @@ def main() -> None:
         "int4_ms_per_batch": round(t_int4 * 1e3, 3),
         "int4_qps": round(B / t_int4, 1),
         "recall_at_10_int4_vs_f32": recall_int4,
+        "recall_at_10_int4_rerank4_vs_f32": recall_int4_rr,
+        "int4_rerank_host_stage_ms": round(t_rr_host * 1e3, 3),
         "xla_naive_bf16_ms_per_batch": round(t_xla * 1e3, 3),
         "hbm_floor_ms_bf16": round(n_pad * D * 2 / 819e9 * 1e3, 3),
         "hbm_floor_ms_int8": round(n_pad * (D + 4) / 819e9 * 1e3, 3),

@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mediquery_rag_tpu.ops.scoring import (
-    LANE, NEG_INF, _merge_tile_sorted, _on_tpu, _round_up,
+    LANE, NEG_INF, _merge_tile_lazy, _on_tpu, _round_up,
 )
 
 
@@ -56,12 +56,11 @@ def _int8_topk_kernel(nv_ref, q_ref, qs_ref, c_ref, cs_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    # rescale: row scale of query x row scale of corpus tile
+    # rescale: row scale of query x row scale of corpus tile. Pad rows have
+    # zero codes AND zero scales -> finite score 0.0; masked lazily in merge.
     scores = raw.astype(jnp.float32) * qs_ref[:] * cs_ref[:].reshape(1, tile_c)
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + ci * tile_c
-    scores = jnp.where(col < n_valid, scores, NEG_INF)
-
-    _merge_tile_sorted(scores, col, k, out_s_ref, out_i_ref, sc_ref, flag_ref)
+    _merge_tile_lazy([scores], k, out_s_ref, out_i_ref, sc_ref, flag_ref,
+                     n_valid, base=ci * tile_c, stride=1)
 
 
 @functools.partial(
@@ -238,20 +237,17 @@ def _int4_topk_kernel(nv_ref, q_ref, qs_ref, corr_ref, c_ref, cs_ref,
                                preferred_element_type=jnp.int32)
     dotP = jax.lax.dot_general(q, p, dimension_numbers=dims,
                                preferred_element_type=jnp.int32)
-    # both raws < 2^24: exact in f32 (|dotP| <= 127*127*768, dotU likewise)
+    # both raws < 2^24: exact in f32 (|dotP| <= 127*127*768, dotU likewise).
+    # Pad byte-rows are zero with zero scale planes -> finite score 0.0;
+    # no per-tile masking here — the lazy merge masks under its flag.
     dU = dotU.astype(jnp.float32)
     even = (dU - corr_ref[:]) * qs_ref[:] * cs_ref[0:1, :]
     odd = ((dotP.astype(jnp.float32) - dU) * (qs_ref[:] * 0.0625)
            * cs_ref[1:2, :])
-    jp = jax.lax.broadcasted_iota(jnp.int32, even.shape, 1)
-    col_e = ci * tile_c + 2 * jp
-    col_o = col_e + 1
-    even = jnp.where(col_e < n_valid, even, NEG_INF)
-    odd = jnp.where(col_o < n_valid, odd, NEG_INF)
-    scores = jnp.concatenate([even, odd], axis=1)
-    col = jnp.concatenate([col_e, col_o], axis=1)
-
-    _merge_tile_sorted(scores, col, k, out_s_ref, out_i_ref, sc_ref, flag_ref)
+    # scratch layout [even | odd]: position p of part t = logical column
+    # ci*tile_c + 2*p + t
+    _merge_tile_lazy([even, odd], k, out_s_ref, out_i_ref, sc_ref, flag_ref,
+                     n_valid, base=ci * tile_c, stride=2)
 
 
 @functools.partial(

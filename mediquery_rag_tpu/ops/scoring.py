@@ -123,6 +123,183 @@ def _merge_tile_sorted(scores, col, k, out_s_ref, out_i_ref, sc_ref, flag_ref):
             ).astype(jnp.int32)
 
 
+def _merge_tile_lazy(parts, k, out_s_ref, out_i_ref, sc_ref, flag_ref,
+                     n_valid, base, stride):
+    """Two-level sorted merge — the per-tile cost lever of the scan kernels.
+
+    ``parts`` is a list of ``[B, w]`` score blocks; position ``p`` of part
+    ``t`` is logical corpus column ``base + stride*p + t`` (flat kernels:
+    one part, stride 1; the int4 row-pair kernel: [even, odd], stride 2).
+
+    The naive merge (:func:`_merge_tile_sorted`) pays per insertion a full
+    pass over the ``[B, W]`` tile, and at B=64 queries virtually every tile
+    inserts for *some* query (P ~ 1-(1-k/T)^B), so insertion passes dominate
+    (measured: 0.31 ms of a 0.83 ms int4 batch at 1M x 768). Two-level
+    scheme instead:
+
+    1. While reading the tile once, track per-LANE max, its segment index,
+       and the per-lane SECOND-best (one extra compare/select per segment).
+    2. Merge only the 128 lane winners per part (cols attached) into the
+       sorted running top-k — insertion passes now touch ``[B, ~128]``
+       instead of ``[B, 6144]``.
+    3. Exactness: any element not merged is bounded by its lane's second
+       best. Only if ``max(second) > kth`` after step 2 (two tile elements
+       in one lane both belong in the top-k — rare) stage the full tile and
+       run exact insertion passes over it.
+
+    Pad columns (>= ``n_valid``) carry finite scores: lane winners are
+    col-masked before the narrow merge; a pad winner hiding a real second
+    can only *raise* ``max(second)``, triggering a (correct, col-masked)
+    rescan, never a miss.
+    """
+    nparts = len(parts)
+    b, w = parts[0].shape
+    if w % LANE:
+        # tiny tiles: the lane-candidate reduction needs whole segments;
+        # materialize cols and use the naive merge instead
+        jp = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+        scores = parts[0] if nparts == 1 else jnp.concatenate(parts, axis=1)
+        cols = [base + stride * jp + t for t in range(nparts)]
+        col = cols[0] if nparts == 1 else jnp.concatenate(cols, axis=1)
+        scores = jnp.where(col < n_valid, scores, NEG_INF)
+        _merge_tile_sorted(scores, col, k, out_s_ref, out_i_ref,
+                           sc_ref, flag_ref)
+        return
+    nseg = w // LANE
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, LANE), 1)
+
+    cand_s, cand_c = [], []
+    second_max = jnp.full((b, 1), jnp.float32(NEG_INF))
+    for t, p_ in enumerate(parts):
+        m = jnp.full((b, LANE), jnp.float32(NEG_INF))
+        sec = jnp.full((b, LANE), jnp.float32(NEG_INF))
+        seg = jnp.zeros((b, LANE), jnp.int32)
+        for s in range(nseg):
+            cur = p_[:, s * LANE:(s + 1) * LANE]
+            upd = cur > m
+            sec = jnp.where(upd, m, jnp.maximum(sec, cur))
+            m = jnp.where(upd, cur, m)
+            seg = jnp.where(upd, s, seg)
+        col = base + stride * (seg * LANE + lane) + t
+        cand_s.append(jnp.where(col < n_valid, m, NEG_INF))
+        cand_c.append(col)
+        # second is NOT col-masked: a real runner-up behind a pad winner
+        # must still be able to trigger the rescan (see docstring)
+        second_max = jnp.maximum(
+            second_max, jnp.max(sec, axis=1, keepdims=True))
+
+    kth = out_s_ref[:, k - 1][:, None]
+    cs_all = cand_s[0] if nparts == 1 else jnp.concatenate(cand_s, axis=1)
+    cc_all = cand_c[0] if nparts == 1 else jnp.concatenate(cand_c, axis=1)
+    flag_ref[0] = jnp.any(
+        jnp.max(cs_all, axis=1, keepdims=True) > kth).astype(jnp.int32)
+
+    # narrow merge of the lane winners (width nparts*LANE, not W)
+    kp = out_s_ref.shape[-1]
+    wn = nparts * LANE
+    pos_n = jax.lax.broadcasted_iota(jnp.int32, (b, wn), 1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, kp), 1)
+    for it in range(k):
+        @pl.when(flag_ref[0] == 1)
+        def _insert_cand():
+            s = sc_ref[:, :wn] if it else cs_all
+            cand_col = cc_all
+            run_s = out_s_ref[:]
+            run_i = out_i_ref[:]
+            kth_now = run_s[:, k - 1][:, None]
+            m = jnp.max(s, axis=1, keepdims=True)
+            improving = m > kth_now
+            is_m = s == m
+            first_pos = jnp.min(jnp.where(is_m, pos_n, _BIG_I32), axis=1,
+                                keepdims=True)
+            first = pos_n == first_pos
+            sel_i = jnp.sum(jnp.where(first, cand_col, 0), axis=1,
+                            keepdims=True)
+            cnt = jnp.sum((run_s > m).astype(jnp.int32), axis=1,
+                          keepdims=True)
+            shifted_s = jnp.concatenate([run_s[:, :1], run_s[:, :-1]], axis=1)
+            shifted_i = jnp.concatenate([run_i[:, :1], run_i[:, :-1]], axis=1)
+            new_s = jnp.where(slot < cnt, run_s,
+                              jnp.where(slot == cnt, m, shifted_s))
+            new_i = jnp.where(slot < cnt, run_i,
+                              jnp.where(slot == cnt, sel_i, shifted_i))
+            out_s_ref[:] = jnp.where(improving, new_s, run_s)
+            out_i_ref[:] = jnp.where(improving, new_i, run_i)
+            s2 = jnp.where(first & improving, NEG_INF, s)
+            sc_ref[:, :wn] = s2
+            new_kth = jnp.where(improving,
+                                jnp.where(slot == k - 1, new_s, 0.0).sum(
+                                    axis=1, keepdims=True),
+                                kth_now)
+            flag_ref[0] = jnp.any(
+                jnp.max(s2, axis=1, keepdims=True) > new_kth
+            ).astype(jnp.int32)
+
+    # rescan: a lane's runner-up still beats the kth -> exact full-tile pass
+    kth_after = out_s_ref[:, k - 1][:, None]
+    flag_ref[0] = jnp.any(second_max > kth_after).astype(jnp.int32)
+
+    @pl.when(flag_ref[0] == 1)
+    def _stage_full():
+        for t, p_ in enumerate(parts):
+            seg_t = jnp.zeros((b, LANE), jnp.int32)
+            m = jnp.full((b, LANE), jnp.float32(NEG_INF))
+            for s in range(nseg):
+                cur = p_[:, s * LANE:(s + 1) * LANE]
+                upd = cur > m
+                m = jnp.where(upd, cur, m)
+                seg_t = jnp.where(upd, s, seg_t)
+            for s in range(nseg):
+                cur = p_[:, s * LANE:(s + 1) * LANE]
+                col = base + stride * (s * LANE + lane) + t
+                # mask pads AND the already-consumed lane winners (each was
+                # inserted or rejected against a kth that only grows)
+                keep = (col < n_valid) & (seg_t != s)
+                sc_ref[:, t * w + s * LANE:t * w + (s + 1) * LANE] = (
+                    jnp.where(keep, cur, NEG_INF))
+        flag_ref[0] = jnp.any(
+            jnp.max(sc_ref[:], axis=1, keepdims=True) > kth_after
+        ).astype(jnp.int32)
+
+    wt = nparts * w
+    for _ in range(k):
+        @pl.when(flag_ref[0] == 1)
+        def _insert_full():
+            s = sc_ref[:]
+            run_s = out_s_ref[:]
+            run_i = out_i_ref[:]
+            kth_now = run_s[:, k - 1][:, None]
+            m = jnp.max(s, axis=1, keepdims=True)
+            improving = m > kth_now
+            pos = jax.lax.broadcasted_iota(jnp.int32, (b, wt), 1)
+            is_m = s == m
+            first_pos = jnp.min(jnp.where(is_m, pos, _BIG_I32), axis=1,
+                                keepdims=True)
+            first = pos == first_pos
+            # logical column from scratch position — [B, 1] arithmetic
+            part = first_pos // w
+            sel_i = base + stride * (first_pos - part * w) + part
+            cnt = jnp.sum((run_s > m).astype(jnp.int32), axis=1,
+                          keepdims=True)
+            shifted_s = jnp.concatenate([run_s[:, :1], run_s[:, :-1]], axis=1)
+            shifted_i = jnp.concatenate([run_i[:, :1], run_i[:, :-1]], axis=1)
+            new_s = jnp.where(slot < cnt, run_s,
+                              jnp.where(slot == cnt, m, shifted_s))
+            new_i = jnp.where(slot < cnt, run_i,
+                              jnp.where(slot == cnt, sel_i, shifted_i))
+            out_s_ref[:] = jnp.where(improving, new_s, run_s)
+            out_i_ref[:] = jnp.where(improving, new_i, run_i)
+            s2 = jnp.where(first & improving, NEG_INF, s)
+            sc_ref[:] = s2
+            new_kth = jnp.where(improving,
+                                jnp.where(slot == k - 1, new_s, 0.0).sum(
+                                    axis=1, keepdims=True),
+                                kth_now)
+            flag_ref[0] = jnp.any(
+                jnp.max(s2, axis=1, keepdims=True) > new_kth
+            ).astype(jnp.int32)
+
+
 def _flat_topk_kernel(nv_ref, q_ref, c_ref, out_s_ref, out_i_ref,
                       sc_ref, flag_ref, *, k, tile_c):
     # nv_ref is a scalar-prefetch arg: number of valid corpus rows. Traced (not
@@ -136,16 +313,15 @@ def _flat_topk_kernel(nv_ref, q_ref, c_ref, out_s_ref, out_i_ref,
         out_s_ref[:] = jnp.full_like(out_s_ref, NEG_INF)
         out_i_ref[:] = jnp.zeros_like(out_i_ref)
 
-    # MXU: [Bq, D] x [Tc, D]^T -> [Bq, Tc] in f32
+    # MXU: [Bq, D] x [Tc, D]^T -> [Bq, Tc] in f32. Pad rows are zeros ->
+    # finite score 0.0; _merge_tile_lazy masks them lazily under its flag.
     scores = jax.lax.dot_general(
         q_ref[:], c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + ci * tile_c
-    scores = jnp.where(col < n_valid, scores, NEG_INF)
-
-    _merge_tile_sorted(scores, col, k, out_s_ref, out_i_ref, sc_ref, flag_ref)
+    _merge_tile_lazy([scores], k, out_s_ref, out_i_ref, sc_ref, flag_ref,
+                     n_valid, base=ci * tile_c, stride=1)
 
 
 def _round_up(x: int, m: int) -> int:

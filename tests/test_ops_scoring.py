@@ -73,6 +73,49 @@ def test_flat_search_masks_padding():
     assert (np.asarray(i) < 100).all()
 
 
+def test_flat_search_lane_collisions_force_rescan():
+    """Adversarial layout for the two-level merge: the global top-k all live
+    in the SAME lane (positions differing by multiples of 128 inside one
+    tile), so the lane-winner pass alone would miss all but one — the
+    second-best rescan must recover them exactly."""
+    d, k = 32, 8
+    n = 512                                  # one 512-wide tile, 4 segments
+    rng = np.random.default_rng(11)
+    base_dir = rng.standard_normal(d).astype(np.float32)
+    base_dir /= np.linalg.norm(base_dir)
+    c = 0.01 * rng.standard_normal((n, d)).astype(np.float32)
+    # plant the top-k at lane 7 of each segment: positions 7, 135, 263, 391
+    # (and more in lane 40) with descending alignment to the query direction
+    hot = [7, 135, 263, 391, 40, 168, 296, 424]
+    for rank, posn in enumerate(hot):
+        c[posn] = (1.0 - 0.01 * rank) * base_dir \
+            + 0.001 * rng.standard_normal(d)
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    q = jnp.asarray(base_dir)[None, :]
+    c_pad, n_valid = _pad_rows(jnp.asarray(c), 512)
+    s, i = flat_search(q, c_pad, k, n_valid=n_valid, corpus_tile=512)
+    s_ref, i_ref = flat_search_xla(q, jnp.asarray(c), k)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flat_search_duplicate_scores_no_duplicate_indices():
+    """EXACT duplicate rows across lanes/segments: the merge must return k
+    distinct indices (consumed-winner masking) and scores equal to the
+    oracle's."""
+    d, k = 32, 6
+    row = np.ones(d, np.float32) / np.sqrt(d)
+    c = np.tile(row, (300, 1))               # every score identical
+    q = jnp.asarray(row)[None, :]
+    c_pad, n_valid = _pad_rows(jnp.asarray(c), 256)
+    s, i = flat_search(q, c_pad, k, n_valid=n_valid, corpus_tile=256)
+    i = np.asarray(i)[0]
+    assert len(set(i.tolist())) == k, i
+    assert (i < 300).all()
+    np.testing.assert_allclose(np.asarray(s)[0], np.ones(k), rtol=1e-5)
+
+
 def test_merge_topk():
     s_a = jnp.array([[9.0, 5.0, 1.0]])
     i_a = jnp.array([[10, 11, 12]])
