@@ -55,10 +55,23 @@ def host_rerank(refine: np.ndarray, q: np.ndarray, s: np.ndarray,
                 cand_ids: np.ndarray, k: int, cosine: bool):
     """Exact host re-score of kernel candidates against the f16 refinement
     copy (shared by FlatIndex/IVFIndex; ``cand_ids`` index ``refine`` rows).
-    Returns the true top-k (scores, ids) among the candidates."""
-    q32 = q.astype(np.float32)
+    Returns the true top-k (scores, ids) among the candidates.
+
+    Uses the OpenMP C++ kernel (native/rerank.cpp — fused f16-convert+dot,
+    parallel over queries, ~10x the numpy gather+einsum) when the library
+    is buildable; the numpy path is the portable fallback and the test
+    oracle (tests/test_native.py asserts bit-equal results)."""
+    q32 = np.asarray(q, dtype=np.float32)
     if cosine:
-        q32 /= np.maximum(np.linalg.norm(q32, axis=1, keepdims=True), 1e-12)
+        q32 = q32 / np.maximum(np.linalg.norm(q32, axis=1, keepdims=True),
+                               1e-12)
+    cand_ids = np.asarray(cand_ids)
+    s = np.asarray(s)
+    if refine.dtype == np.float16 and cand_ids.shape[1] <= 512:
+        from mediquery_rag_tpu.native.rerank import (
+            native_rerank, rerank_available)
+        if rerank_available():
+            return native_rerank(refine, q32, s, cand_ids, k)
     safe = np.clip(cand_ids, 0, len(refine) - 1)
     cand = refine[safe].astype(np.float32)          # [b, kk, d]
     exact = np.einsum("bd,bkd->bk", q32, cand, optimize=True)

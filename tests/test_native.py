@@ -119,3 +119,63 @@ class TestNativeTokenizer:
         import numpy as np
         np.testing.assert_array_equal(ids_n, ids_p)
         np.testing.assert_array_equal(mask_n, mask_p)
+
+
+class TestNativeRerank:
+    def _numpy_oracle(self, refine, q32, s, cand, k):
+        safe = np.clip(cand, 0, len(refine) - 1)
+        rows = refine[safe].astype(np.float32)
+        exact = np.einsum("bd,bkd->bk", q32, rows, optimize=True)
+        exact = np.where(s > -np.inf, exact, -np.inf)
+        top = np.argsort(-exact, axis=1, kind="stable")[:, :k]
+        return (np.take_along_axis(exact, top, axis=1),
+                np.take_along_axis(cand, top, axis=1))
+
+    def test_matches_numpy_oracle(self):
+        from mediquery_rag_tpu.native.rerank import (
+            native_rerank, rerank_available)
+        if not rerank_available():
+            pytest.skip("no C++ toolchain")
+        rng = np.random.default_rng(0)
+        n, d, b, kk, k = 5000, 768, 16, 40, 10
+        refine = rng.standard_normal((n, d)).astype(np.float16)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        cand = rng.integers(0, n, (b, kk)).astype(np.int32)
+        s = rng.standard_normal((b, kk)).astype(np.float32)
+        s[:, -3:] = -np.inf            # padded candidate slots
+        s_n, i_n = native_rerank(refine, q, s, cand, k)
+        s_o, i_o = self._numpy_oracle(refine, q, s, cand, k)
+        np.testing.assert_array_equal(i_n, i_o)
+        np.testing.assert_allclose(s_n, s_o, rtol=2e-3, atol=2e-3)
+
+    def test_duplicate_candidates_stable_ties(self):
+        from mediquery_rag_tpu.native.rerank import (
+            native_rerank, rerank_available)
+        if not rerank_available():
+            pytest.skip("no C++ toolchain")
+        n, d, k = 64, 32, 4
+        refine = np.ones((n, d), np.float16)
+        q = np.ones((1, d), np.float32)
+        cand = np.array([[5, 5, 7, 9, 5, 11]], np.int32)   # equal scores
+        s = np.zeros((1, 6), np.float32)
+        s_n, i_n = native_rerank(refine, q, s, cand, k)
+        s_o, i_o = self._numpy_oracle(refine, q, s, cand, k)
+        np.testing.assert_array_equal(i_n, i_o)
+
+    def test_host_rerank_dispatches_native(self):
+        """engine.flat.host_rerank must produce identical ids through both
+        paths on f16 refine input."""
+        from mediquery_rag_tpu.engine import flat as flat_mod
+        from mediquery_rag_tpu.native import rerank as nr
+        if not nr.rerank_available():
+            pytest.skip("no C++ toolchain")
+        rng = np.random.default_rng(3)
+        refine = rng.standard_normal((2000, 64)).astype(np.float16)
+        q = rng.standard_normal((4, 64)).astype(np.float32)
+        cand = rng.integers(0, 2000, (4, 20)).astype(np.int32)
+        s = rng.standard_normal((4, 20)).astype(np.float32)
+        s_a, i_a = flat_mod.host_rerank(refine, q, s, cand, 5, cosine=True)
+        q32 = q / np.linalg.norm(q, axis=1, keepdims=True)
+        s_o, i_o = self._numpy_oracle(refine, q32, s, cand, 5)
+        np.testing.assert_array_equal(np.asarray(i_a), i_o)
+        np.testing.assert_allclose(np.asarray(s_a), s_o, rtol=2e-3, atol=2e-3)
