@@ -79,7 +79,9 @@ def main() -> None:
         te.save(args.save)
         print(f"saved -> {args.save}")
 
-    docs = [c.content for c in chunks]
+    # embed what the ingest pipeline embeds (chunk.text = 问题+答案 render,
+    # ingest/pipeline.py:148) — this measures the shipping path
+    docs = [c.text for c in chunks]
     doc_ids = [c.chunk_id for c in chunks]
     held = retrieval_recall(
         te.embed, docs, doc_ids,

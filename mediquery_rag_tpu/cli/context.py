@@ -160,6 +160,16 @@ class AppContext:
             except Exception as e:     # stale/mismatched checkpoint must
                 grade_fn = None        # fall back, never abort startup
                 print(f"  ⚠️ 评分器加载失败，回退 LLM grade：{e}")
+        if grade_fn is None:
+            from mediquery_rag_tpu.models import HashingEmbedder
+            if not isinstance(embedder, HashingEmbedder):
+                # semantic embedder present: bi-encoder similarity grade is
+                # the measured-best default at small training scale
+                # (benchmarks/grader_eval.py: AUC 0.93 vs cross-encoder 0.52)
+                from mediquery_rag_tpu.models.cross_encoder import (
+                    SimilarityGrader)
+                grade_fn = SimilarityGrader(embedder)
+                print("  双塔相似度评分器已启用（替代 LLM grade）")
 
         checkpointer = SqliteCheckpointer(cfg.paths.chat_db)
         nodes = create_nodes(

@@ -222,6 +222,47 @@ class TrainedGrader:
         return cls(params, cfg, threshold=meta.get("threshold", 0.0))
 
 
+class SimilarityGrader:
+    """Bi-encoder threshold grader — the shipping default grade_fn.
+
+    Measured on the held-out paraphrase set (benchmarks/grader_eval.py):
+    at 160-pair training scale the from-scratch cross-encoder memorizes
+    (held-out AUC 0.52) while the contrastively trained bi-encoder
+    generalizes (AUC 0.93, acc 0.88 @ threshold 0.3) — so the CLI grades
+    with embedding similarity whenever a trained embedder is available and
+    reserves the cross-encoder for checkpoints trained at real data scale.
+    Satisfies the graph's ``grade_fn(question, doc_texts) -> bool`` plug
+    point (graph/nodes.py:121), same contract as the reference's yes/no
+    LLM grade (core/utils.py:64-72)."""
+
+    def __init__(self, embedder, threshold: float = 0.3):
+        self.embedder = embedder          # TextEmbedder-like: texts -> [n,d]
+        self.threshold = threshold
+
+    def __call__(self, question: str, doc_texts: list[str]) -> bool:
+        if not doc_texts:
+            return False
+        embs = np.asarray(self.embedder([question] + list(doc_texts)))
+        return bool((embs[1:] @ embs[0]).max() >= self.threshold)
+
+
+def score_pairs(params: dict, cfg: EmbedderConfig, queries, docs,
+                batch: int = 32) -> np.ndarray:
+    """Raw relevance logits for (query, doc) pairs -> [n] f32 (the
+    threshold-free form of the grader; benchmarks/grader_eval.py measures
+    accuracy/AUC on the held-out set with it)."""
+    tok = HashCharTokenizer(cfg.vocab_size, cfg.max_len)
+    ce = CrossEncoder(cfg)
+    apply_jit = jax.jit(ce.apply)
+    out = []
+    for i in range(0, len(queries), batch):
+        ids, mask, seg = encode_pairs(
+            tok, list(queries[i:i + batch]), list(docs[i:i + batch]))
+        out.append(np.asarray(apply_jit(
+            params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(seg))))
+    return np.concatenate(out) if out else np.zeros((0,), np.float32)
+
+
 def make_grader(params: dict, tok: HashCharTokenizer, cfg: EmbedderConfig,
                 *, threshold: float = 0.0):
     """Adapt a trained cross-encoder to the graph's ``grade_fn`` plug point

@@ -225,6 +225,27 @@ class TestCrossEncoder:
         assert g(q, docs) == g2(q, docs)
         assert g2(q, []) is False
 
+    def test_similarity_grader(self):
+        """Bi-encoder grader: max cosine over docs vs threshold; empty doc
+        list grades False; a doc identical to the query grades True."""
+        import numpy as np
+        from mediquery_rag_tpu.models.cross_encoder import SimilarityGrader
+
+        def unit_hash_embed(texts):
+            rows = []
+            for t in texts:
+                v = np.zeros(8, np.float32)
+                v[hash(t[0]) % 8] = 1.0
+                rows.append(v)
+            return np.stack(rows)
+
+        g = SimilarityGrader(unit_hash_embed, threshold=0.5)
+        assert g("高血压", []) is False
+        assert g("高血压", ["高血压相关内容"]) is True  # same first char
+        # orthogonal one-hots: pick a doc whose first char hashes elsewhere
+        other = next(c for c in "abcdefgh" if hash(c) % 8 != hash("高") % 8)
+        assert g("高血压", [other + "文档"]) is False
+
 
 class TestDataParallelEmbed:
     def test_mesh_embed_matches_single_device(self):
