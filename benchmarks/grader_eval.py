@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save", default="",
                     help="optional TrainedGrader checkpoint dir")
+    ap.add_argument("--embedder", default="",
+                    help="trained TextEmbedder checkpoint dir: also eval the "
+                         "bi-encoder SimilarityGrader (the CLI default)")
     args = ap.parse_args()
 
     import numpy as np
@@ -87,12 +90,58 @@ def main() -> None:
     # threshold-free AUC (probability a random positive outscores a random
     # negative)
     auc = float((pos_logits[:, None] > neg_logits[None, :]).mean())
-    print(json.dumps({
-        "heldout_grading": {"accuracy": acc, "tpr": tpr, "tnr": tnr,
-                            "auc": auc, "threshold": thr},
+    report = {
+        "heldout_grading_cross_encoder": {
+            "accuracy": acc, "tpr": tpr, "tnr": tnr,
+            "auc": auc, "threshold": thr},
         "n_heldout": len(heldout), "epochs": args.epochs,
         "layers": args.layers, "hidden": args.hidden,
-    }, indent=2))
+    }
+
+    if args.embedder:
+        # the CLI-default bi-encoder grade (SimilarityGrader): max cosine of
+        # doc vs query through a trained embedder, threshold 0.3
+        from mediquery_rag_tpu.models import TextEmbedder
+        from mediquery_rag_tpu.models.cross_encoder import SimilarityGrader
+        te = TextEmbedder.from_checkpoint(args.embedder)
+        sg = SimilarityGrader(te.embed)
+
+        def sims(ds):
+            embs = np.asarray(te.embed(queries + ds))
+            q, d = embs[: len(queries)], embs[len(queries):]
+            return (q * d).sum(axis=1)
+
+        pos_s, neg_s = sims(golds), sims(negs)
+        report["heldout_grading_bi_encoder"] = {
+            "accuracy": 0.5 * (float((pos_s > sg.threshold).mean())
+                               + float((neg_s <= sg.threshold).mean())),
+            "tpr": float((pos_s > sg.threshold).mean()),
+            "tnr": float((neg_s <= sg.threshold).mean()),
+            "auc": float((pos_s[:, None] > neg_s[None, :]).mean()),
+            "threshold": sg.threshold,
+        }
+
+        # the SHIPPING config: hybrid lexical+trained embedder at thr=0.2
+        # (cli/context.py wires exactly this when a checkpoint exists)
+        from mediquery_rag_tpu.models import HybridEmbedder
+        hy = HybridEmbedder.from_checkpoint(args.embedder)
+
+        def hsims(ds):
+            embs = np.asarray(hy(queries + ds))
+            q, d = embs[: len(queries)], embs[len(queries):]
+            return (q * d).sum(axis=1)
+
+        hp, hn = hsims(golds), hsims(negs)
+        thr_h = 0.2
+        report["heldout_grading_hybrid"] = {
+            "accuracy": 0.5 * (float((hp > thr_h).mean())
+                               + float((hn <= thr_h).mean())),
+            "tpr": float((hp > thr_h).mean()),
+            "tnr": float((hn <= thr_h).mean()),
+            "auc": float((hp[:, None] > hn[None, :]).mean()),
+            "threshold": thr_h,
+        }
+    print(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":

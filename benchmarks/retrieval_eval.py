@@ -83,14 +83,27 @@ def main() -> None:
     # ingest/pipeline.py:148) — this measures the shipping path
     docs = [c.text for c in chunks]
     doc_ids = [c.chunk_id for c in chunks]
-    held = retrieval_recall(
-        te.embed, docs, doc_ids,
-        [q for _, q in heldout], [cid for cid, _ in heldout])
+    h_q = [q for _, q in heldout]
+    h_gold = [cid for cid, _ in heldout]
+    held = retrieval_recall(te.embed, docs, doc_ids, h_q, h_gold)
     train = retrieval_recall(
         te.embed, docs, doc_ids,
         [c.title for c in chunks], doc_ids)
+
+    # baselines + the SHIPPING config: lexical hashing alone, and the hybrid
+    # lexical+trained fusion the CLI auto-loads (cli/context.py) — reported
+    # here so the defaults are backed by this benchmark, not folklore
+    from mediquery_rag_tpu.models import HashingEmbedder, HybridEmbedder
+    lex = HashingEmbedder(768)
+    held_lex = retrieval_recall(lex, docs, doc_ids, h_q, h_gold)
+    hybrid_sweep = {}
+    for w in (0.6, 0.7, 0.8, 0.9):
+        hy = HybridEmbedder(lex, te.embed, w_lex=w)
+        hybrid_sweep[f"w_lex={w}"] = retrieval_recall(
+            hy, docs, doc_ids, h_q, h_gold)
     print(json.dumps({
-        "heldout": held, "train_titles": train,
+        "heldout_trained": held, "heldout_hashing": held_lex,
+        "heldout_hybrid": hybrid_sweep, "train_titles": train,
         "n_docs": len(docs), "n_heldout": len(heldout),
         "layers": args.layers, "epochs": args.epochs,
     }, indent=2))

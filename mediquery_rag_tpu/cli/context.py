@@ -49,10 +49,10 @@ class AppContext:
         cfg = load_config(root)
 
         # embedder selection: a pretrained HF zh encoder (dmeta-class BERT,
-        # MEDIQUERY_HF_EMBEDDER=<dir>) beats everything > a *trained* TPU
-        # encoder checkpoint (models/train.py writes one) > the lexical hash
-        # embedder — random encoder weights embed worse than hashing, so
-        # "TPU-by-default" would hurt retrieval quality, not help it.
+        # MEDIQUERY_HF_EMBEDDER=<dir>) beats everything > hybrid
+        # lexical+trained-encoder fusion when a trained checkpoint exists
+        # (held-out recall@10 0.886 vs hashing 0.757 vs trained-alone 0.714,
+        # benchmarks/retrieval_eval.py) > the lexical hash embedder.
         hf_emb = os.environ.get("MEDIQUERY_HF_EMBEDDER", "")
         ckpt = os.path.join(root, "checkpoints", "embedder")
         if use_tpu_embedder is None:
@@ -67,12 +67,12 @@ class AppContext:
             from mediquery_rag_tpu.models import BertTextEmbedder
             embedder = BertTextEmbedder.from_hf(hf_emb)
             print("  预训练 HF 嵌入模型已加载（TPU 本地推理）")
-        elif use_tpu_embedder:
-            from mediquery_rag_tpu.models import TextEmbedder
-            if os.path.exists(os.path.join(ckpt, "config.json")):
-                embedder = TextEmbedder.from_checkpoint(ckpt)
-            else:
-                embedder = TextEmbedder(cfg.embedder)
+        elif use_tpu_embedder and os.path.exists(
+                os.path.join(ckpt, "config.json")):
+            from mediquery_rag_tpu.models import HybridEmbedder
+            embedder = HybridEmbedder.from_checkpoint(
+                ckpt, lex_dim=cfg.embedder.hidden)
+            print("  混合嵌入已启用（字符哈希 + 训练编码器，TPU 推理）")
         else:
             from mediquery_rag_tpu.models import HashingEmbedder
             embedder = HashingEmbedder(cfg.embedder.hidden)
@@ -166,10 +166,14 @@ class AppContext:
                 # semantic embedder present: bi-encoder similarity grade is
                 # the measured-best default at small training scale
                 # (benchmarks/grader_eval.py: AUC 0.93 vs cross-encoder 0.52)
+                from mediquery_rag_tpu.models import HybridEmbedder
                 from mediquery_rag_tpu.models.cross_encoder import (
                     SimilarityGrader)
-                grade_fn = SimilarityGrader(embedder)
-                print("  双塔相似度评分器已启用（替代 LLM grade）")
+                # hybrid cosines (0.8*lex + 0.2*sem) sit lower than pure
+                # semantic ones: measured best acc 0.91 @ 0.2 vs 0.83 @ 0.3
+                thr = 0.2 if isinstance(embedder, HybridEmbedder) else 0.3
+                grade_fn = SimilarityGrader(embedder, threshold=thr)
+                print("  嵌入相似度评分器已启用（替代 LLM grade）")
 
         checkpointer = SqliteCheckpointer(cfg.paths.chat_db)
         nodes = create_nodes(

@@ -227,9 +227,10 @@ class SimilarityGrader:
 
     Measured on the held-out paraphrase set (benchmarks/grader_eval.py):
     at 160-pair training scale the from-scratch cross-encoder memorizes
-    (held-out AUC 0.52) while the contrastively trained bi-encoder
-    generalizes (AUC 0.93, acc 0.88 @ threshold 0.3) — so the CLI grades
-    with embedding similarity whenever a trained embedder is available and
+    (held-out AUC 0.53) while embedding similarity generalizes — trained
+    bi-encoder AUC 0.92 (acc 0.83 @ threshold 0.3), hybrid lexical+trained
+    embedder AUC 0.95 (acc 0.91 @ threshold 0.2) — so the CLI grades with
+    embedding similarity whenever a semantic embedder is available and
     reserves the cross-encoder for checkpoints trained at real data scale.
     Satisfies the graph's ``grade_fn(question, doc_texts) -> bool`` plug
     point (graph/nodes.py:121), same contract as the reference's yes/no

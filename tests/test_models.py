@@ -247,6 +247,66 @@ class TestCrossEncoder:
         assert g("高血压", [other + "文档"]) is False
 
 
+class TestHybridEmbedder:
+    """Weighted lexical+semantic concat: dot(out_a, out_b) must equal
+    w*cos_lex + (1-w)*cos_sem exactly, rows unit-norm, engine-compatible."""
+
+    def _embedders(self):
+        import numpy as np
+        from mediquery_rag_tpu.models import HashingEmbedder
+
+        def sem(texts):  # deterministic fake semantic embedder, NOT normed
+            rng = [np.cos(np.arange(16) * (1 + len(t))) for t in texts]
+            return np.stack(rng).astype(np.float32)
+
+        return HashingEmbedder(32), sem
+
+    def test_fused_score_equals_weighted_cosines(self):
+        import numpy as np
+        from mediquery_rag_tpu.models import HybridEmbedder
+        lex, sem = self._embedders()
+        hy = HybridEmbedder(lex, sem, w_lex=0.8)
+        texts = ["高血压饮食建议", "糖尿病运动指导", "高血压用药提醒"]
+        out = hy(texts)
+        assert out.shape == (3, 32 + 16)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0,
+                                   rtol=1e-5)
+
+        def ncos(e, a, b):
+            va, vb = np.asarray(e([a]))[0], np.asarray(e([b]))[0]
+            va = va / np.linalg.norm(va)
+            vb = vb / np.linalg.norm(vb)
+            return float(va @ vb)
+
+        want = 0.8 * ncos(lex, texts[0], texts[2]) + \
+            0.2 * ncos(sem, texts[0], texts[2])
+        np.testing.assert_allclose(float(out[0] @ out[2]), want, rtol=1e-5)
+
+    def test_invalid_weight_rejected(self):
+        import pytest
+        from mediquery_rag_tpu.models import HybridEmbedder
+        lex, sem = self._embedders()
+        for w in (0.0, 1.0, -0.2, 1.5):
+            with pytest.raises(ValueError):
+                HybridEmbedder(lex, sem, w_lex=w)
+
+    def test_document_store_roundtrip(self, tmp_path):
+        """The hybrid embedder works through build/save/load of the store —
+        fingerprint check included (the concat dim flows into EngineConfig)."""
+        from mediquery_rag_tpu.ingest import (
+            DocumentStore, build_document_store)
+        from mediquery_rag_tpu.models import HybridEmbedder
+        lex, sem = self._embedders()
+        hy = HybridEmbedder(lex, sem, w_lex=0.7)
+        store = build_document_store("data/medical_data.txt", hy)
+        docs = store.similarity_search("高血压饮食", k=3)
+        assert len(docs) == 3
+        store.save(str(tmp_path / "idx"))
+        store2 = DocumentStore.load(str(tmp_path / "idx"), hy)
+        docs2 = store2.similarity_search("高血压饮食", k=3)
+        assert [d.text for d in docs] == [d.text for d in docs2]
+
+
 class TestDataParallelEmbed:
     def test_mesh_embed_matches_single_device(self):
         """DP ingest embedding over the 8-device mesh must match the
