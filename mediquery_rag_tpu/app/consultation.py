@@ -429,7 +429,10 @@ class StructuredConsultation:
             msgs.append(ai(qa["q"]))
             msgs.append(user(qa["a"]))
         try:
-            data = extract_json(self.llm.complete(msgs))
+            from mediquery_rag_tpu.models.constrain import FOLLOWUP_SCHEMA
+
+            data = extract_json(
+                self.llm.complete(msgs, schema=FOLLOWUP_SCHEMA))
             if data and data.get("need_followup") and data.get("question"):
                 options = [str(o) for o in (data.get("options") or [])][:4]
                 self.session.pending_followup = {

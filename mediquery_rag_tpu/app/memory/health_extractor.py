@@ -41,7 +41,10 @@ def extract_health_info(
     if user_id == "anonymous" or not question.strip():
         return 0
     try:
-        raw = llm.complete(EXTRACTION_PROMPT.format(question=question))
+        from mediquery_rag_tpu.models.constrain import EXTRACT_SCHEMA
+
+        raw = llm.complete(EXTRACTION_PROMPT.format(question=question),
+                           schema=EXTRACT_SCHEMA)
         items = extract_json(raw)
         if not isinstance(items, list):
             return 0

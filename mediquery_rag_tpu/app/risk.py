@@ -82,7 +82,13 @@ def assess_answer_risk(
         return RiskAssessment(CRITICAL, 10, "触发紧急关键词",
                               HOTLINE_MESSAGE, "rule")
     try:
-        raw = llm.complete(TRIAGE_PROMPT.format(question=question, answer=answer))
+        from mediquery_rag_tpu.models.constrain import RISK_SCHEMA
+
+        # TPU-hosted clients grammar-constrain the reply to RISK_SCHEMA
+        # (valid triage JSON by construction); HTTP/fake clients ignore it
+        raw = llm.complete(TRIAGE_PROMPT.format(question=question,
+                                                answer=answer),
+                           schema=RISK_SCHEMA)
         data = extract_json(raw)
         level = str(data["risk"]).upper()
         if level not in (CRITICAL, HIGH, MEDIUM, LOW):

@@ -62,21 +62,46 @@ class TPULLMClient:
         self.max_new_tokens = max_new_tokens
         self.temperature = temperature
         self.template = template
+        self._constraints: dict = {}   # schema json -> compiled JsonConstraint
 
     def complete(self, messages: Sequence[Message] | str, **kw) -> str:
         return self.complete_batch([messages], **kw)[0]
 
+    def _constraint_for(self, schema: dict):
+        import json as _json
+
+        key = _json.dumps(schema, sort_keys=True)
+        c = self._constraints.get(key)
+        if c is None:
+            from mediquery_rag_tpu.models.constrain import JsonConstraint
+
+            c = JsonConstraint.compile(
+                schema, self.generator.tokenizer,
+                vocab_size=self.generator.cfg.vocab_size)
+            self._constraints[key] = c
+        return c
+
     def complete_batch(self, message_lists, **kw) -> list[str]:
         """Batched completion — one TPU program for N conversations (the
         capability the reference's one-request-at-a-time HTTP client never
-        had)."""
+        had). Pass ``schema=`` (models/constrain.py restricted JSON schema)
+        to grammar-constrain decoding: the output is valid JSON of that
+        schema by construction — the guarantee the reference hoped for from
+        qwen's JSON mode and wrapped in try/except when it broke."""
         prompts = [render_chat(m, template=self.template)
                    for m in message_lists]
+        constraint = (self._constraint_for(kw["schema"])
+                      if kw.get("schema") is not None else None)
         outs = self.generator.generate(
             prompts,
             max_new_tokens=kw.get("max_new_tokens", self.max_new_tokens),
             temperature=kw.get("temperature", self.temperature),
+            constraint=constraint,
         )
+        if constraint is not None:
+            # grammar + EOS already terminate the output; marker-cutting
+            # would corrupt JSON whose string content happens to contain one
+            return [o.strip() for o in outs]
         stops = (("<|im_start|>", "<|im_end|>") if self.template == "chatml"
                  else (_END, *_ROLE.values()))
         cut = []

@@ -144,6 +144,22 @@ class BPETokenizer:
         if self.eos_id is None:
             self.eos_id = self.pad_id
 
+    def byte_token_ids(self):
+        """[256] token id of each raw byte (byte-level BPE vocabs contain all
+        256 single-byte tokens via the GPT-2 byte<->unicode bijection) — the
+        vocab projection used by grammar-constrained decoding
+        (models/constrain.py)."""
+        import numpy as np
+        ids = np.empty((256,), dtype=np.int32)
+        for b in range(256):
+            tok = self._byte_enc[b]
+            if tok not in self.vocab:
+                raise ValueError(
+                    f"vocab lacks single-byte token for byte {b:#x} — not a "
+                    "byte-level BPE tokenizer")
+            ids[b] = self.vocab[tok]
+        return ids
+
     # -- constructors -------------------------------------------------------------
 
     @classmethod

@@ -53,6 +53,11 @@ class ByteTokenizer:
                 out.append(i - _BYTE0)
         return out.decode("utf-8", errors="ignore")
 
+    def byte_token_ids(self) -> np.ndarray:
+        """[256] token id of each raw byte — the vocab projection used by
+        grammar-constrained decoding (models/constrain.py)."""
+        return np.arange(_BYTE0, _BYTE0 + 256, dtype=np.int32)
+
     def batch_encode(self, texts: list[str], *, pad_to: int | None = None):
         """Left-padded batch. Returns (ids [B,L] i32, mask [B,L] f32) with L
         a multiple of 128 (TPU lanes), or exactly ``pad_to`` when given."""

@@ -100,8 +100,9 @@ class Generator:
 
     # -- the compiled program ---------------------------------------------------
 
-    def _compiled(self, B: int, S: int, max_new: int):
-        key_ = (B, S, max_new)
+    def _compiled(self, B: int, S: int, max_new: int,
+                  constraint_fp: str | None = None):
+        key_ = (B, S, max_new, constraint_fp)
         fn = self._jit_cache.get(key_)
         if fn is not None:
             return fn
@@ -109,12 +110,23 @@ class Generator:
         model = self.model
         pad_id = jnp.int32(self.tokenizer.pad_id)
         eos_id = jnp.int32(self.tokenizer.eos_id)
+        constrained = constraint_fp is not None
 
         @jax.jit
-        def run(params, ids, mask, temperature, rng):
+        def run(params, ids, mask, temperature, rng, next_table, tok2sym):
             logits, cache = model.prefill(params, ids, mask, cache_len)
+            # tok2sym [V] -> DFA symbol (-1 never allowed); the two gathers
+            # per step (allow row + transition) are the whole automaton —
+            # it rides inside the jitted while_loop, no host round trips
+            sym_clip = jnp.clip(tok2sym, 0, None) if constrained else None
+            tok_legal = (tok2sym >= 0) if constrained else None
 
-            def pick(logits, rng, done):
+            def pick(logits, rng, done, state):
+                if constrained:
+                    rows = next_table[state]               # [B, N_SYM]
+                    allowed = tok_legal[None, :] & (
+                        jnp.take(rows, sym_clip, axis=1) >= 0)   # [B, V]
+                    logits = jnp.where(allowed, logits, -1e9)
                 r, rng = jax.random.split(rng)
                 greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 t = jnp.maximum(temperature, 1e-6)
@@ -123,22 +135,28 @@ class Generator:
                 return jnp.where(done, pad_id, tok), rng
 
             def cond(st):
-                _, _, _, done, t, _ = st
+                done, t = st[3], st[4]
                 return (t < max_new) & ~done.all()
 
             def body(st):
-                cache, out, rng, done, t, logits = st
-                tok, rng = pick(logits, rng, done)
+                cache, out, rng, done, t, logits, state = st
+                tok, rng = pick(logits, rng, done, state)
                 out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, t))
+                if constrained:
+                    sym = tok2sym[tok]                     # [B]
+                    ns = next_table[state, jnp.clip(sym, 0, None)]
+                    state = jnp.where(done | (sym < 0), state, ns)
                 done = done | (tok == eos_id)
                 logits, cache = model.decode_step(params, cache, tok)
-                return cache, out, rng, done, t + 1, logits
+                return cache, out, rng, done, t + 1, logits, state
 
             out0 = jnp.full((B, max_new), pad_id, jnp.int32)
             done0 = jnp.zeros((B,), bool)
-            _, out, _, _, _, _ = jax.lax.while_loop(
-                cond, body, (cache, out0, rng, done0, jnp.int32(0), logits))
-            return out
+            state0 = jnp.zeros((B,), jnp.int32)
+            st = jax.lax.while_loop(
+                cond, body,
+                (cache, out0, rng, done0, jnp.int32(0), logits, state0))
+            return st[1]
 
         self._jit_cache[key_] = run
         return run
@@ -152,16 +170,26 @@ class Generator:
         max_new_tokens: int = 256,
         temperature: float = 0.0,
         seed: int = 0,
+        constraint=None,
     ) -> list[str]:
         """Decode continuations for a batch of prompts. Greedy when
         ``temperature == 0`` (the reference ran qwen at temperature=0,
-        medical_engine.py:46)."""
+        medical_engine.py:46). ``constraint`` is a compiled
+        ``models.constrain.JsonConstraint``: each step's logits are masked
+        to the grammar's allowed next bytes, so the continuation is valid
+        JSON of the schema by construction (truncation at the token budget
+        is the one residual failure; size ``max_new_tokens`` generously)."""
         if not prompts:
             return []
         ids, mask = self.tokenizer.batch_encode(list(prompts))
         B, S = ids.shape
-        max_new = min(_round_up(max(max_new_tokens, 1), 64),
-                      self.cfg.max_len - S)
+        want = max(max_new_tokens, 1)
+        if constraint is not None:
+            # the grammar is finite, so its longest accepting path (incl.
+            # the EOS step) is exact — budget for it and truncation cannot
+            # happen: "valid by construction" holds literally
+            want = max(want, constraint.max_len_bytes)
+        max_new = min(_round_up(want, 64), self.cfg.max_len - S)
         if max_new <= 0:
             raise ValueError(
                 f"prompt ({S} tokens after bucketing) leaves no room for "
@@ -170,10 +198,26 @@ class Generator:
         if Bp != B:
             ids = np.pad(ids, ((0, Bp - B), (0, 0)))
             mask = np.pad(mask, ((0, Bp - B), (0, 0)))
-        run = self._compiled(Bp, S, max_new)
+        if constraint is not None:
+            if constraint.tok2sym.shape[0] != self.cfg.vocab_size:
+                raise ValueError(
+                    f"constraint compiled for vocab "
+                    f"{constraint.tok2sym.shape[0]}, model has "
+                    f"{self.cfg.vocab_size}")
+            run = self._compiled(Bp, S, max_new, constraint.fingerprint)
+            tables = (jnp.asarray(constraint.next_table),
+                      jnp.asarray(constraint.tok2sym))
+        else:
+            run = self._compiled(Bp, S, max_new)
+            zero = jnp.zeros((1,), jnp.int32)    # unused traced placeholders
+            tables = (zero, zero)
         out = run(self.params, jnp.asarray(ids), jnp.asarray(mask),
-                  jnp.float32(temperature), jax.random.PRNGKey(seed))
-        out = np.asarray(out[:B, :max_new_tokens])
+                  jnp.float32(temperature), jax.random.PRNGKey(seed),
+                  *tables)
+        # constrained JSON must not be cut mid-grammar by the user's cap —
+        # keep everything up to the bucketed budget (EOS already gates it)
+        limit = max_new if constraint is not None else max_new_tokens
+        out = np.asarray(out[:B, :limit])
         return [self.tokenizer.decode(row) for row in out]
 
     # -- checkpointing (np.savez convention, as TextEmbedder/CrossEncoder) --------
