@@ -160,6 +160,39 @@ class BPETokenizer:
             ids[b] = self.vocab[tok]
         return ids
 
+    def token_byte_table(self, vocab_size: int | None = None,
+                         max_bytes: int | None = None):
+        """(tok_bytes [V, L] int32, tok_len [V] int32): every token's raw
+        byte expansion — the tables token-level grammar-constrained decoding
+        (models/constrain.py) walks through the DFA, so an HF model emits
+        schema-valid JSON with its NATIVE multi-byte tokens instead of
+        byte-at-a-time. Specials get len 0 (decode() drops them, so letting
+        the grammar admit their literal bytes would corrupt the output);
+        so do tokens longer than ``max_bytes`` (they can never fit a finite
+        grammar, and excluding them caps the walk length L)."""
+        import numpy as np
+        V = vocab_size or (max(self.vocab.values()) + 1)
+        special_ids = set(self.specials.values())
+        seqs: list[bytes] = [b""] * V
+        for tok, i in self.vocab.items():
+            if i >= V or i in special_ids:
+                continue
+            try:
+                seqs[i] = bytes(self._byte_dec[c] for c in tok)
+            except KeyError:
+                continue        # not a byte-mapped token: never allowed
+        L = max(1, max(len(s) for s in seqs))
+        if max_bytes is not None and L > max_bytes:
+            L = max(1, max_bytes)
+        tok_bytes = np.zeros((V, L), dtype=np.int32)
+        tok_len = np.zeros((V,), dtype=np.int32)
+        for i, s in enumerate(seqs):
+            if not s or len(s) > L:
+                continue
+            tok_bytes[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+            tok_len[i] = len(s)
+        return tok_bytes, tok_len
+
     # -- constructors -------------------------------------------------------------
 
     @classmethod

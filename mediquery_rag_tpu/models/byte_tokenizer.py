@@ -58,6 +58,18 @@ class ByteTokenizer:
         grammar-constrained decoding (models/constrain.py)."""
         return np.arange(_BYTE0, _BYTE0 + 256, dtype=np.int32)
 
+    def token_byte_table(self, vocab_size: int | None = None,
+                         max_bytes: int | None = None):
+        """(tok_bytes [V, 1] int32, tok_len [V] int32) — the token-level
+        constraint tables (see BPETokenizer.token_byte_table): here every
+        real token IS one byte, specials get len 0."""
+        V = vocab_size or VOCAB_USED
+        tok_bytes = np.zeros((V, 1), dtype=np.int32)
+        tok_len = np.zeros((V,), dtype=np.int32)
+        tok_bytes[_BYTE0:VOCAB_USED, 0] = np.arange(256)
+        tok_len[_BYTE0:VOCAB_USED] = 1
+        return tok_bytes, tok_len
+
     def batch_encode(self, texts: list[str], *, pad_to: int | None = None):
         """Left-padded batch. Returns (ids [B,L] i32, mask [B,L] f32) with L
         a multiple of 128 (TPU lanes), or exactly ``pad_to`` when given."""

@@ -198,13 +198,25 @@ class JsonConstraint:
     ``tok2sym``:    [vocab] int32 mapping token id -> DFA symbol (-1 = never
                     allowed under constraint). Built from the tokenizer's
                     single-byte tokens + EOS.
+    ``tok_bytes``/``tok_len``: [vocab, L]/[vocab] int32 — every token's raw
+                    byte expansion. The decode loop walks ALL tokens through
+                    the DFA in parallel each step (a fori_loop of gathers,
+                    negligible next to the decode matmuls), so a 151K-vocab
+                    HF model generates with its native multi-byte tokens —
+                    full speed and on-distribution — not byte-at-a-time.
+    ``eos_id``:     token id whose emission means "accept here" (legal iff
+                    the current state has an EOS transition).
     """
 
     def __init__(self, next_table: np.ndarray, tok2sym: np.ndarray,
-                 fingerprint: str):
+                 fingerprint: str, tok_bytes: np.ndarray,
+                 tok_len: np.ndarray, eos_id: int):
         self.next_table = next_table
         self.tok2sym = tok2sym
         self.fingerprint = fingerprint
+        self.tok_bytes = tok_bytes
+        self.tok_len = tok_len
+        self.eos_id = int(eos_id)
         self.n_states = next_table.shape[0]
         # the grammar is FINITE (bounded strings/arrays, no recursion), so
         # the DFA is acyclic and the longest accepting path is exact — the
@@ -263,10 +275,23 @@ class JsonConstraint:
         tok2sym = np.full((vocab_size,), -1, dtype=np.int32)
         tok2sym[byte_ids] = np.arange(256, dtype=np.int32)
         tok2sym[int(tokenizer.eos_id)] = EOS_SYM
+
+        c = cls.__new__(cls)
+        c.next_table = next_table
+        c.n_states = next_table.shape[0]
+        max_len = c._longest_path()
+        # tokens longer than the grammar's longest path can never be fully
+        # consumed — dropping them up front caps the per-step walk length
+        tok_bytes, tok_len = tokenizer.token_byte_table(
+            vocab_size=vocab_size, max_bytes=max_len)
+        # deadlock-freedom: all 256 single-byte tokens present (asserted by
+        # byte_token_ids above), so any state with an outgoing byte arc has
+        # at least one allowed token
         import hashlib
         fp = hashlib.sha1(json.dumps(schema, sort_keys=True).encode()
                           ).hexdigest()[:12] + f"-{next_table.shape[0]}"
-        return cls(next_table, tok2sym, fp)
+        return cls(next_table, tok2sym, fp, tok_bytes, tok_len,
+                   int(tokenizer.eos_id))
 
     def accepts(self, text: str) -> bool:
         """Host-side check: does ``text`` (+EOS) drive the DFA to accept?

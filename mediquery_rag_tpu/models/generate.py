@@ -113,26 +113,51 @@ class Generator:
         constrained = constraint_fp is not None
 
         @jax.jit
-        def run(params, ids, mask, temperature, rng, next_table, tok2sym):
+        def run(params, ids, mask, temperature, rng, next_table,
+                tok_bytes, tok_len, eos_tok):
             logits, cache = model.prefill(params, ids, mask, cache_len)
-            # tok2sym [V] -> DFA symbol (-1 never allowed); the two gathers
-            # per step (allow row + transition) are the whole automaton —
-            # it rides inside the jitted while_loop, no host round trips
-            sym_clip = jnp.clip(tok2sym, 0, None) if constrained else None
-            tok_legal = (tok2sym >= 0) if constrained else None
+            if constrained:
+                n_sym = next_table.shape[1]
+                next_flat = next_table.reshape(-1)       # [S * N_SYM]
+
+            def walk(state):
+                """Advance ALL vocab tokens' byte strings through the DFA
+                from each row's state: a fori_loop of [B, V] gathers —
+                negligible next to the decode matmuls, and it means an HF
+                model generates with its native multi-byte tokens, not
+                byte-at-a-time. Returns (allowed [B, V] bool, the landing
+                state per token [B, V])."""
+                Bv = (state.shape[0], tok_len.shape[0])
+                st = jnp.broadcast_to(state[:, None], Bv)
+                ok = jnp.broadcast_to(tok_len > 0, Bv)
+
+                def step(j, carry):
+                    st, ok = carry
+                    active = (j < tok_len)[None, :]              # [1, V]
+                    nxt = next_flat[jnp.clip(st, 0, None) * n_sym
+                                    + tok_bytes[:, j][None, :]]  # [B, V]
+                    st2 = jnp.where(active, nxt, st)
+                    return st2, ok & ((st2 >= 0) | ~active)
+
+                st, ok = jax.lax.fori_loop(
+                    0, tok_bytes.shape[1], step, (st, ok))
+                # EOS is legal exactly where the DFA accepts
+                eos_ok = next_flat[state * n_sym + (n_sym - 1)] >= 0  # [B]
+                is_eos = (jnp.arange(Bv[1]) == eos_tok)[None, :]
+                ok = jnp.where(is_eos, eos_ok[:, None], ok)
+                return ok, st
 
             def pick(logits, rng, done, state):
+                land = None
                 if constrained:
-                    rows = next_table[state]               # [B, N_SYM]
-                    allowed = tok_legal[None, :] & (
-                        jnp.take(rows, sym_clip, axis=1) >= 0)   # [B, V]
+                    allowed, land = walk(state)
                     logits = jnp.where(allowed, logits, -1e9)
                 r, rng = jax.random.split(rng)
                 greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 t = jnp.maximum(temperature, 1e-6)
                 sampled = jax.random.categorical(r, logits / t).astype(jnp.int32)
                 tok = jnp.where(temperature > 0.0, sampled, greedy)
-                return jnp.where(done, pad_id, tok), rng
+                return jnp.where(done, pad_id, tok), rng, land
 
             def cond(st):
                 done, t = st[3], st[4]
@@ -140,12 +165,12 @@ class Generator:
 
             def body(st):
                 cache, out, rng, done, t, logits, state = st
-                tok, rng = pick(logits, rng, done, state)
+                tok, rng, land = pick(logits, rng, done, state)
                 out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, t))
                 if constrained:
-                    sym = tok2sym[tok]                     # [B]
-                    ns = next_table[state, jnp.clip(sym, 0, None)]
-                    state = jnp.where(done | (sym < 0), state, ns)
+                    ns = jnp.take_along_axis(
+                        land, tok[:, None], axis=1)[:, 0]   # [B]
+                    state = jnp.where(done | (tok == eos_id), state, ns)
                 done = done | (tok == eos_id)
                 logits, cache = model.decode_step(params, cache, tok)
                 return cache, out, rng, done, t + 1, logits, state
@@ -199,18 +224,20 @@ class Generator:
             ids = np.pad(ids, ((0, Bp - B), (0, 0)))
             mask = np.pad(mask, ((0, Bp - B), (0, 0)))
         if constraint is not None:
-            if constraint.tok2sym.shape[0] != self.cfg.vocab_size:
+            if constraint.tok_len.shape[0] != self.cfg.vocab_size:
                 raise ValueError(
                     f"constraint compiled for vocab "
-                    f"{constraint.tok2sym.shape[0]}, model has "
+                    f"{constraint.tok_len.shape[0]}, model has "
                     f"{self.cfg.vocab_size}")
             run = self._compiled(Bp, S, max_new, constraint.fingerprint)
             tables = (jnp.asarray(constraint.next_table),
-                      jnp.asarray(constraint.tok2sym))
+                      jnp.asarray(constraint.tok_bytes),
+                      jnp.asarray(constraint.tok_len),
+                      jnp.int32(constraint.eos_id))
         else:
             run = self._compiled(Bp, S, max_new)
             zero = jnp.zeros((1,), jnp.int32)    # unused traced placeholders
-            tables = (zero, zero)
+            tables = (zero, zero[:, None], zero, jnp.int32(0))
         out = run(self.params, jnp.asarray(ids), jnp.asarray(mask),
                   jnp.float32(temperature), jax.random.PRNGKey(seed),
                   *tables)

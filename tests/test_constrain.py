@@ -143,7 +143,7 @@ class TestConstrainedGeneration:
     def test_vocab_mismatch_raises(self, gen):
         c = JsonConstraint.compile(RISK_SCHEMA, gen.tokenizer,
                                    vocab_size=TINY.vocab_size)
-        c.tok2sym = np.resize(c.tok2sym, (17,))
+        c.tok_len = np.resize(c.tok_len, (17,))
         with pytest.raises(ValueError, match="vocab"):
             gen.generate(["x"], constraint=c)
 
@@ -206,3 +206,49 @@ class TestTokenizerProjection:
         c = JsonConstraint.compile(RISK_SCHEMA, tok,
                                    vocab_size=len(tok.vocab))
         assert int((c.tok2sym >= 0).sum()) == 257
+
+    def test_token_byte_table_matches_vocab(self, tmp_path):
+        pytest.importorskip("tokenizers")
+        from tests.test_hf_import import _write_tiny_tokenizer
+        from mediquery_rag_tpu.models.bpe_tokenizer import BPETokenizer
+        _write_tiny_tokenizer(str(tmp_path))
+        tok = BPETokenizer.from_pretrained(str(tmp_path), max_len=512)
+        tb, tl = tok.token_byte_table()
+        assert tl.max() > 1              # real multi-byte tokens exist
+        # every mapped row decodes back to its vocab token's bytes
+        inv = {v: k for k, v in tok.vocab.items()}
+        for i in np.flatnonzero(tl)[:50]:
+            raw = bytes(tb[i, : tl[i]].tolist())
+            expect = bytes(tok._byte_dec[ch] for ch in inv[int(i)])
+            assert raw == expect
+        # specials are excluded (decode() drops them)
+        for sid in tok.specials.values():
+            assert tl[sid] == 0
+
+
+class TestTokenLevelBPE:
+    """Token-level constrained decoding with a real byte-level-BPE vocab:
+    the model generates with its native multi-byte tokens (not projected to
+    single bytes) and the output is still schema-valid by construction."""
+
+    @pytest.fixture(scope="class")
+    def gen(self, tmp_path_factory):
+        pytest.importorskip("tokenizers")
+        from tests.test_hf_import import _write_tiny_tokenizer
+        from mediquery_rag_tpu.models.bpe_tokenizer import BPETokenizer
+        d = str(tmp_path_factory.mktemp("bpe"))
+        _write_tiny_tokenizer(d)
+        tok = BPETokenizer.from_pretrained(d, max_len=512)
+        cfg = DecoderConfig(vocab_size=len(tok.vocab), hidden=64, layers=2,
+                            heads=4, mlp_dim=128, max_len=2048,
+                            dtype="float32")
+        return Generator(cfg, tokenizer=tok)
+
+    @pytest.mark.parametrize("name", ["risk", "followup"])
+    def test_valid_json_with_bpe_vocab(self, gen, name):
+        c = JsonConstraint.compile(SCHEMAS[name], gen.tokenizer,
+                                   vocab_size=gen.cfg.vocab_size)
+        s = gen.generate(["血压 150/95，头晕"], constraint=c,
+                         temperature=0.9, seed=11)[0]
+        json.loads(s)
+        assert c.accepts(s)
