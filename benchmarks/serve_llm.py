@@ -1,0 +1,104 @@
+"""Continuous-batching LLM serving throughput (serve/llm.py).
+
+Scenario: a backlog of N requests (the many-sessions case — consultation
+triage calls, graph grade/generate calls, science-QA users — all sharing
+one TPU). Sequential B=1 lockstep decoding is what the reference's
+one-request-at-a-time Ollama client did; the continuous-batching server
+interleaves them through one decode loop. Decode is weight-bandwidth
+bound, so lanes share each weight read and aggregate tok/s scales ~with
+occupancy until the MXU saturates.
+
+Wall-clock timing (not device_time): the scheduler's host work and the
+relay round trip per chunk are part of serving latency, so they belong in
+the number. One JSON line per (model, slots).
+
+Run on the real chip:  python benchmarks/serve_llm.py --model 1B-class
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MODELS = {
+    # name: (hidden, layers, heads, kv_heads, mlp_dim) — as benchmarks/decode.py
+    "base-60M": (512, 8, 8, None, 1536),
+    "1B-class": (2048, 16, 16, None, 5632),
+    "7B-class": (3584, 28, 28, 4, 18944),
+}
+
+PROMPTS = [
+    "高血压患者的饮食建议是什么？",
+    "糖尿病如何运动？",
+    "头痛三天了，怎么办？",
+    "BMI 怎么计算？",
+    "咳嗽有痰，需要就医吗？",
+    "体检报告里的血脂偏高说明什么？",
+    "失眠有什么非药物的改善方法？",
+    "儿童发烧到多少度需要去医院？",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="1B-class", choices=sorted(MODELS))
+    ap.add_argument("--slots", default="1,4,8")
+    ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--max-new", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--weights", choices=("bf16", "int8"), default="bf16")
+    args = ap.parse_args()
+
+    import jax
+
+    from mediquery_rag_tpu.config import DecoderConfig
+    from mediquery_rag_tpu.models.generate import Generator
+    from mediquery_rag_tpu.serve.llm import LLMServer
+
+    h, l_, heads, kvh, mlp = MODELS[args.model]
+    cfg = DecoderConfig(hidden=h, layers=l_, heads=heads, kv_heads=kvh,
+                        mlp_dim=mlp, max_len=1024, param_dtype="bfloat16")
+    if args.weights == "int8":
+        from mediquery_rag_tpu.models.decoder import Decoder
+        from mediquery_rag_tpu.ops.matvec import quantize_decoder_params
+        model = Decoder(cfg)
+        params = jax.jit(lambda k: quantize_decoder_params(model.init(k)))(
+            jax.random.PRNGKey(0))
+        gen = Generator(cfg, params=params)
+    else:
+        gen = Generator(cfg)
+
+    reqs = [PROMPTS[i % len(PROMPTS)] for i in range(args.requests)]
+    for slots in (int(s) for s in args.slots.split(",")):
+        srv = LLMServer(gen, slots=slots, chunk=args.chunk)
+        # warm the compile caches (one prefill bucket + the chunk program)
+        srv.complete(reqs[0], max_new_tokens=args.chunk, timeout=1200)
+        t0 = time.perf_counter()
+        futs = [srv.submit(p, max_new_tokens=args.max_new) for p in reqs]
+        outs = [f.result(timeout=2400) for f in futs]
+        dt = time.perf_counter() - t0
+        toks = srv.stats["tokens_out"]
+        srv.close()
+        # tokens_out includes the warmup request's tokens; subtract
+        toks -= min(args.chunk, args.max_new)
+        print(json.dumps({
+            "metric": "serve_llm_tok_per_s",
+            "model": args.model,
+            "weights": args.weights,
+            "slots": slots,
+            "requests": args.requests,
+            "max_new": args.max_new,
+            "value": round(toks / dt, 1),
+            "unit": "aggregate generated tok/s (wall clock incl. scheduling)",
+            "wall_s": round(dt, 2),
+            "completed": sum(1 for o in outs if isinstance(o, str)),
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,18 @@ def render_chat(messages: Sequence[Message] | str, *,
     return text + _ROLE["assistant"] + "\n"
 
 
+def _cut_turn(out: str, template: str) -> str:
+    """The model may imitate the chat template and open another turn; cut
+    at the first role/stop marker. Shared with serve/llm.py's client."""
+    stops = (("<|im_start|>", "<|im_end|>") if template == "chatml"
+             else (_END, *_ROLE.values()))
+    for stop in stops:
+        idx = out.find(stop)
+        if idx >= 0:
+            out = out[:idx]
+    return out.strip()
+
+
 class TPULLMClient:
     """``LLMClient`` implementation backed by the TPU decoder."""
 
@@ -102,17 +114,7 @@ class TPULLMClient:
             # grammar + EOS already terminate the output; marker-cutting
             # would corrupt JSON whose string content happens to contain one
             return [o.strip() for o in outs]
-        stops = (("<|im_start|>", "<|im_end|>") if self.template == "chatml"
-                 else (_END, *_ROLE.values()))
-        cut = []
-        for out in outs:
-            # the model may imitate the template and open another turn; stop there
-            for stop in stops:
-                idx = out.find(stop)
-                if idx >= 0:
-                    out = out[:idx]
-            cut.append(out.strip())
-        return cut
+        return [_cut_turn(o, self.template) for o in outs]
 
     @classmethod
     def from_checkpoint(cls, path: str, **kw) -> "TPULLMClient":

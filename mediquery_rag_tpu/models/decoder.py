@@ -323,6 +323,85 @@ class Decoder:
         return logits, new_cache
 
 
+    def decode_step_slots(
+        self,
+        params: DecoderParams,
+        cache: KVCache,
+        token: jax.Array,        # [B] i32
+        active: jax.Array,       # [B] bool — slots currently serving a request
+    ) -> tuple[jax.Array, KVCache]:
+        """``decode_step`` generalized to PER-SLOT cursors — the building
+        block of continuous batching (serve/llm.py): each batch row is an
+        independent request at its own sequence position, so requests can
+        join/leave the batch without restarting anyone else's decode.
+
+        ``cache.cursor`` is [B] here (vs the scalar shared cursor of the
+        lockstep path). Inactive rows still write their (garbage) K/V at
+        their cursor column — unconditional scatter is cheaper than a
+        gather+select, and their ``key_mask`` stays 0 so attention never
+        sees it; admission overwrites the whole row. Cursor/positions only
+        advance for active rows.
+        """
+        c = self.cfg
+        adt = jnp.dtype(c.dtype)
+        L, B, H, C, dh = cache.k.shape
+        rows = jnp.arange(B)
+
+        key_mask = cache.key_mask.at[rows, cache.cursor].max(
+            active.astype(cache.key_mask.dtype))
+        bias = (key_mask[:, None, None, :] - 1.0) * 1e9       # [B,1,1,C]
+        pos = cache.next_pos[:, None]                          # [B, 1]
+
+        x = params["tok_embed"][token[:, None]].astype(adt)    # [B, 1, D]
+
+        def layer(carry, xs):
+            x = carry                                          # [B, 1, D]
+            lp, k_layer, v_layer = xs
+            h = _rmsnorm(x, lp["rms1"], c.rms_eps)
+            qkv = _mm(h, lp["qkv"], adt)
+            if "qkv_b" in lp:
+                qkv = qkv + lp["qkv_b"].astype(jnp.float32)
+            qkv = qkv.astype(adt)
+            kvh = c.kv_heads or c.heads
+            q, k, v = _split_qkv(qkv, B, 1, c.heads, kvh, dh)  # [B,*,1,dh]
+            q = _rope(q, pos, c.rope_theta)
+            k = _rope(k, pos, c.rope_theta)
+            # batched scatter: row b writes its column cache.cursor[b]
+            k_layer = k_layer.at[rows, :, cache.cursor, :].set(k[:, :, 0, :])
+            v_layer = v_layer.at[rows, :, cache.cursor, :].set(v[:, :, 0, :])
+
+            g = c.heads // kvh
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q,
+                                _repeat_kv(k_layer, g),
+                                preferred_element_type=jnp.float32)
+            logits = logits * (dh ** -0.5) + bias
+            w = jax.nn.softmax(logits, axis=-1).astype(adt)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", w, _repeat_kv(v_layer, g),
+                             preferred_element_type=jnp.float32).astype(adt)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, c.hidden)
+            attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
+            x = x + attn
+
+            h = _rmsnorm(x, lp["rms2"], c.rms_eps)
+            gate = _mm(h, lp["w_gate"], adt)
+            up = _mm(h, lp["w_up"], adt)
+            ff = (jax.nn.silu(gate) * up).astype(adt)
+            ff = _mm(ff, lp["w_down"], adt)
+            return x + ff.astype(adt), (k_layer, v_layer)
+
+        x, (ks, vs) = jax.lax.scan(
+            layer, x, (params["blocks"], cache.k, cache.v))
+        x = _rmsnorm(x, params["rms_f"], c.rms_eps)
+        logits = _mm(x[:, 0], params["lm_head"], adt)
+        adv = active.astype(jnp.int32)
+        new_cache = KVCache(
+            k=ks, v=vs, key_mask=key_mask,
+            cursor=jnp.minimum(cache.cursor + adv, C - 1),
+            next_pos=cache.next_pos + adv,
+        )
+        return logits, new_cache
+
+
 def _repeat_kv(t, groups):
     """[B, KH, S, dh] -> [B, KH*groups, S, dh] (GQA: share KV across the
     query-head group; the CACHE stays at KH heads — only the attention

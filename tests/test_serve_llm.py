@@ -1,0 +1,166 @@
+"""Continuous-batching LLM server (serve/llm.py + decoder.decode_step_slots).
+
+The invariant that makes continuous batching correct: a request's tokens
+must not depend on WHO ELSE shares the batch or WHEN they arrived. Greedy
+decoding is deterministic, so every test pins server output against the
+lockstep ``Generator.generate`` path on the same prompts.
+"""
+
+import numpy as np
+import pytest
+
+from mediquery_rag_tpu.config import DecoderConfig
+from mediquery_rag_tpu.models.generate import Generator
+from mediquery_rag_tpu.serve.llm import LLMServer
+
+TINY = DecoderConfig(vocab_size=384, hidden=64, layers=2, heads=4,
+                     mlp_dim=128, max_len=1024, dtype="float32")
+
+PROMPTS = ["高血压的饮食建议", "头痛", "BMI 如何计算？体重 70kg 身高 1.75m"]
+
+
+@pytest.fixture(scope="module")
+def gen():
+    return Generator(TINY)
+
+
+@pytest.fixture(scope="module")
+def oracle(gen):
+    """Lockstep greedy continuation at the SAME token budget (the budget is
+    tokens, not chars — decode() drops pad/noise ids, so char slicing would
+    compare different-length decodes)."""
+    cache: dict = {}
+
+    def get(p: str, n: int) -> str:
+        if (p, n) not in cache:
+            cache[(p, n)] = gen.generate([p], max_new_tokens=n)[0]
+        return cache[(p, n)]
+
+    return get
+
+
+class TestServer:
+    def test_concurrent_matches_lockstep(self, gen, oracle):
+        with LLMServer(gen, slots=4, chunk=8) as srv:
+            futs = [srv.submit(p, max_new_tokens=48) for p in PROMPTS]
+            outs = [f.result(timeout=300) for f in futs]
+        for p, o in zip(PROMPTS, outs):
+            assert o == oracle(p, 48)
+
+    def test_more_requests_than_slots(self, gen, oracle):
+        # 2 lanes, 6 requests: lanes must be reused and outputs still
+        # independent of scheduling
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            futs = [srv.submit(p, max_new_tokens=32)
+                    for p in PROMPTS * 2]
+            outs = [f.result(timeout=300) for f in futs]
+        for p, o in zip(PROMPTS * 2, outs):
+            assert o == oracle(p, 32)
+
+    def test_staggered_arrival(self, gen, oracle):
+        # second request arrives while the first is mid-generation;
+        # neither result may change
+        import time
+        with LLMServer(gen, slots=4, chunk=4) as srv:
+            f1 = srv.submit(PROMPTS[0], max_new_tokens=40)
+            while srv.stats["chunks"] == 0:   # first request is running
+                time.sleep(0.005)
+            f2 = srv.submit(PROMPTS[1], max_new_tokens=40)
+            o1, o2 = f1.result(timeout=300), f2.result(timeout=300)
+        assert o1 == oracle(PROMPTS[0], 40)
+        assert o2 == oracle(PROMPTS[1], 40)
+
+    def test_max_new_tokens_budget(self, gen):
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            out = srv.complete(PROMPTS[0], max_new_tokens=5)
+        # 5 byte-tokens decode to at most 5 chars
+        assert len(out.encode("utf-8")) <= 5
+
+    def test_cache_exhaustion_truncates(self, gen):
+        # cache barely fits the prompt: generation must end gracefully
+        with LLMServer(gen, slots=2, chunk=8, cache_len=256) as srv:
+            out = srv.complete("健康" * 60, max_new_tokens=500)
+        assert isinstance(out, str)
+
+    def test_temperature_sampling_completes(self, gen):
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            outs = srv.complete_batch(PROMPTS[:2], max_new_tokens=16,
+                                      temperature=0.9)
+        assert len(outs) == 2 and all(isinstance(o, str) for o in outs)
+
+    def test_stats(self, gen):
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            srv.complete(PROMPTS[0], max_new_tokens=8)
+            stats = dict(srv.stats)
+        assert stats["requests"] == 1 and stats["prefills"] == 1
+        assert stats["chunks"] >= 1
+
+
+class TestServedClient:
+    def test_llm_client_seam(self, gen):
+        from mediquery_rag_tpu.serve.llm import ServedLLMClient
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            client = ServedLLMClient(srv, max_new_tokens=16)
+            out = client.complete("血压高怎么办？")
+        assert isinstance(out, str)
+
+
+class TestSlotStepPrimitive:
+    def test_slot_step_matches_lockstep_step(self, gen):
+        """decode_step_slots with a shared cursor must reproduce
+        decode_step exactly (same cache writes, same logits)."""
+        import jax
+        import jax.numpy as jnp
+
+        tok = gen.tokenizer
+        ids, mask = tok.batch_encode(["高血压", "糖尿病运动"])
+        logits, cache = jax.jit(
+            lambda p, i, m: gen.model.prefill(p, i, m, 256))(
+            gen.params, jnp.asarray(ids), jnp.asarray(mask))
+        step_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        l_ref, c_ref = jax.jit(gen.model.decode_step)(
+            gen.params, cache, step_tok)
+
+        from mediquery_rag_tpu.models.decoder import KVCache
+        B = ids.shape[0]
+        slot_cache = KVCache(
+            k=cache.k, v=cache.v, key_mask=cache.key_mask,
+            cursor=jnp.full((B,), cache.cursor, jnp.int32),
+            next_pos=cache.next_pos)
+        l_slot, c_slot = jax.jit(gen.model.decode_step_slots)(
+            gen.params, slot_cache, step_tok, jnp.ones((B,), bool))
+
+        np.testing.assert_allclose(np.asarray(l_ref), np.asarray(l_slot),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_ref.k), np.asarray(c_slot.k),
+                                   rtol=1e-5)
+        assert np.array_equal(np.asarray(c_ref.key_mask),
+                              np.asarray(c_slot.key_mask))
+
+    def test_inactive_lane_is_frozen(self, gen):
+        """An inactive lane's mask/cursor/positions must not move, and its
+        visible cache content must be unchanged."""
+        import jax
+        import jax.numpy as jnp
+
+        tok = gen.tokenizer
+        ids, mask = tok.batch_encode(["高血压", "糖尿病"])
+        logits, cache = jax.jit(
+            lambda p, i, m: gen.model.prefill(p, i, m, 256))(
+            gen.params, jnp.asarray(ids), jnp.asarray(mask))
+        from mediquery_rag_tpu.models.decoder import KVCache
+        B = ids.shape[0]
+        slot_cache = KVCache(
+            k=cache.k, v=cache.v, key_mask=cache.key_mask,
+            cursor=jnp.full((B,), cache.cursor, jnp.int32),
+            next_pos=cache.next_pos)
+        active = jnp.asarray([True, False])
+        tokn = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        _, c2 = jax.jit(gen.model.decode_step_slots)(
+            gen.params, slot_cache, tokn, active)
+        assert int(c2.cursor[0]) == int(slot_cache.cursor[0]) + 1
+        assert int(c2.cursor[1]) == int(slot_cache.cursor[1])
+        assert int(c2.next_pos[1]) == int(slot_cache.next_pos[1])
+        assert np.array_equal(np.asarray(c2.key_mask[1]),
+                              np.asarray(slot_cache.key_mask[1]))
