@@ -323,6 +323,103 @@ class Decoder:
         return logits, new_cache
 
 
+    def prefill_extend(
+        self,
+        params: DecoderParams,
+        k_row: jax.Array,        # [L, KH, C, dh] — ONE lane's cache
+        v_row: jax.Array,
+        key_mask_row: jax.Array,  # [C] f32
+        ids: jax.Array,          # [S] i32, RIGHT-padded extension tokens
+        mask: jax.Array,         # [S] f32
+        col0: jax.Array,         # i32 — first cache column to write
+        pos0: jax.Array,         # i32 — RoPE position of the first new token
+    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Prefill a CONTINUATION into an existing lane — the prefix-cache
+        primitive (serve/llm.py ChatSession): multi-turn chats re-send the
+        whole growing transcript, and re-prefilling the shared prefix every
+        turn wastes prefill FLOPs linear in conversation length. Here only
+        the new suffix is processed: fresh tokens attend to the lane's
+        cached prefix (columns < col0) plus themselves causally, and their
+        K/V land at columns [col0, col0+S).
+
+        Cache columns at/after ``col0`` are masked DEAD first, which makes
+        ``col0`` a rollback point: the caller can rewind a lane past stale
+        content (e.g. the EOS the previous turn appended, which the re-
+        rendered transcript does not contain) without touching the prefix.
+
+        Right-padded on purpose (vs the left-padded batch prefill): real
+        tokens occupy [0, n) so they map to contiguous cache columns; pad
+        columns get garbage K/V with key_mask 0 — the same invariant
+        ``decode_step_slots`` relies on. Returns (last-real-token logits
+        [V], k_row, v_row, key_mask_row).
+        """
+        c = self.cfg
+        adt = jnp.dtype(c.dtype)
+        L, KH, C, dh = k_row.shape
+        (S,) = ids.shape
+
+        cols = jnp.arange(C)
+        # rollback: kill everything at/after the write point, then bring the
+        # fresh columns up with the extension's own validity mask
+        key_mask_row = jnp.where(cols < col0, key_mask_row, 0.0)
+        fresh = (cols >= col0) & (cols < col0 + S)
+        ext_mask = jnp.zeros((C,), mask.dtype)
+        ext_mask = jax.lax.dynamic_update_slice(ext_mask, mask, (col0,))
+        key_mask_row = jnp.where(fresh, ext_mask, key_mask_row)
+
+        # query j sees: cached prefix + fresh tokens 0..j  (col <= col0+j)
+        vis = (cols[None, :] <= col0 + jnp.arange(S)[:, None]).astype(
+            jnp.float32) * key_mask_row[None, :]
+        bias = (vis[None, None] - 1.0) * 1e9               # [1, 1, S, C]
+
+        pos = (pos0 + jnp.clip(
+            jnp.cumsum(mask).astype(jnp.int32) - 1, 0))[None, :]  # [1, S]
+        x = params["tok_embed"][ids[None, :]].astype(adt)         # [1, S, D]
+
+        def layer(carry, xs):
+            x = carry
+            lp, k_layer, v_layer = xs                    # [KH, C, dh]
+            h = _rmsnorm(x, lp["rms1"], c.rms_eps)
+            qkv = _mm(h, lp["qkv"], adt)
+            if "qkv_b" in lp:
+                qkv = qkv + lp["qkv_b"].astype(jnp.float32)
+            qkv = qkv.astype(adt)
+            kvh = c.kv_heads or c.heads
+            q, k, v = _split_qkv(qkv, 1, S, c.heads, kvh, dh)
+            q = _rope(q, pos, c.rope_theta)
+            k = _rope(k, pos, c.rope_theta)
+            k_layer = jax.lax.dynamic_update_slice(
+                k_layer, k[0], (0, col0, 0))
+            v_layer = jax.lax.dynamic_update_slice(
+                v_layer, v[0], (0, col0, 0))
+
+            g = c.heads // kvh
+            logits = jnp.einsum("bhqd,hkd->bhqk", q,
+                                _repeat_kv(k_layer[None], g)[0],
+                                preferred_element_type=jnp.float32)
+            logits = logits * (dh ** -0.5) + bias
+            w = jax.nn.softmax(logits, axis=-1).astype(adt)
+            ctx = jnp.einsum("bhqk,hkd->bhqd", w,
+                             _repeat_kv(v_layer[None], g)[0],
+                             preferred_element_type=jnp.float32).astype(adt)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(1, S, c.hidden)
+            attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
+            x = x + attn
+
+            h = _rmsnorm(x, lp["rms2"], c.rms_eps)
+            gate = _mm(h, lp["w_gate"], adt)
+            up = _mm(h, lp["w_up"], adt)
+            ff = (jax.nn.silu(gate) * up).astype(adt)
+            ff = _mm(ff, lp["w_down"], adt)
+            return x + ff.astype(adt), (k_layer, v_layer)
+
+        x, (ks, vs) = jax.lax.scan(
+            layer, x, (params["blocks"], k_row, v_row))
+        x = _rmsnorm(x, params["rms_f"], c.rms_eps)
+        last = jnp.clip(jnp.sum(mask).astype(jnp.int32) - 1, 0)
+        logits = _mm(x[0, last], params["lm_head"], adt)
+        return logits, ks, vs, key_mask_row
+
     def decode_step_slots(
         self,
         params: DecoderParams,

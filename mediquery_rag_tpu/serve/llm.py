@@ -71,7 +71,27 @@ class _Request:
     max_new: int
     temperature: float
     future: Future
+    session: str | None = None
     tokens: list = field(default_factory=list)
+
+
+@dataclass
+class _Session:
+    """Host bookkeeping for a lane-pinned chat session (the prefix cache).
+
+    ``tokens`` mirrors a PREFIX of the lane's real cache content: prompt
+    tokens + the tokens the user was actually given. The cache may hold
+    more (the EOS a generation appended, overshoot past ``max_new`` inside
+    a chunk) — the next turn's extension rolls the lane back to the match
+    point and masks everything beyond dead, so cache-beyond-tokens is
+    never visible. Columns are contiguous from ``first_col`` (left-pad
+    puts the first real token at column pad_len; every extension appends
+    at the cursor), so token i lives at column ``first_col + i``."""
+
+    lane: int
+    first_col: int
+    tokens: list
+    last_use: float
 
 
 class LLMServer:
@@ -169,23 +189,36 @@ class LLMServer:
         self._slots: list[_Request | None] = [None] * self.B
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
+        self._sessions: dict[str, _Session] = {}
+        self._lane_owner: list[str | None] = [None] * self.B
+        self._extend_cache: dict = {}
+        self._clock = 0.0          # monotone LRU tick (no wall clock needed)
         self.stats = {"requests": 0, "chunks": 0, "prefills": 0,
-                      "tokens_out": 0}
+                      "tokens_out": 0, "extends": 0,
+                      "prefix_tokens_reused": 0}
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
     # -- client API ----------------------------------------------------------
 
     def submit(self, prompt: str, *, max_new_tokens: int = 256,
-               temperature: float = 0.0) -> Future:
+               temperature: float = 0.0, session: str | None = None
+               ) -> Future:
+        """``session``: opaque id pinning this conversation to a lane whose
+        KV cache persists between turns — the next turn with the same id
+        prefills only the suffix past the longest shared token prefix
+        (see ChatSession for the ergonomic wrapper)."""
         fut: Future = Future()
-        self._queue.put(_Request(prompt, max_new_tokens, temperature, fut))
+        self._queue.put(_Request(prompt, max_new_tokens, temperature, fut,
+                                 session))
         return fut
 
     def complete(self, prompt: str, *, max_new_tokens: int = 256,
-                 temperature: float = 0.0, timeout: float = 600.0) -> str:
+                 temperature: float = 0.0, timeout: float = 600.0,
+                 session: str | None = None) -> str:
         return self.submit(prompt, max_new_tokens=max_new_tokens,
-                           temperature=temperature).result(timeout=timeout)
+                           temperature=temperature,
+                           session=session).result(timeout=timeout)
 
     def complete_batch(self, prompts: Sequence[str], **kw) -> list[str]:
         timeout = kw.pop("timeout", 600.0)
@@ -227,7 +260,68 @@ class LLMServer:
         self._admit_cache[S] = admit
         return admit
 
-    def _try_admit(self, req: _Request, slot: int) -> bool:
+    def _extend_program(self, S: int):
+        """Suffix-prefill program for bucketed extension length S: rolls the
+        lane back to the match point and prefills only the new tokens
+        against the cached prefix (Decoder.prefill_extend)."""
+        fn = self._extend_cache.get(S)
+        if fn is not None:
+            return fn
+        model = self.model
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def extend(params, state, ids, mask, slot, col0, pos0):
+            logits, k_row, v_row, km = model.prefill_extend(
+                params, state.k[:, slot], state.v[:, slot],
+                state.key_mask[slot], ids, mask, col0, pos0)
+            n = jnp.sum(mask).astype(jnp.int32)
+            return ServeState(
+                k=state.k.at[:, slot].set(k_row),
+                v=state.v.at[:, slot].set(v_row),
+                key_mask=state.key_mask.at[slot].set(km),
+                cursor=state.cursor.at[slot].set(col0 + n),
+                next_pos=state.next_pos.at[slot].set(pos0 + n),
+                logits=state.logits.at[slot].set(logits),
+            )
+
+        self._extend_cache[S] = extend
+        return extend
+
+    def _pick_lane(self, req: _Request) -> int | None:
+        """A free lane for ``req``: its own session's parked lane if
+        possible, else an unowned free lane, else evict the least-recently-
+        used parked session."""
+        free = [b for b in range(self.B) if self._slots[b] is None]
+        if not free:
+            return None
+        if req.session is not None:
+            sess = self._sessions.get(req.session)
+            if sess is not None and sess.lane in free:
+                return sess.lane
+        unowned = [b for b in free if self._lane_owner[b] is None]
+        if unowned:
+            return unowned[0]
+        victim = min(free, key=lambda b: self._sessions[
+            self._lane_owner[b]].last_use)
+        self._evict(victim)
+        return victim
+
+    def _evict(self, lane: int) -> None:
+        owner = self._lane_owner[lane]
+        if owner is not None:
+            self._sessions.pop(owner, None)
+            self._lane_owner[lane] = None
+
+    def _try_admit(self, req: _Request, slot: int) -> None:
+        sess = (self._sessions.get(req.session)
+                if req.session is not None else None)
+        if sess is not None and sess.lane == slot:
+            if self._try_extend(req, sess):
+                return
+            self._evict(slot)    # prefix too cold / cache full: start over
+        elif self._lane_owner[slot] is not None:
+            self._evict(slot)    # lane reassigned to someone else
+
         ids, mask = self.tok.batch_encode([req.prompt])
         S = ids.shape[1]
         if S >= self.C:          # keep the tail — standard chat truncation
@@ -239,6 +333,50 @@ class LLMServer:
                          jnp.asarray(mask), jnp.int32(slot))
         self._slots[slot] = req
         self.stats["prefills"] += 1
+        if req.session is not None:
+            old = self._sessions.pop(req.session, None)
+            if old is not None and self._lane_owner[old.lane] == req.session:
+                self._lane_owner[old.lane] = None   # moved to a new lane
+            n_real = int(mask.sum())
+            toks = self.tok.encode(req.prompt)[-n_real:]
+            self._clock += 1
+            self._sessions[req.session] = _Session(
+                slot, S - n_real, list(toks), self._clock)
+            self._lane_owner[slot] = req.session
+
+    def _try_extend(self, req: _Request, sess: _Session) -> bool:
+        """Admit ``req`` by prefilling only the suffix past the shared
+        token prefix. False -> caller falls back to a full prefill."""
+        new_toks = self.tok.encode(req.prompt)
+        m = 0
+        for a, b in zip(sess.tokens, new_toks):
+            if a != b:
+                break
+            m += 1
+        # always extend with >=1 token: the lane's carried logits belong to
+        # its LAST cache token, not necessarily token m-1
+        m = min(m, len(new_toks) - 1)
+        if m < 1:
+            return False
+        ext = new_toks[m:]
+        S = _round_up(len(ext), 128)
+        col0 = sess.first_col + m
+        if col0 + S >= self.C:
+            return False         # no room: reset the lane via full prefill
+        ids = np.full((S,), self._pad, np.int32)
+        mask = np.zeros((S,), np.float32)
+        ids[: len(ext)] = ext    # RIGHT-padded (prefill_extend contract)
+        mask[: len(ext)] = 1.0
+        run = self._extend_program(S)
+        self.state = run(self.gen.params, self.state, jnp.asarray(ids),
+                         jnp.asarray(mask), jnp.int32(sess.lane),
+                         jnp.int32(col0), jnp.int32(m))
+        sess.tokens = list(new_toks)
+        self._clock += 1
+        sess.last_use = self._clock
+        self._slots[sess.lane] = req
+        self.stats["extends"] += 1
+        self.stats["prefix_tokens_reused"] += m
         return True
 
     def _harvest(self, toks: np.ndarray) -> None:
@@ -267,24 +405,36 @@ class LLMServer:
                 done = True          # cache exhausted: finish with what we have
             if done:
                 self.stats["tokens_out"] += len(req.tokens)
+                if req.session is not None:
+                    sess = self._sessions.get(req.session)
+                    if sess is not None and sess.lane == b:
+                        # the lane PARKS for the session: cache stays put,
+                        # and its token mirror grows by what the user saw
+                        # (EOS/overshoot beyond it is rolled back next turn)
+                        sess.tokens.extend(req.tokens)
+                        self._clock += 1
+                        sess.last_use = self._clock
                 req.future.set_result(self.tok.decode(req.tokens))
                 self._slots[b] = None
 
+    def _admit_queued(self) -> bool:
+        """Drain the queue into free lanes. Returns True if anything was
+        admitted."""
+        admitted = False
+        while any(s is None for s in self._slots):
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            self.stats["requests"] += 1
+            lane = self._pick_lane(req)
+            self._try_admit(req, lane)
+            admitted = True
+        return admitted
+
     def _loop(self) -> None:
         while not self._stop.is_set():
-            # admit as many queued requests as there are free lanes
-            admitted = False
-            for b in range(self.B):
-                if self._slots[b] is not None:
-                    continue
-                try:
-                    req = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-                self.stats["requests"] += 1
-                self._try_admit(req, b)
-                admitted = True
-
+            admitted = self._admit_queued()
             active_h = [r is not None for r in self._slots]
             if not any(active_h):
                 if not admitted:
@@ -293,7 +443,7 @@ class LLMServer:
                     except queue.Empty:
                         continue
                     self.stats["requests"] += 1
-                    self._try_admit(req, 0)
+                    self._try_admit(req, self._pick_lane(req))
                 continue
 
             self._rng, sub = jax.random.split(self._rng)
@@ -305,6 +455,46 @@ class LLMServer:
                 jnp.asarray(active_h), temps, sub)
             self.stats["chunks"] += 1
             self._harvest(np.asarray(toks))
+
+
+class ChatSession:
+    """Multi-turn chat with transparent prefix reuse.
+
+    Each ``ask()`` renders the FULL transcript (the stateless contract every
+    ``LLMClient`` honors) but the server prefills only the suffix past the
+    lane's cached token prefix — turn latency stays O(new turn), not
+    O(conversation). The reference re-sent the whole history to Ollama
+    every turn (structured_consultation.py follow-up replay) and paid full
+    prefill each time.
+    """
+
+    def __init__(self, server: LLMServer, *, template: str = "plain",
+                 system_prompt: str | None = None,
+                 max_new_tokens: int = 256, temperature: float = 0.0):
+        import uuid
+
+        from mediquery_rag_tpu.llm.messages import system
+
+        self.server = server
+        self.id = uuid.uuid4().hex
+        self.template = template
+        self.max_new_tokens = max_new_tokens
+        self.temperature = temperature
+        self.messages = [system(system_prompt)] if system_prompt else []
+
+    def ask(self, text: str, **kw) -> str:
+        from mediquery_rag_tpu.llm.messages import ai, user
+        from mediquery_rag_tpu.llm.tpu_client import _cut_turn, render_chat
+
+        self.messages.append(user(text))
+        prompt = render_chat(self.messages, template=self.template)
+        out = self.server.complete(
+            prompt, session=self.id,
+            max_new_tokens=kw.get("max_new_tokens", self.max_new_tokens),
+            temperature=kw.get("temperature", self.temperature))
+        reply = _cut_turn(out, self.template)
+        self.messages.append(ai(reply))
+        return reply
 
 
 class ServedLLMClient:

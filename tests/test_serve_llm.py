@@ -96,6 +96,62 @@ class TestServer:
         assert stats["chunks"] >= 1
 
 
+class TestSessions:
+    """Prefix cache: extending a parked lane must give bit-identical greedy
+    output to a cold full prefill of the same transcript."""
+
+    def test_two_turn_session_matches_cold(self, gen):
+        from mediquery_rag_tpu.serve.llm import ChatSession
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            s = ChatSession(srv, max_new_tokens=24)
+            r1 = s.ask("高血压饮食")
+            assert srv.stats["prefills"] >= 1
+            r2 = s.ask("运动呢？")
+            assert srv.stats["extends"] == 1        # turn 2 reused the lane
+            assert srv.stats["prefix_tokens_reused"] > 0
+            transcript = list(s.messages[:-1])      # up to the 2nd question
+
+        # cold server: full prefill of the same rendered transcript
+        from mediquery_rag_tpu.llm.tpu_client import _cut_turn, render_chat
+        with LLMServer(gen, slots=2, chunk=8) as srv2:
+            out = srv2.complete(render_chat(transcript), max_new_tokens=24)
+        assert _cut_turn(out, "plain") == r2
+        assert isinstance(r1, str)
+
+    def test_session_survives_other_traffic(self, gen):
+        from mediquery_rag_tpu.serve.llm import ChatSession
+        with LLMServer(gen, slots=3, chunk=8) as srv:
+            s = ChatSession(srv, max_new_tokens=16)
+            s.ask("头痛")
+            # unrelated traffic lands on other lanes, session lane parks
+            srv.complete_batch(["咳嗽", "发烧"], max_new_tokens=16)
+            s.ask("需要吃药吗")
+            assert srv.stats["extends"] == 1
+
+    def test_eviction_under_session_pressure(self, gen):
+        from mediquery_rag_tpu.serve.llm import ChatSession
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            sessions = [ChatSession(srv, max_new_tokens=8) for _ in range(4)]
+            for s in sessions:
+                s.ask("血压")
+            # all four ran; only 2 lanes exist, so 2 sessions were evicted
+            assert len(srv._sessions) <= 2
+            # an evicted session still works (falls back to full prefill)
+            sessions[0].ask("继续")
+
+    def test_divergent_prefix_still_correct(self, gen, oracle):
+        # turn 2 shares only the BOS token with turn 1: the lane rolls back
+        # to column 1 and re-prefills nearly everything — and the result
+        # must still match a cold run exactly
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            srv.complete("问题A", session="s1", max_new_tokens=8)
+            out = srv.complete(PROMPTS[0], session="s1", max_new_tokens=32)
+            assert srv.stats["extends"] == 1
+            # just BOS (+ a coincidentally shared UTF-8 lead byte)
+            assert srv.stats["prefix_tokens_reused"] <= 3
+        assert out == oracle(PROMPTS[0], 32)
+
+
 class TestServedClient:
     def test_llm_client_seam(self, gen):
         from mediquery_rag_tpu.serve.llm import ServedLLMClient
