@@ -55,7 +55,10 @@ from mediquery_rag_tpu.models.generate import Generator, _round_up
 class ServeState(NamedTuple):
     """Device-resident serving state. ``logits`` carries each lane's
     next-token distribution across chunk boundaries (the token after a
-    prefill comes from the prefill's own last-position logits)."""
+    prefill comes from the prefill's own last-position logits). ``dfa``/
+    ``schema`` are the per-lane grammar-constraint state: which registered
+    JSON schema the lane decodes under (-1 = unconstrained) and its
+    current DFA state (models/constrain.py)."""
 
     k: jax.Array          # [L, B, KH, C, dh]
     v: jax.Array
@@ -63,6 +66,8 @@ class ServeState(NamedTuple):
     cursor: jax.Array     # [B] i32 — per-slot next write column
     next_pos: jax.Array   # [B] i32 — per-slot RoPE position
     logits: jax.Array     # [B, V] f32
+    dfa: jax.Array        # [B] i32 — DFA state under the lane's schema
+    schema: jax.Array     # [B] i32 — registered schema index, -1 = none
 
 
 @dataclass
@@ -72,6 +77,7 @@ class _Request:
     temperature: float
     future: Future
     session: str | None = None
+    schema: dict | None = None
     tokens: list = field(default_factory=list)
 
 
@@ -133,57 +139,19 @@ class LLMServer:
                 cursor=jnp.zeros((B,), jnp.int32),
                 next_pos=jnp.zeros((B,), jnp.int32),
                 logits=jnp.zeros((B, V), jnp.float32),
+                dfa=jnp.zeros((B,), jnp.int32),
+                schema=jnp.full((B,), -1, jnp.int32),
             )
 
         self.state = jax.jit(_empty)()
-
-        model, pad_id, eos_id = self.model, self._pad, self._eos
-        T = self.T
-        from mediquery_rag_tpu.models.decoder import KVCache
-
-        def _as_kv(state: ServeState) -> KVCache:
-            return KVCache(k=state.k, v=state.v, key_mask=state.key_mask,
-                           cursor=state.cursor, next_pos=state.next_pos)
-
-        @partial(jax.jit, donate_argnums=(1,))
-        def decode_chunk(params, state, active, temps, rng):
-            """T decode steps for all lanes; returns (state, tokens [B, T]).
-            Early-exits once every active lane has emitted EOS this chunk
-            (or none are active) — the remaining columns hold pad."""
-
-            def pick(logits, r, temps):
-                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                t = jnp.maximum(temps, 1e-6)
-                sampled = jax.random.categorical(
-                    r, logits / t[:, None]).astype(jnp.int32)
-                return jnp.where(temps > 0.0, sampled, greedy)
-
-            out0 = jnp.full((B, T), pad_id, jnp.int32)
-            live0 = active
-
-            def cond(carry):
-                _, _, live, t = carry
-                return (t < T) & live.any()
-
-            def body(carry):
-                state, out, live, t = carry
-                r = jax.random.fold_in(rng, t)
-                tok = pick(state.logits, r, temps)
-                tok = jnp.where(live, tok, pad_id)
-                out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, t))
-                logits, cache = model.decode_step_slots(
-                    params, _as_kv(state), tok, live)
-                live = live & (tok != eos_id)
-                state = ServeState(cache.k, cache.v, cache.key_mask,
-                                   cache.cursor, cache.next_pos, logits)
-                return state, out, live, t + 1
-
-            state, out, _, _ = jax.lax.while_loop(
-                cond, body, (state, out0, live0, jnp.int32(0)))
-            return state, out
-
-        self._decode_chunk = decode_chunk
         self._admit_cache: dict = {}
+        self._chunk_cache: dict = {}
+        # grammar constraints: registered schemas stack into one padded
+        # [K, S_max, 257] device table; lanes pick theirs by index
+        self._schemas: dict[str, int] = {}      # canonical json -> index
+        self._constraints: list = []            # JsonConstraint, by index
+        self._nt_dev = None                     # stacked next-tables
+        self._tok_dev = None                    # (tok_bytes, tok_len)
 
         # host-side bookkeeping
         self._slots: list[_Request | None] = [None] * self.B
@@ -202,23 +170,28 @@ class LLMServer:
     # -- client API ----------------------------------------------------------
 
     def submit(self, prompt: str, *, max_new_tokens: int = 256,
-               temperature: float = 0.0, session: str | None = None
-               ) -> Future:
+               temperature: float = 0.0, session: str | None = None,
+               schema: dict | None = None) -> Future:
         """``session``: opaque id pinning this conversation to a lane whose
         KV cache persists between turns — the next turn with the same id
         prefills only the suffix past the longest shared token prefix
-        (see ChatSession for the ergonomic wrapper)."""
+        (see ChatSession for the ergonomic wrapper). ``schema``: a
+        models/constrain.py restricted JSON schema; the lane decodes under
+        its compiled DFA, so the reply is valid JSON of that schema by
+        construction — per lane, so constrained and free-text requests
+        share one batch."""
         fut: Future = Future()
         self._queue.put(_Request(prompt, max_new_tokens, temperature, fut,
-                                 session))
+                                 session, schema))
         return fut
 
     def complete(self, prompt: str, *, max_new_tokens: int = 256,
                  temperature: float = 0.0, timeout: float = 600.0,
-                 session: str | None = None) -> str:
+                 session: str | None = None,
+                 schema: dict | None = None) -> str:
         return self.submit(prompt, max_new_tokens=max_new_tokens,
-                           temperature=temperature,
-                           session=session).result(timeout=timeout)
+                           temperature=temperature, session=session,
+                           schema=schema).result(timeout=timeout)
 
     def complete_batch(self, prompts: Sequence[str], **kw) -> list[str]:
         timeout = kw.pop("timeout", 600.0)
@@ -237,6 +210,141 @@ class LLMServer:
 
     # -- scheduler loop ------------------------------------------------------
 
+    def _register_schema(self, schema: dict) -> int:
+        """Compile ``schema`` (models/constrain.py restricted JSON schema)
+        and add it to the stacked device tables. Called on the worker
+        thread only; a new schema re-stacks the tables (new shapes → the
+        chunk program recompiles once)."""
+        import json as _json
+
+        from mediquery_rag_tpu.models.constrain import JsonConstraint
+
+        key = _json.dumps(schema, sort_keys=True)
+        idx = self._schemas.get(key)
+        if idx is not None:
+            return idx
+        c = JsonConstraint.compile(schema, self.tok,
+                                   vocab_size=self.gen.cfg.vocab_size)
+        self._constraints.append(c)
+        idx = len(self._constraints) - 1
+        self._schemas[key] = idx
+        s_max = max(x.next_table.shape[0] for x in self._constraints)
+        stacked = np.full((len(self._constraints), s_max, 257), -1,
+                          np.int32)
+        for i, x in enumerate(self._constraints):
+            stacked[i, : x.next_table.shape[0]] = x.next_table
+        self._nt_dev = jnp.asarray(stacked)
+        # token byte table: shared across schemas; cap the walk length at
+        # the longest grammar (longer tokens can never be consumed anyway)
+        cap = max(x.max_len_bytes for x in self._constraints)
+        tb, tl = self.tok.token_byte_table(
+            vocab_size=self.gen.cfg.vocab_size, max_bytes=cap)
+        self._tok_dev = (jnp.asarray(tb), jnp.asarray(tl))
+        return idx
+
+    def _chunk_program(self):
+        """The T-step decode program. Compiled per constraint-mode (the
+        vocab-parallel DFA walk only traces when schemas exist, so purely
+        free-text servers never pay for it)."""
+        use_dfa = bool(self._constraints)
+        fn = self._chunk_cache.get(use_dfa)
+        if fn is not None:
+            return fn
+
+        from mediquery_rag_tpu.models.decoder import KVCache
+
+        model, pad_id, eos_id = self.model, self._pad, self._eos
+        B, T = self.B, self.T
+
+        def _as_kv(state: ServeState) -> KVCache:
+            return KVCache(k=state.k, v=state.v, key_mask=state.key_mask,
+                           cursor=state.cursor, next_pos=state.next_pos)
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def decode_chunk(params, state, active, temps, rng,
+                         nt, tok_bytes, tok_len):
+            """T decode steps for all lanes; returns (state, tokens [B,T]).
+            Early-exits once every active lane has emitted EOS this chunk
+            (or none are active) — the remaining columns hold pad."""
+            if use_dfa:
+                K, s_max, n_sym = nt.shape
+                nt_flat = nt.reshape(-1)
+
+            def walk(dfa, schema):
+                """models/generate.py's vocab-parallel DFA walk with a
+                per-lane table: lane b's gathers index schema[b]'s stacked
+                slice. Returns (allowed [B,Vt] bool, landing state [B,Vt])."""
+                Vt = tok_len.shape[0]
+                sidx = jnp.clip(schema, 0, None)
+                base = (sidx * s_max)[:, None]               # [B, 1]
+                st = jnp.broadcast_to(dfa[:, None], (B, Vt))
+                ok = jnp.broadcast_to(tok_len > 0, (B, Vt))
+
+                def step(j, carry):
+                    st, ok = carry
+                    act = (j < tok_len)[None, :]
+                    nxt = nt_flat[(base + jnp.clip(st, 0, None)) * n_sym
+                                  + tok_bytes[:, j][None, :]]
+                    st2 = jnp.where(act, nxt, st)
+                    return st2, ok & ((st2 >= 0) | ~act)
+
+                st, ok = jax.lax.fori_loop(0, tok_bytes.shape[1], step,
+                                           (st, ok))
+                eos_ok = nt_flat[(base[:, 0] + dfa) * n_sym
+                                 + (n_sym - 1)] >= 0          # [B]
+                is_eos = (jnp.arange(Vt) == eos_id)[None, :]
+                ok = jnp.where(is_eos, eos_ok[:, None], ok)
+                # unconstrained lanes: everything goes
+                ok = jnp.where((schema >= 0)[:, None], ok, True)
+                return ok, st
+
+            def pick(state, r, temps):
+                logits = state.logits
+                land = None
+                if use_dfa:
+                    allowed, land = walk(state.dfa, state.schema)
+                    logits = jnp.where(allowed, logits, -1e9)
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                t = jnp.maximum(temps, 1e-6)
+                sampled = jax.random.categorical(
+                    r, logits / t[:, None]).astype(jnp.int32)
+                return jnp.where(temps > 0.0, sampled, greedy), land
+
+            out0 = jnp.full((B, T), pad_id, jnp.int32)
+            live0 = active
+
+            def cond(carry):
+                _, _, live, t = carry
+                return (t < T) & live.any()
+
+            def body(carry):
+                state, out, live, t = carry
+                r = jax.random.fold_in(rng, t)
+                tok, land = pick(state, r, temps)
+                tok = jnp.where(live, tok, pad_id)
+                out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, t))
+                dfa = state.dfa
+                if use_dfa:
+                    ns = jnp.take_along_axis(
+                        land, tok[:, None], axis=1)[:, 0]
+                    dfa = jnp.where(
+                        live & (state.schema >= 0) & (tok != eos_id),
+                        ns, dfa)
+                logits, cache = model.decode_step_slots(
+                    params, _as_kv(state), tok, live)
+                live = live & (tok != eos_id)
+                state = ServeState(cache.k, cache.v, cache.key_mask,
+                                   cache.cursor, cache.next_pos, logits,
+                                   dfa, state.schema)
+                return state, out, live, t + 1
+
+            state, out, _, _ = jax.lax.while_loop(
+                cond, body, (state, out0, live0, jnp.int32(0)))
+            return state, out
+
+        self._chunk_cache[use_dfa] = decode_chunk
+        return decode_chunk
+
     def _admit_program(self, S: int):
         """Prefill-into-slot program for bucketed prompt length S (cached
         per S — arrivals at the same bucket reuse it)."""
@@ -246,7 +354,7 @@ class LLMServer:
         model, C = self.model, self.C
 
         @partial(jax.jit, donate_argnums=(1,))
-        def admit(params, state, ids, mask, slot):
+        def admit(params, state, ids, mask, slot, sch):
             logits, kv = model.prefill(params, ids, mask, C)
             return ServeState(
                 k=state.k.at[:, slot].set(kv.k[:, 0]),
@@ -255,6 +363,8 @@ class LLMServer:
                 cursor=state.cursor.at[slot].set(kv.cursor),
                 next_pos=state.next_pos.at[slot].set(kv.next_pos[0]),
                 logits=state.logits.at[slot].set(logits[0]),
+                dfa=state.dfa.at[slot].set(0),
+                schema=state.schema.at[slot].set(sch),
             )
 
         self._admit_cache[S] = admit
@@ -270,7 +380,7 @@ class LLMServer:
         model = self.model
 
         @partial(jax.jit, donate_argnums=(1,))
-        def extend(params, state, ids, mask, slot, col0, pos0):
+        def extend(params, state, ids, mask, slot, col0, pos0, sch):
             logits, k_row, v_row, km = model.prefill_extend(
                 params, state.k[:, slot], state.v[:, slot],
                 state.key_mask[slot], ids, mask, col0, pos0)
@@ -282,6 +392,8 @@ class LLMServer:
                 cursor=state.cursor.at[slot].set(col0 + n),
                 next_pos=state.next_pos.at[slot].set(pos0 + n),
                 logits=state.logits.at[slot].set(logits),
+                dfa=state.dfa.at[slot].set(0),
+                schema=state.schema.at[slot].set(sch),
             )
 
         self._extend_cache[S] = extend
@@ -312,6 +424,17 @@ class LLMServer:
             self._sessions.pop(owner, None)
             self._lane_owner[lane] = None
 
+    def _schema_idx(self, req: _Request) -> int:
+        """Resolve (and lazily register) the request's schema; bumps the
+        token budget to the grammar's exact longest path so constrained
+        output can never truncate mid-JSON."""
+        if req.schema is None:
+            return -1
+        idx = self._register_schema(req.schema)
+        req.max_new = max(req.max_new,
+                          self._constraints[idx].max_len_bytes)
+        return idx
+
     def _try_admit(self, req: _Request, slot: int) -> None:
         sess = (self._sessions.get(req.session)
                 if req.session is not None else None)
@@ -330,7 +453,8 @@ class LLMServer:
             S = ids.shape[1]
         run = self._admit_program(S)
         self.state = run(self.gen.params, self.state, jnp.asarray(ids),
-                         jnp.asarray(mask), jnp.int32(slot))
+                         jnp.asarray(mask), jnp.int32(slot),
+                         jnp.int32(self._schema_idx(req)))
         self._slots[slot] = req
         self.stats["prefills"] += 1
         if req.session is not None:
@@ -370,7 +494,8 @@ class LLMServer:
         run = self._extend_program(S)
         self.state = run(self.gen.params, self.state, jnp.asarray(ids),
                          jnp.asarray(mask), jnp.int32(sess.lane),
-                         jnp.int32(col0), jnp.int32(m))
+                         jnp.int32(col0), jnp.int32(m),
+                         jnp.int32(self._schema_idx(req)))
         sess.tokens = list(new_toks)
         self._clock += 1
         sess.last_use = self._clock
@@ -450,9 +575,14 @@ class LLMServer:
             temps = jnp.asarray(
                 [r.temperature if r else 0.0 for r in self._slots],
                 jnp.float32)
-            self.state, toks = self._decode_chunk(
+            if self._nt_dev is not None:
+                tables = (self._nt_dev, *self._tok_dev)
+            else:
+                zero = jnp.zeros((1,), jnp.int32)     # untraced placeholders
+                tables = (zero[:, None, None], zero[:, None], zero)
+            self.state, toks = self._chunk_program()(
                 self.gen.params, self.state,
-                jnp.asarray(active_h), temps, sub)
+                jnp.asarray(active_h), temps, sub, *tables)
             self.stats["chunks"] += 1
             self._harvest(np.asarray(toks))
 
@@ -512,8 +642,14 @@ class ServedLLMClient:
         from mediquery_rag_tpu.llm.tpu_client import render_chat, _cut_turn
 
         prompt = render_chat(messages, template=self.template)
+        schema = kw.get("schema")
         out = self.server.complete(
             prompt,
             max_new_tokens=kw.get("max_new_tokens", self.max_new_tokens),
-            temperature=kw.get("temperature", self.temperature))
+            temperature=kw.get("temperature", self.temperature),
+            schema=schema)
+        if schema is not None:
+            # grammar + EOS already terminate valid JSON; marker-cutting
+            # would corrupt strings that happen to contain a marker
+            return out.strip()
         return _cut_turn(out, self.template)

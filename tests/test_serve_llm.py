@@ -152,6 +152,61 @@ class TestSessions:
         assert out == oracle(PROMPTS[0], 32)
 
 
+class TestConstrainedServing:
+    """Per-lane grammar constraints: constrained and free-text requests
+    share one batch, each lane decoding under its own schema's DFA."""
+
+    def test_mixed_schemas_one_batch(self, gen):
+        import json
+        from mediquery_rag_tpu.models.constrain import (
+            EXTRACT_SCHEMA, FOLLOWUP_SCHEMA, RISK_SCHEMA, JsonConstraint)
+        with LLMServer(gen, slots=4, chunk=8) as srv:
+            futs = [
+                srv.submit("疼痛5分", schema=RISK_SCHEMA, temperature=0.9),
+                srv.submit("主诉头痛", schema=FOLLOWUP_SCHEMA,
+                           temperature=0.9),
+                srv.submit("我对青霉素过敏", schema=EXTRACT_SCHEMA,
+                           temperature=0.9),
+                srv.submit("自由文本", max_new_tokens=16),   # unconstrained
+            ]
+            outs = [f.result(timeout=300) for f in futs]
+        for schema, out in zip(
+                (RISK_SCHEMA, FOLLOWUP_SCHEMA, EXTRACT_SCHEMA), outs):
+            json.loads(out)
+            c = JsonConstraint.compile(schema, gen.tokenizer,
+                                       vocab_size=gen.cfg.vocab_size)
+            assert c.accepts(out)
+        assert isinstance(outs[3], str)
+
+    def test_matches_lockstep_constrained(self, gen):
+        # greedy constrained serving == the Generator's constrained path
+        from mediquery_rag_tpu.models.constrain import (RISK_SCHEMA,
+                                                        JsonConstraint)
+        c = JsonConstraint.compile(RISK_SCHEMA, gen.tokenizer,
+                                   vocab_size=gen.cfg.vocab_size)
+        want = gen.generate(["血压 180/120"], constraint=c)[0]
+        with LLMServer(gen, slots=1, chunk=8) as srv:
+            got = srv.complete("血压 180/120", schema=RISK_SCHEMA)
+        assert got == want
+
+    def test_tiny_budget_cannot_truncate(self, gen):
+        import json
+        from mediquery_rag_tpu.models.constrain import RISK_SCHEMA
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            out = srv.complete("x", schema=RISK_SCHEMA, max_new_tokens=1,
+                               temperature=0.9)
+        json.loads(out)
+
+    def test_app_risk_seam_over_server(self, gen):
+        from mediquery_rag_tpu.app.risk import assess_answer_risk
+        from mediquery_rag_tpu.serve.llm import ServedLLMClient
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            client = ServedLLMClient(srv, temperature=0.9)
+            r = assess_answer_risk("疼痛程度如何？", "大概5分吧", client)
+        assert r.source == "llm"
+        assert r.level in {"CRITICAL", "HIGH", "MEDIUM", "LOW"}
+
+
 class TestServedClient:
     def test_llm_client_seam(self, gen):
         from mediquery_rag_tpu.serve.llm import ServedLLMClient
