@@ -333,6 +333,7 @@ class Decoder:
         mask: jax.Array,         # [S] f32
         col0: jax.Array,         # i32 — first cache column to write
         pos0: jax.Array,         # i32 — RoPE position of the first new token
+        all_logits: bool = False,
     ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
         """Prefill a CONTINUATION into an existing lane — the prefix-cache
         primitive (serve/llm.py ChatSession): multi-turn chats re-send the
@@ -351,7 +352,10 @@ class Decoder:
         tokens occupy [0, n) so they map to contiguous cache columns; pad
         columns get garbage K/V with key_mask 0 — the same invariant
         ``decode_step_slots`` relies on. Returns (last-real-token logits
-        [V], k_row, v_row, key_mask_row).
+        [V], k_row, v_row, key_mask_row); with ``all_logits=True`` the
+        logits are [S, V] (one distribution per fed token — the verify
+        pass of speculative decoding, models/speculative.py, which needs
+        the target's next-token prediction AFTER each candidate).
         """
         c = self.cfg
         adt = jnp.dtype(c.dtype)
@@ -416,8 +420,11 @@ class Decoder:
         x, (ks, vs) = jax.lax.scan(
             layer, x, (params["blocks"], k_row, v_row))
         x = _rmsnorm(x, params["rms_f"], c.rms_eps)
-        last = jnp.clip(jnp.sum(mask).astype(jnp.int32) - 1, 0)
-        logits = _mm(x[0, last], params["lm_head"], adt)
+        if all_logits:
+            logits = _mm(x[0], params["lm_head"], adt)       # [S, V]
+        else:
+            last = jnp.clip(jnp.sum(mask).astype(jnp.int32) - 1, 0)
+            logits = _mm(x[0, last], params["lm_head"], adt)
         return logits, ks, vs, key_mask_row
 
     def decode_step_slots(

@@ -1,0 +1,73 @@
+"""Speculative decoding (models/speculative.py).
+
+The contract: output is the TARGET's exact greedy continuation no matter
+what the draft proposes — draft quality moves only the speed (accepted
+tokens per verify round). Tests pin the lossless property with an
+adversarial (random, disagreeing) draft, and the acceptance mechanics
+with a perfectly-agreeing draft (the target itself).
+"""
+
+import pytest
+
+from mediquery_rag_tpu.config import DecoderConfig
+from mediquery_rag_tpu.models.generate import Generator
+from mediquery_rag_tpu.models.speculative import SpeculativeGenerator
+
+TARGET = DecoderConfig(vocab_size=384, hidden=64, layers=2, heads=4,
+                       mlp_dim=128, max_len=1024, dtype="float32")
+DRAFT = DecoderConfig(vocab_size=384, hidden=32, layers=1, heads=2,
+                      mlp_dim=64, max_len=1024, dtype="float32")
+
+PROMPTS = ["高血压的饮食建议", "头痛", "BMI 如何计算？"]
+
+
+@pytest.fixture(scope="module")
+def target():
+    return Generator(TARGET)
+
+
+@pytest.fixture(scope="module")
+def draft():
+    import jax
+    return Generator(DRAFT, key=jax.random.PRNGKey(7))
+
+
+class TestLossless:
+    @pytest.mark.parametrize("gamma", [1, 4])
+    def test_random_draft_output_identical(self, target, draft, gamma):
+        spec = SpeculativeGenerator(target, draft, gamma=gamma)
+        got = spec.generate(PROMPTS, max_new_tokens=40)
+        for p, o in zip(PROMPTS, got):
+            assert o == target.generate([p], max_new_tokens=40)[0]
+
+    def test_eos_terminates_identically(self, target, draft):
+        # long budget: EOS (if the random model hits one) must cut both
+        # paths at the same place
+        spec = SpeculativeGenerator(target, draft, gamma=3)
+        got = spec.generate([PROMPTS[0]], max_new_tokens=96)[0]
+        want = target.generate([PROMPTS[0]], max_new_tokens=96)[0]
+        assert got == want
+
+
+class TestAcceptance:
+    def test_perfect_draft_accepts_gamma_plus_one(self, target):
+        # the target drafting for itself agrees on every proposal:
+        # every round must emit gamma+1 tokens (modulo the final round)
+        spec = SpeculativeGenerator(target, target, gamma=4)
+        out = spec.generate([PROMPTS[0]], max_new_tokens=40)[0]
+        assert out == target.generate([PROMPTS[0]], max_new_tokens=40)[0]
+        stats = spec.last_stats
+        assert stats["tokens_per_round"] > 4.0   # ~5 with gamma=4
+
+    def test_adversarial_draft_still_progresses(self, target, draft):
+        # worst case: ~1 token per round (the free token), never fewer
+        spec = SpeculativeGenerator(target, draft, gamma=4)
+        spec.generate([PROMPTS[1]], max_new_tokens=24)
+        assert spec.last_stats["tokens_per_round"] >= 1.0
+
+    def test_vocab_mismatch_raises(self, target):
+        bad = Generator(DecoderConfig(vocab_size=512, hidden=32, layers=1,
+                                      heads=2, mlp_dim=64, max_len=512,
+                                      dtype="float32"))
+        with pytest.raises(ValueError, match="vocab"):
+            SpeculativeGenerator(target, bad)
