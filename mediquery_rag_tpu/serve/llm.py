@@ -78,7 +78,11 @@ class _Request:
     future: Future
     session: str | None = None
     schema: dict | None = None
+    on_text: object = None       # streaming callback: fn(delta_text: str)
     tokens: list = field(default_factory=list)
+    streamed: int = 0            # tokens already flushed to on_text
+    t_submit: float = 0.0
+    t_first: float | None = None  # first token emitted (TTFT)
 
 
 @dataclass
@@ -164,6 +168,8 @@ class LLMServer:
         self.stats = {"requests": 0, "chunks": 0, "prefills": 0,
                       "tokens_out": 0, "extends": 0,
                       "prefix_tokens_reused": 0}
+        self._lat_total: list[float] = []   # submit -> completion, seconds
+        self._lat_first: list[float] = []   # submit -> first tokens (TTFT)
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -171,7 +177,7 @@ class LLMServer:
 
     def submit(self, prompt: str, *, max_new_tokens: int = 256,
                temperature: float = 0.0, session: str | None = None,
-               schema: dict | None = None) -> Future:
+               schema: dict | None = None, on_text=None) -> Future:
         """``session``: opaque id pinning this conversation to a lane whose
         KV cache persists between turns — the next turn with the same id
         prefills only the suffix past the longest shared token prefix
@@ -179,10 +185,16 @@ class LLMServer:
         models/constrain.py restricted JSON schema; the lane decodes under
         its compiled DFA, so the reply is valid JSON of that schema by
         construction — per lane, so constrained and free-text requests
-        share one batch."""
+        share one batch. ``on_text``: streaming callback ``fn(delta)``
+        invoked from the scheduler thread at every chunk boundary with the
+        newly decoded text (UTF-8-safe: a trailing partial byte sequence
+        is held back until it completes)."""
+        import time as _time
+
         fut: Future = Future()
         self._queue.put(_Request(prompt, max_new_tokens, temperature, fut,
-                                 session, schema))
+                                 session, schema, on_text,
+                                 t_submit=_time.perf_counter()))
         return fut
 
     def complete(self, prompt: str, *, max_new_tokens: int = 256,
@@ -508,6 +520,9 @@ class LLMServer:
         """Fold one chunk's tokens into per-slot transcripts; resolve
         futures for lanes that hit EOS, their token budget, or the cache
         end."""
+        import time as _time
+
+        now = _time.perf_counter()
         cursors = np.asarray(self.state.cursor)
         for b, req in enumerate(self._slots):
             if req is None:
@@ -526,10 +541,26 @@ class LLMServer:
                 if len(req.tokens) >= req.max_new:
                     done = True
                     break
+            if req.tokens and req.t_first is None:
+                req.t_first = now
+            if req.on_text is not None:
+                # decode() is prefix-stable under append (a trailing
+                # partial UTF-8 sequence is dropped until completed), so
+                # the char-offset delta never splits a codepoint
+                full = self.tok.decode(req.tokens)
+                if len(full) > req.streamed:
+                    try:
+                        req.on_text(full[req.streamed:])
+                    except Exception:
+                        pass          # a broken consumer must not kill serving
+                    req.streamed = len(full)
             if int(cursors[b]) >= self.C - 1:
                 done = True          # cache exhausted: finish with what we have
             if done:
                 self.stats["tokens_out"] += len(req.tokens)
+                self._lat_total.append(now - req.t_submit)
+                self._lat_first.append(
+                    (req.t_first or now) - req.t_submit)
                 if req.session is not None:
                     sess = self._sessions.get(req.session)
                     if sess is not None and sess.lane == b:
@@ -541,6 +572,22 @@ class LLMServer:
                         sess.last_use = self._clock
                 req.future.set_result(self.tok.decode(req.tokens))
                 self._slots[b] = None
+
+    def latency(self) -> dict:
+        """p50/p99 request latency + time-to-first-token, seconds."""
+        def pct(xs, q):
+            if not xs:
+                return None
+            xs = sorted(xs)
+            return xs[min(len(xs) - 1, int(q * len(xs)))]
+
+        return {
+            "p50_s": pct(self._lat_total, 0.50),
+            "p99_s": pct(self._lat_total, 0.99),
+            "ttft_p50_s": pct(self._lat_first, 0.50),
+            "ttft_p99_s": pct(self._lat_first, 0.99),
+            "n": len(self._lat_total),
+        }
 
     def _admit_queued(self) -> bool:
         """Drain the queue into free lanes. Returns True if anything was

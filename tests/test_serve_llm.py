@@ -207,6 +207,31 @@ class TestConstrainedServing:
         assert r.level in {"CRITICAL", "HIGH", "MEDIUM", "LOW"}
 
 
+class TestStreaming:
+    def test_stream_deltas_concat_to_result(self, gen):
+        chunks = []
+        with LLMServer(gen, slots=2, chunk=4) as srv:
+            out = srv.submit(PROMPTS[0], max_new_tokens=32,
+                             on_text=chunks.append).result(timeout=300)
+        assert "".join(chunks) == out
+        assert len(chunks) >= 2          # arrived incrementally, not at once
+
+    def test_broken_consumer_does_not_kill_serving(self, gen):
+        def boom(_):
+            raise RuntimeError("consumer bug")
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            out = srv.submit(PROMPTS[1], max_new_tokens=16,
+                             on_text=boom).result(timeout=300)
+        assert isinstance(out, str)
+
+    def test_latency_percentiles(self, gen):
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            srv.complete_batch(PROMPTS, max_new_tokens=16)
+            lat = srv.latency()
+        assert lat["n"] == len(PROMPTS)
+        assert 0 < lat["ttft_p50_s"] <= lat["p99_s"]
+
+
 class TestServedClient:
     def test_llm_client_seam(self, gen):
         from mediquery_rag_tpu.serve.llm import ServedLLMClient
