@@ -247,6 +247,52 @@ class Generator:
         out = np.asarray(out[:B, :limit])
         return [self.tokenizer.decode(row) for row in out]
 
+    def generate_tokens(
+        self,
+        prompts: Sequence[str],
+        *,
+        max_new_tokens: int = 256,
+        temperature: float = 0.0,
+        seed: int = 0,
+    ) -> list[list[int]]:
+        """Like ``generate`` but returns the RAW token ids per prompt (cut
+        at the first EOS, inclusive; trailing pads stripped). Token-level
+        output matters when the stream itself is the artifact — draft
+        distillation (models/distill.py) must imitate the target's exact
+        token sequence, and re-encoding decoded text loses it: byte-level
+        decode drops out-of-range ids, and BPE re-tokenization can drift at
+        merge boundaries."""
+        if not prompts:
+            return []
+        ids, mask = self.tokenizer.batch_encode(list(prompts))
+        B, S = ids.shape
+        max_new = min(_round_up(max(max_new_tokens, 1), 64),
+                      self.cfg.max_len - S)
+        if max_new <= 0:
+            raise ValueError(
+                f"prompt ({S} tokens after bucketing) leaves no room for "
+                f"generation under max_len={self.cfg.max_len}")
+        Bp = _bucket_pow2(B)
+        if Bp != B:
+            ids = np.pad(ids, ((0, Bp - B), (0, 0)))
+            mask = np.pad(mask, ((0, Bp - B), (0, 0)))
+        run = self._compiled(Bp, S, max_new)
+        zero = jnp.zeros((1,), jnp.int32)
+        out = run(self.params, jnp.asarray(ids), jnp.asarray(mask),
+                  jnp.float32(temperature), jax.random.PRNGKey(seed),
+                  zero, zero[:, None], zero, jnp.int32(0))
+        out = np.asarray(out[:B, :max_new_tokens])
+        eos = int(self.tokenizer.eos_id)
+        rows = []
+        for row in out:
+            toks = []
+            for t in row:
+                toks.append(int(t))
+                if int(t) == eos:
+                    break
+            rows.append(toks)
+        return rows
+
     # -- checkpointing (np.savez convention, as TextEmbedder/CrossEncoder) --------
 
     def save(self, path: str) -> None:

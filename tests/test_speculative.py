@@ -65,9 +65,45 @@ class TestAcceptance:
         spec.generate([PROMPTS[1]], max_new_tokens=24)
         assert spec.last_stats["tokens_per_round"] >= 1.0
 
+    def test_generate_tokens_matches_decode(self, target):
+        rows = target.generate_tokens(PROMPTS[:2], max_new_tokens=24)
+        texts = target.generate(PROMPTS[:2], max_new_tokens=24)
+        for row, text in zip(rows, texts):
+            assert target.tokenizer.decode(row) == text
+            # cut at first EOS inclusive
+            eos = target.tokenizer.eos_id
+            assert all(t != eos for t in row[:-1])
+
     def test_vocab_mismatch_raises(self, target):
         bad = Generator(DecoderConfig(vocab_size=512, hidden=32, layers=1,
                                       heads=2, mlp_dim=64, max_len=512,
                                       dtype="float32"))
         with pytest.raises(ValueError, match="vocab"):
             SpeculativeGenerator(target, bad)
+
+
+class TestDistill:
+    """Token-level draft distillation (models/distill.py): acceptance on
+    the training prompt distribution must rise from the random floor (1.0
+    token/round) toward gamma+1 — the knob that turns speculation's
+    projected speedup into a real one."""
+
+    def test_distilled_draft_lifts_acceptance(self, target):
+        from mediquery_rag_tpu.models.distill import distill_draft
+        prompts = ["高血压饮食", "糖尿病运动", "头痛", "咳嗽", "失眠", "发烧"]
+        draft = distill_draft(target, DRAFT, prompts, max_new_tokens=64,
+                              epochs=120)
+        assert draft.last_loss < 0.2
+        spec = SpeculativeGenerator(target, draft, gamma=4)
+        outs = spec.generate(prompts[:3], max_new_tokens=64)
+        # lossless regardless of the draft
+        for p, o in zip(prompts, outs):
+            assert o == target.generate([p], max_new_tokens=64)[0]
+        assert spec.last_stats["tokens_per_round"] > 3.0
+
+    def test_distill_vocab_mismatch_raises(self, target):
+        from mediquery_rag_tpu.models.distill import distill_draft
+        bad = DecoderConfig(vocab_size=512, hidden=32, layers=1, heads=2,
+                            mlp_dim=64, max_len=512, dtype="float32")
+        with pytest.raises(ValueError, match="vocab"):
+            distill_draft(target, bad, ["x"])
