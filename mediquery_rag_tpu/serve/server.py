@@ -14,6 +14,15 @@ Endpoints (JSON in/out):
   POST /qa      {"question": str, "user_id": str="anonymous"}
                                              -> {"answer": str, "docs": [...]}
   GET  /healthz                              -> {"ok": true, "stats": {...}}
+  POST /v1/chat/completions                  -> OpenAI-compatible chat over
+                the continuous-batching TPU LLM server (serve/llm.py),
+                including ``"stream": true`` SSE chunks. The reference
+                CONSUMED this API from the Ollama daemon
+                (medical_engine.py:46); this framework SERVES it — an
+                ``HTTPChatClient`` pointed here works unchanged, so the
+                framework is a drop-in replacement for the daemon it
+                replaced. Extension: ``"schema"`` (models/constrain.py
+                restricted JSON schema) grammar-constrains the reply.
 """
 
 from __future__ import annotations
@@ -40,11 +49,14 @@ class SearchServer:
     """
 
     def __init__(self, store, *, make_graph_app=None, max_batch: int = 64,
-                 max_wait_ms: float = 3.0):
+                 max_wait_ms: float = 3.0, llm_server=None,
+                 chat_template: str = "plain"):
         self.store = store
         self.service = BatchingSearchService(
             store.batch_search, max_batch=max_batch, max_wait_ms=max_wait_ms)
         self._make_graph_app = make_graph_app
+        self.llm_server = llm_server          # serve.llm.LLMServer | None
+        self.chat_template = chat_template
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -81,6 +93,71 @@ class SearchServer:
             "docs": final.get("documents", []),
         }
 
+    def _chat_prompt(self, body: dict) -> tuple[str, dict]:
+        """OpenAI request -> (rendered prompt, generation kwargs)."""
+        from mediquery_rag_tpu.llm.messages import Message
+        from mediquery_rag_tpu.llm.tpu_client import render_chat
+
+        if self.llm_server is None:
+            raise ValueError(
+                "/v1/chat/completions is not configured (no llm_server)")
+        msgs = [Message.from_dict(m) for m in body["messages"]]
+        prompt = render_chat(msgs, template=self.chat_template)
+        kw = {
+            "max_new_tokens": int(body.get("max_tokens", 256)),
+            "temperature": float(body.get("temperature", 0.0)),
+            "schema": body.get("schema"),
+        }
+        return prompt, kw
+
+    def _handle_chat(self, body: dict) -> dict:
+        from mediquery_rag_tpu.llm.tpu_client import _cut_turn
+
+        prompt, kw = self._chat_prompt(body)
+        out = self.llm_server.complete(prompt, **kw)
+        content = (out.strip() if kw["schema"] is not None
+                   else _cut_turn(out, self.chat_template))
+        return {
+            "id": f"chatcmpl-{uuid.uuid4().hex[:12]}",
+            "object": "chat.completion",
+            "model": body.get("model", "mediquery-tpu"),
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": content},
+                "finish_reason": "stop",
+            }],
+        }
+
+    def _stream_chat(self, body: dict, write_sse) -> None:
+        """SSE streaming: one chunk per decode-chunk boundary (the server's
+        scheduling quantum), then the OpenAI [DONE] sentinel."""
+        import queue as _q
+
+        prompt, kw = self._chat_prompt(body)
+        cid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+        model = body.get("model", "mediquery-tpu")
+        deltas: _q.Queue = _q.Queue()
+        fut = self.llm_server.submit(prompt, on_text=deltas.put, **kw)
+
+        def chunk(delta: str | None, finish: str | None) -> dict:
+            d = {"content": delta} if delta else {}
+            return {"id": cid, "object": "chat.completion.chunk",
+                    "model": model,
+                    "choices": [{"index": 0, "delta": d,
+                                 "finish_reason": finish}]}
+
+        while True:
+            try:
+                delta = deltas.get(timeout=0.05)
+                write_sse(chunk(delta, None))
+            except _q.Empty:
+                if fut.done():
+                    break
+        while not deltas.empty():          # drain the tail
+            write_sse(chunk(deltas.get(), None))
+        write_sse(chunk(None, "stop"))
+        write_sse("[DONE]")
+
     # -- lifecycle ---------------------------------------------------------
 
     def start(self, host: str = "127.0.0.1", port: int = 8384) -> int:
@@ -105,6 +182,14 @@ class SearchServer:
                 else:
                     self._send(404, {"error": "not found"})
 
+            def _sse(self, payload):
+                if isinstance(payload, str):
+                    data = payload
+                else:
+                    data = json.dumps(payload, ensure_ascii=False)
+                self.wfile.write(f"data: {data}\n\n".encode())
+                self.wfile.flush()
+
             def do_POST(self):
                 try:
                     n = int(self.headers.get("Content-Length", 0))
@@ -113,6 +198,16 @@ class SearchServer:
                         self._send(200, outer._handle_search(body))
                     elif self.path == "/qa":
                         self._send(200, outer._handle_qa(body))
+                    elif self.path == "/v1/chat/completions":
+                        if body.get("stream"):
+                            self.send_response(200)
+                            self.send_header("Content-Type",
+                                             "text/event-stream")
+                            self.send_header("Cache-Control", "no-cache")
+                            self.end_headers()
+                            outer._stream_chat(body, self._sse)
+                        else:
+                            self._send(200, outer._handle_chat(body))
                     else:
                         self._send(404, {"error": "not found"})
                 except Exception as e:          # fail-open JSON error
@@ -149,7 +244,17 @@ def main() -> None:
     ctx = AppContext.build(
         ".", fake_llm=args.fake_llm or not args.llm_url,
         llm_url=args.llm_url or "http://localhost:11434")
-    server = SearchServer(ctx.store)
+    # if the app context runs a TPU-hosted LM, expose it over the OpenAI-
+    # compatible endpoint through the continuous-batching server
+    llm_server = None
+    template = "plain"
+    from mediquery_rag_tpu.llm.tpu_client import TPULLMClient
+    if isinstance(ctx.llm, TPULLMClient):
+        from mediquery_rag_tpu.serve.llm import LLMServer
+        llm_server = LLMServer(ctx.llm.generator, slots=4)
+        template = ctx.llm.template
+    server = SearchServer(ctx.store, llm_server=llm_server,
+                          chat_template=template)
 
     def make_app():
         nodes = create_nodes(ctx.llm, server.service,
@@ -164,7 +269,9 @@ def main() -> None:
     for b in (1, 4, 8, 16):
         ctx.store.batch_search([f"预热{i}" for i in range(b)], k=5)
     port = server.start(args.host, args.port)
-    print(f"serving on http://{args.host}:{port}  (/search /qa /healthz)")
+    eps = "/search /qa /healthz" + (
+        " /v1/chat/completions" if llm_server is not None else "")
+    print(f"serving on http://{args.host}:{port}  ({eps})")
     try:
         threading.Event().wait()
     except KeyboardInterrupt:

@@ -139,7 +139,9 @@ class TestHTTPServer:
             f"http://127.0.0.1:{port}{path}",
             data=js.dumps(payload).encode(),
             headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=30) as r:
+        # the where-filter path compiles widened-k fallback shapes on first
+        # use (~30s cold on a busy CPU) — give the HTTP round trip headroom
+        with urllib.request.urlopen(req, timeout=120) as r:
             return js.loads(r.read())
 
     def test_search_endpoint(self, server):

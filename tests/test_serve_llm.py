@@ -241,6 +241,89 @@ class TestServedClient:
         assert isinstance(out, str)
 
 
+class TestOpenAIChatEndpoint:
+    """/v1/chat/completions over the TPU LLM server: the framework SERVES
+    the OpenAI-compatible API the reference consumed from Ollama — the
+    repo's own HTTPChatClient must work against it unchanged."""
+
+    @pytest.fixture(scope="class")
+    def http(self, gen):
+        from mediquery_rag_tpu.serve.server import SearchServer
+
+        class _NoStore:
+            def batch_search(self, queries, k, **kw):
+                return [[] for _ in queries]
+
+        with LLMServer(gen, slots=2, chunk=8) as llm_srv:
+            srv = SearchServer(_NoStore(), llm_server=llm_srv)
+            port = srv.start(port=0)
+            yield port
+            srv.shutdown()
+
+    def _post(self, port, payload):
+        import json as js
+        import urllib.request
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=js.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return js.loads(r.read())
+
+    def test_basic_completion_shape(self, http):
+        out = self._post(http, {
+            "messages": [{"role": "user", "content": "血压高怎么办"}],
+            "max_tokens": 16})
+        assert out["object"] == "chat.completion"
+        msg = out["choices"][0]["message"]
+        assert msg["role"] == "assistant" and isinstance(msg["content"], str)
+        assert out["choices"][0]["finish_reason"] == "stop"
+
+    def test_own_http_client_works_against_it(self, http):
+        from mediquery_rag_tpu.llm.client import HTTPChatClient
+        client = HTTPChatClient(base_url=f"http://127.0.0.1:{http}",
+                                model="mediquery-tpu")
+        out = client.complete("头痛怎么办")
+        assert isinstance(out, str)
+
+    def test_schema_extension_yields_valid_json(self, http):
+        import json as js
+        from mediquery_rag_tpu.models.constrain import RISK_SCHEMA
+        out = self._post(http, {
+            "messages": [{"role": "user", "content": "疼痛5分"}],
+            "temperature": 0.9, "schema": RISK_SCHEMA})
+        obj = js.loads(out["choices"][0]["message"]["content"])
+        assert obj["risk"] in {"CRITICAL", "HIGH", "MEDIUM", "LOW"}
+
+    def test_streaming_sse(self, http):
+        import json as js
+        import urllib.request
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{http}/v1/chat/completions",
+            data=js.dumps({
+                "messages": [{"role": "user", "content": "咳嗽"}],
+                "max_tokens": 24, "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        chunks, finish, done = [], None, False
+        with urllib.request.urlopen(req, timeout=120) as r:
+            for line in r:
+                line = line.decode().strip()
+                if not line.startswith("data: "):
+                    continue
+                data = line[len("data: "):]
+                if data == "[DONE]":
+                    done = True
+                    break
+                obj = js.loads(data)
+                assert obj["object"] == "chat.completion.chunk"
+                delta = obj["choices"][0]["delta"]
+                if "content" in delta:
+                    chunks.append(delta["content"])
+                finish = obj["choices"][0]["finish_reason"]
+        assert done and finish == "stop"
+        assert len(chunks) >= 1
+
+
 class TestSlotStepPrimitive:
     def test_slot_step_matches_lockstep_step(self, gen):
         """decode_step_slots with a shared cursor must reproduce
