@@ -19,6 +19,14 @@ this bench brackets the envelope instead of pretending:
   ``tiny`` and ``projected``.
 
 One JSON line per mode. Run on the real chip.
+
+Timing note: obs.metrics.device_time (two-point scan timing) cannot wrap a
+speculative generate — the program's round count is data-dependent, so it
+cannot be scanned a fixed K times. Each timed call is instead ONE jitted
+dispatch + one result fetch (~100 ms through the relay), <3% of a 192-token
+run at the default 1B-class config; every mode pays the same constant, which
+biases speedup_vs_plain slightly TOWARD 1 — the reported speedups are
+conservative.
 """
 
 from __future__ import annotations

@@ -53,12 +53,17 @@ def render_chat(messages: Sequence[Message] | str, *,
     return text + _ROLE["assistant"] + "\n"
 
 
+def _turn_stops(template: str) -> tuple[str, ...]:
+    """The role/stop markers a model reply must be cut at (shared by
+    _cut_turn and the SSE streaming path's incremental cutter)."""
+    return (("<|im_start|>", "<|im_end|>") if template == "chatml"
+            else (_END, *_ROLE.values()))
+
+
 def _cut_turn(out: str, template: str) -> str:
     """The model may imitate the chat template and open another turn; cut
     at the first role/stop marker. Shared with serve/llm.py's client."""
-    stops = (("<|im_start|>", "<|im_end|>") if template == "chatml"
-             else (_END, *_ROLE.values()))
-    for stop in stops:
+    for stop in _turn_stops(template):
         idx = out.find(stop)
         if idx >= 0:
             out = out[:idx]

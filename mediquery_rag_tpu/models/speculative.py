@@ -85,7 +85,14 @@ class SpeculativeGenerator:
         tmodel, dmodel = self.target.model, self.draft.model
         gamma = self.gamma
         G = gamma + 1
-        C = min(_round_up(S + max_new + G, 128), self.target.cfg.max_len)
+        # The cache over-allocates up to G columns past cfg.max_len as
+        # SCRATCH: a round that starts at n = max_new-1 still writes G
+        # candidate columns. Kept outputs never depend on the scratch tail
+        # (tokens past the budget are dropped; RoPE is computed from the
+        # position scalar, not a max_len-sized table), so the emit budget
+        # can match Generator.generate exactly instead of shrinking by G+1
+        # near the context limit.
+        C = _round_up(S + max_new + G, 128)
         eos_id = jnp.int32(self.tokenizer.eos_id)
         pad_id = jnp.int32(self.tokenizer.pad_id)
         out_len = max_new + G                    # round writes are G wide
@@ -190,13 +197,14 @@ class SpeculativeGenerator:
         for prompt in prompts:
             ids, mask = self.tokenizer.batch_encode([prompt])
             S = ids.shape[1]
-            max_new = _round_up(max(max_new_tokens, 1), 64)
-            room = self.target.cfg.max_len - S - (self.gamma + 1)
-            if room <= 0:
+            # same budget formula as Generator.generate so the exact-match
+            # contract holds all the way to the context limit
+            max_new = min(_round_up(max(max_new_tokens, 1), 64),
+                          self.target.cfg.max_len - S)
+            if max_new <= 0:
                 raise ValueError(
                     f"prompt ({S} tokens) leaves no room under "
                     f"max_len={self.target.cfg.max_len}")
-            max_new = min(max_new, room)
             run = self._compiled(S, max_new)
             out, n, rounds = run(self.target.params, self.draft.params,
                                  jnp.asarray(ids), jnp.asarray(mask))

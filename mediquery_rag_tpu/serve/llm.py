@@ -168,8 +168,10 @@ class LLMServer:
         self.stats = {"requests": 0, "chunks": 0, "prefills": 0,
                       "tokens_out": 0, "extends": 0,
                       "prefix_tokens_reused": 0}
-        self._lat_total: list[float] = []   # submit -> completion, seconds
-        self._lat_first: list[float] = []   # submit -> first tokens (TTFT)
+        from collections import deque
+        # bounded: a long-lived server must not grow per-request state
+        self._lat_total: deque = deque(maxlen=8192)   # submit -> done, s
+        self._lat_first: deque = deque(maxlen=8192)   # submit -> TTFT, s
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -528,18 +530,20 @@ class LLMServer:
             if req is None:
                 continue
             row = toks[b]
-            done = False
+            # finish reason mirrors the OpenAI contract: "stop" = natural
+            # EOS, "length" = token budget or cache exhaustion truncated it
+            finish = None
             for t in row:
                 t = int(t)
                 if t == self._eos:
                     # a lane only goes inactive mid-chunk via EOS, so
                     # everything before the first EOS is real output (a
                     # sampled pad id is a legal token — decode() skips it)
-                    done = True
+                    finish = "stop"
                     break
                 req.tokens.append(t)
                 if len(req.tokens) >= req.max_new:
-                    done = True
+                    finish = "length"
                     break
             if req.tokens and req.t_first is None:
                 req.t_first = now
@@ -554,9 +558,9 @@ class LLMServer:
                     except Exception:
                         pass          # a broken consumer must not kill serving
                     req.streamed = len(full)
-            if int(cursors[b]) >= self.C - 1:
-                done = True          # cache exhausted: finish with what we have
-            if done:
+            if finish is None and int(cursors[b]) >= self.C - 1:
+                finish = "length"    # cache exhausted: finish with what we have
+            if finish is not None:
                 self.stats["tokens_out"] += len(req.tokens)
                 self._lat_total.append(now - req.t_submit)
                 self._lat_first.append(
@@ -570,22 +574,24 @@ class LLMServer:
                         sess.tokens.extend(req.tokens)
                         self._clock += 1
                         sess.last_use = self._clock
+                req.future.finish_reason = finish   # read via getattr
                 req.future.set_result(self.tok.decode(req.tokens))
                 self._slots[b] = None
 
     def latency(self) -> dict:
-        """p50/p99 request latency + time-to-first-token, seconds."""
+        """p50/p99 request latency + time-to-first-token, seconds (over
+        the last ``maxlen`` requests; same np.percentile semantics as
+        obs.metrics so the two stats are comparable)."""
         def pct(xs, q):
             if not xs:
                 return None
-            xs = sorted(xs)
-            return xs[min(len(xs) - 1, int(q * len(xs)))]
+            return float(np.percentile(list(xs), q))
 
         return {
-            "p50_s": pct(self._lat_total, 0.50),
-            "p99_s": pct(self._lat_total, 0.99),
-            "ttft_p50_s": pct(self._lat_first, 0.50),
-            "ttft_p99_s": pct(self._lat_first, 0.99),
+            "p50_s": pct(self._lat_total, 50),
+            "p99_s": pct(self._lat_total, 99),
+            "ttft_p50_s": pct(self._lat_first, 50),
+            "ttft_p99_s": pct(self._lat_first, 99),
             "n": len(self._lat_total),
         }
 

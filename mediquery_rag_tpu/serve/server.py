@@ -39,6 +39,32 @@ def _doc_json(d) -> dict:
     return {"text": d.text, "metadata": d.metadata, "score": d.score}
 
 
+def _stream_visible(acc: str, stops) -> tuple[int, bool]:
+    """How much of the accumulated model text is safe to stream now.
+
+    Returns ``(n_chars, cut_hit)``: cut at the first complete stop marker
+    (cut_hit=True); otherwise hold back the longest tail that is still a
+    PREFIX of some marker — it may complete on the next delta. Trailing
+    whitespace is also held back, so the emitted total matches
+    ``_cut_turn(acc).strip()`` once the stream ends."""
+    cut, hit = len(acc), False
+    for s in stops:
+        i = acc.find(s)
+        if 0 <= i < cut:
+            cut, hit = i, True
+    if not hit:
+        hold = 0
+        for s in stops:
+            for k in range(min(len(s) - 1, cut), 0, -1):
+                if acc.endswith(s[:k]):
+                    hold = max(hold, k)
+                    break
+        cut -= hold
+    while cut > 0 and acc[cut - 1].isspace():
+        cut -= 1
+    return cut, hit
+
+
 class SearchServer:
     """Wires a DocumentStore (and optionally a graph factory) behind HTTP.
 
@@ -114,9 +140,17 @@ class SearchServer:
         from mediquery_rag_tpu.llm.tpu_client import _cut_turn
 
         prompt, kw = self._chat_prompt(body)
-        out = self.llm_server.complete(prompt, **kw)
-        content = (out.strip() if kw["schema"] is not None
-                   else _cut_turn(out, self.chat_template))
+        fut = self.llm_server.submit(prompt, **kw)
+        out = fut.result(timeout=600.0)
+        if kw["schema"] is not None:
+            content, cut = out.strip(), False
+        else:
+            content = _cut_turn(out, self.chat_template)
+            cut = len(content) < len(out.strip())
+        # a turn-marker cut is a natural stop even if the lane was
+        # length-truncated further on
+        finish = ("stop" if cut
+                  else getattr(fut, "finish_reason", None) or "stop")
         return {
             "id": f"chatcmpl-{uuid.uuid4().hex[:12]}",
             "object": "chat.completion",
@@ -124,20 +158,33 @@ class SearchServer:
             "choices": [{
                 "index": 0,
                 "message": {"role": "assistant", "content": content},
-                "finish_reason": "stop",
+                "finish_reason": finish,
             }],
         }
 
-    def _stream_chat(self, body: dict, write_sse) -> None:
+    def _stream_chat(self, body: dict, prompt: str, kw: dict,
+                     write_sse, timeout: float = 600.0) -> None:
         """SSE streaming: one chunk per decode-chunk boundary (the server's
-        scheduling quantum), then the OpenAI [DONE] sentinel."""
-        import queue as _q
+        scheduling quantum), then the OpenAI [DONE] sentinel.
 
-        prompt, kw = self._chat_prompt(body)
+        Deltas pass through an INCREMENTAL version of the non-streaming
+        path's ``_cut_turn`` + strip: any tail that could still become a
+        turn/stop marker (or trailing whitespace) is held back until more
+        text disambiguates it, so concatenated stream deltas equal the
+        non-streaming ``content`` for the same request."""
+        import queue as _q
+        import time as _time
+
+        from mediquery_rag_tpu.llm.tpu_client import _turn_stops
+
         cid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
         model = body.get("model", "mediquery-tpu")
         deltas: _q.Queue = _q.Queue()
         fut = self.llm_server.submit(prompt, on_text=deltas.put, **kw)
+        stops = (() if kw["schema"] is not None
+                 else _turn_stops(self.chat_template))
+        acc, sent, cut_hit = "", 0, False
+        deadline = _time.monotonic() + timeout
 
         def chunk(delta: str | None, finish: str | None) -> dict:
             d = {"content": delta} if delta else {}
@@ -146,16 +193,33 @@ class SearchServer:
                     "choices": [{"index": 0, "delta": d,
                                  "finish_reason": finish}]}
 
-        while True:
+        def flush():
+            nonlocal sent, cut_hit
+            vis, cut_hit = _stream_visible(acc, stops)
+            if sent == 0:                      # left-strip, like _cut_turn
+                while sent < vis and acc[sent].isspace():
+                    sent += 1
+            if vis > sent:
+                write_sse(chunk(acc[sent:vis], None))
+                sent = vis
+
+        while not cut_hit:
             try:
-                delta = deltas.get(timeout=0.05)
-                write_sse(chunk(delta, None))
+                acc += deltas.get(timeout=0.05)
+                flush()
             except _q.Empty:
                 if fut.done():
                     break
-        while not deltas.empty():          # drain the tail
-            write_sse(chunk(deltas.get(), None))
-        write_sse(chunk(None, "stop"))
+                if _time.monotonic() > deadline:   # dead worker: don't
+                    raise TimeoutError(            # spin forever
+                        f"stream produced nothing for {timeout:.0f}s")
+        if not cut_hit:
+            while not deltas.empty():          # drain the tail
+                acc += deltas.get()
+            flush()
+        finish = ("stop" if cut_hit
+                  else getattr(fut, "finish_reason", None) or "stop")
+        write_sse(chunk(None, finish))
         write_sse("[DONE]")
 
     # -- lifecycle ---------------------------------------------------------
@@ -191,6 +255,7 @@ class SearchServer:
                 self.wfile.flush()
 
             def do_POST(self):
+                sse_started = False
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(n) or b"{}")
@@ -200,18 +265,32 @@ class SearchServer:
                         self._send(200, outer._handle_qa(body))
                     elif self.path == "/v1/chat/completions":
                         if body.get("stream"):
+                            # validate/render BEFORE committing SSE headers
+                            # so a bad request still gets a clean HTTP 400
+                            prompt, kw = outer._chat_prompt(body)
                             self.send_response(200)
                             self.send_header("Content-Type",
                                              "text/event-stream")
                             self.send_header("Cache-Control", "no-cache")
                             self.end_headers()
-                            outer._stream_chat(body, self._sse)
+                            sse_started = True
+                            outer._stream_chat(body, prompt, kw, self._sse)
                         else:
                             self._send(200, outer._handle_chat(body))
                     else:
                         self._send(404, {"error": "not found"})
                 except Exception as e:          # fail-open JSON error
-                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                    err = {"error": f"{type(e).__name__}: {e}"}
+                    if sse_started:
+                        # headers are committed — surface the error inside
+                        # the stream and terminate it, never a 2nd status
+                        try:
+                            self._sse(err)
+                            self._sse("[DONE]")
+                        except Exception:
+                            pass               # client already gone
+                    else:
+                        self._send(400, err)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread = threading.Thread(target=self._httpd.serve_forever,

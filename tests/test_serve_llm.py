@@ -277,7 +277,36 @@ class TestOpenAIChatEndpoint:
         assert out["object"] == "chat.completion"
         msg = out["choices"][0]["message"]
         assert msg["role"] == "assistant" and isinstance(msg["content"], str)
-        assert out["choices"][0]["finish_reason"] == "stop"
+        assert out["choices"][0]["finish_reason"] in {"stop", "length"}
+
+    def test_truncation_reports_length(self, http):
+        """OpenAI contract: a generation cut by max_tokens must say
+        finish_reason="length", not "stop" (clients retry/continue on it)."""
+        out = self._post(http, {
+            "messages": [{"role": "user", "content": "请详细介绍高血压"}],
+            "max_tokens": 2})
+        fr = out["choices"][0]["finish_reason"]
+        # toy model could conceivably emit EOS within 2 tokens; otherwise
+        # the budget cut must be reported honestly
+        content = out["choices"][0]["message"]["content"]
+        if fr == "stop":
+            assert len(content) < 64
+        else:
+            assert fr == "length"
+
+    def test_stream_bad_request_is_http_400(self, http):
+        """Validation failures must surface BEFORE SSE headers commit —
+        a clean HTTP 400, never a 200 event-stream with a stray status."""
+        import json as js
+        import urllib.error
+        import urllib.request
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{http}/v1/chat/completions",
+            data=js.dumps({"stream": True}).encode(),  # no "messages"
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400
 
     def test_own_http_client_works_against_it(self, http):
         from mediquery_rag_tpu.llm.client import HTTPChatClient
@@ -320,8 +349,86 @@ class TestOpenAIChatEndpoint:
                 if "content" in delta:
                     chunks.append(delta["content"])
                 finish = obj["choices"][0]["finish_reason"]
-        assert done and finish == "stop"
+        assert done and finish in {"stop", "length"}
         assert len(chunks) >= 1
+
+    def test_stream_concat_equals_nonstream_content(self, http):
+        """Concatenated SSE deltas must equal the non-streaming content for
+        the same request (the stream passes through the same turn-cut +
+        strip), greedy so both runs decode identically."""
+        import json as js
+        import urllib.request
+        body = {"messages": [{"role": "user", "content": "咳嗽有痰"}],
+                "max_tokens": 24, "temperature": 0.0}
+        plain = self._post(http, body)["choices"][0]["message"]["content"]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{http}/v1/chat/completions",
+            data=js.dumps({**body, "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        chunks = []
+        with urllib.request.urlopen(req, timeout=120) as r:
+            for line in r:
+                line = line.decode().strip()
+                if not line.startswith("data: "):
+                    continue
+                data = line[len("data: "):]
+                if data == "[DONE]":
+                    break
+                delta = js.loads(data)["choices"][0]["delta"]
+                if "content" in delta:
+                    chunks.append(delta["content"])
+        assert "".join(chunks) == plain
+
+
+class TestStreamVisible:
+    """The incremental turn-cutter backing SSE streaming."""
+
+    STOPS = ("<|user|>", "<|end|>")
+
+    def test_plain_text_passes(self):
+        from mediquery_rag_tpu.serve.server import _stream_visible
+        assert _stream_visible("你好，多喝水", self.STOPS) == (6, False)
+
+    def test_full_marker_cuts(self):
+        from mediquery_rag_tpu.serve.server import _stream_visible
+        n, hit = _stream_visible("多喝水<|user|>假问题", self.STOPS)
+        assert (n, hit) == (3, True)
+
+    def test_partial_marker_held_back(self):
+        from mediquery_rag_tpu.serve.server import _stream_visible
+        n, hit = _stream_visible("多喝水<|us", self.STOPS)
+        assert (n, hit) == (3, False)
+
+    def test_trailing_whitespace_held(self):
+        from mediquery_rag_tpu.serve.server import _stream_visible
+        n, hit = _stream_visible("多喝水 \n", self.STOPS)
+        assert (n, hit) == (3, False)
+
+    def test_whitespace_before_marker_stripped(self):
+        from mediquery_rag_tpu.serve.server import _stream_visible
+        n, hit = _stream_visible("多喝水 \n<|end|>x", self.STOPS)
+        assert (n, hit) == (3, True)
+
+    def test_incremental_totals_match_cut_turn(self):
+        """Feeding any prefix split must emit exactly _cut_turn(full)."""
+        from mediquery_rag_tpu.llm.tpu_client import _cut_turn, _turn_stops
+        from mediquery_rag_tpu.serve.server import _stream_visible
+        stops = _turn_stops("plain")
+        full = "  建议多休息、多喝水。 <|user|>下一个问题"
+        for split in range(len(full)):
+            acc, sent, out = "", 0, ""
+            for piece in (full[:split], full[split:]):
+                acc += piece
+                vis, hit = _stream_visible(acc, stops)
+                if sent == 0:
+                    while sent < vis and acc[sent].isspace():
+                        sent += 1
+                if vis > sent:
+                    out += acc[sent:vis]
+                    sent = vis
+                if hit:
+                    break
+            assert out == _cut_turn(full, "plain"), f"split={split}"
 
 
 class TestSlotStepPrimitive:

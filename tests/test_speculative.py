@@ -40,6 +40,21 @@ class TestLossless:
         for p, o in zip(PROMPTS, got):
             assert o == target.generate([p], max_new_tokens=40)[0]
 
+    def test_exact_match_at_context_limit(self, draft):
+        """Near max_len the spec path must emit EXACTLY what the target's
+        own greedy decode emits — the cache over-allocates a scratch tail
+        for candidate writes instead of shrinking the token budget."""
+        import jax
+        cfg = DecoderConfig(vocab_size=384, hidden=64, layers=2, heads=4,
+                            mlp_dim=128, max_len=192, dtype="float32")
+        tgt = Generator(cfg, key=jax.random.PRNGKey(3))
+        # prompt buckets to S=128; budget = max_len - S = 64 exactly
+        prompt = "高血压患者日常饮食应当注意哪些方面？" * 2
+        spec = SpeculativeGenerator(tgt, draft, gamma=4)
+        got = spec.generate([prompt], max_new_tokens=512)[0]
+        want = tgt.generate([prompt], max_new_tokens=512)[0]
+        assert got == want
+
     def test_eos_terminates_identically(self, target, draft):
         # long budget: EOS (if the random model hits one) must cut both
         # paths at the same place
