@@ -36,7 +36,8 @@ def main():
     ap.add_argument("--batches", default="1,8")
     ap.add_argument("--max-new", type=int, default=256)
     ap.add_argument("--prompt-len", type=int, default=96)
-    ap.add_argument("--weights", choices=("bf16", "int8"), default="bf16")
+    ap.add_argument("--weights", choices=("bf16", "int8", "int4"),
+                    default="bf16")
     args = ap.parse_args()
 
     import jax
@@ -51,14 +52,15 @@ def main():
         h, l_, heads, kvh, mlp = MODELS[name]
         cfg = DecoderConfig(hidden=h, layers=l_, heads=heads, kv_heads=kvh,
                             mlp_dim=mlp, max_len=512, param_dtype="bfloat16")
-        if args.weights == "int8":
+        if args.weights in ("int8", "int4"):
             # compose init+quantize under ONE jit so the bf16 tree never
-            # coexists with the int8 one (14 GB + 7 GB would OOM at 7B)
+            # coexists with the quantized one (14 GB + 7 GB would OOM at 7B)
             from mediquery_rag_tpu.models.decoder import Decoder
             from mediquery_rag_tpu.ops.matvec import quantize_decoder_params
+            bits = 8 if args.weights == "int8" else 4
             model = Decoder(cfg)
             params = jax.jit(
-                lambda k: quantize_decoder_params(model.init(k)))(
+                lambda k: quantize_decoder_params(model.init(k), bits))(
                     jax.random.PRNGKey(0))
             gen = Generator(cfg, params=params)
         else:

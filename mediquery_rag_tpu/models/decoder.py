@@ -59,17 +59,18 @@ def _pdt(cfg):
 
 
 def _is_quant(w) -> bool:
-    return isinstance(w, dict) and "q" in w
+    return isinstance(w, dict) and ("q" in w or "q4" in w)
 
 
 def _mm(x, w, adt):
-    """``x @ W`` for a weight that is either a plain ``[in, out]`` float
-    matrix or an int8-quantized ``{"q": [out, in] i8, "s": [out] f32}``
+    """``x @ W`` for a weight that is a plain ``[in, out]`` float matrix,
+    an int8-quantized ``{"q": [out, in] i8, "s": [out] f32}``, or an
+    int4-packed ``{"q4": [out/2, in] i8, "s": [2, out/2], "t": [1, in]}``
     (Generator.quantize_weights). Returns f32 (same contraction/accumulation
     as the original einsums). The quantized serving path streams weights
-    through the Pallas matvec at int8-byte HBM rate (ops/matvec.py) for
-    small row counts (decode); larger row counts (prefill/scoring, which
-    are MXU- not bandwidth-bound) dequantize into the normal dot.
+    through the Pallas matvec at quantized-byte HBM rate (ops/matvec.py)
+    for small row counts (decode); larger row counts (prefill/scoring,
+    which are MXU- not bandwidth-bound) dequantize into the normal dot.
     """
     if not _is_quant(w):
         return jnp.einsum("...d,df->...f", x, w.astype(adt),
@@ -78,6 +79,15 @@ def _mm(x, w, adt):
     rows = 1
     for m in lead:
         rows *= m
+    if "q4" in w:
+        from mediquery_rag_tpu.ops.matvec import (dequantize_weight_int4,
+                                                  quant_matvec_int4)
+        if rows <= 128:
+            out = quant_matvec_int4(x.reshape(rows, x.shape[-1]), w)
+            return out.reshape(*lead, out.shape[-1])
+        wd = dequantize_weight_int4(w, adt)
+        return jnp.einsum("...d,fd->...f", x, wd,
+                          preferred_element_type=jnp.float32)
     if rows <= 128:
         from mediquery_rag_tpu.ops.matvec import quant_matvec
         out = quant_matvec(x.reshape(rows, x.shape[-1]), w["q"], w["s"])

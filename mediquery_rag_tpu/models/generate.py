@@ -74,27 +74,39 @@ class Generator:
         self._jit_cache.clear()
         return self
 
-    def quantize_weights(self) -> "Generator":
-        """Weight-only int8 serving (returns self): matmul weights become
-        per-output-channel int8 streamed by the Pallas matvec
-        (ops/matvec.py) — half bf16's weight bytes, so up to ~2x B=1
-        tok/s and a 7B-class model in ~7 GB. Converts leaf-by-leaf so the
-        old leaf frees before the next converts; at 7B+ scale prefer
-        building quantized directly:
-        ``jax.jit(lambda k: quantize_decoder_params(model.init(k)))``.
+    def quantize_weights(self, bits: int = 8) -> "Generator":
+        """Weight-only quantized serving (returns self): matmul weights
+        become per-output-channel int8 (``bits=8``, half bf16's weight
+        bytes — 7B-class in ~7 GB) or nibble-packed int4 with an AWQ-style
+        activation equalizer (``bits=4``, a quarter — ~3.8 GB, the same
+        4-bit tier Ollama's default qwen2.5 GGUF serves the reference at),
+        streamed by the Pallas matvecs (ops/matvec.py). Converts
+        leaf-by-leaf so the old leaf frees before the next converts; at 7B+
+        scale prefer building quantized directly:
+        ``jax.jit(lambda k: quantize_decoder_params(model.init(k), bits))``.
         Checkpoints store FLOAT params — ``save()`` before quantizing and
         re-quantize after ``from_checkpoint`` (the tree structures differ;
         ``from_checkpoint`` raises a clear count mismatch otherwise).
         """
-        from mediquery_rag_tpu.ops.matvec import quantize_weight
+        from mediquery_rag_tpu.ops.matvec import (quantize_weight,
+                                                  quantize_weight_int4)
 
+        if bits == 4:
+            q2 = jax.jit(quantize_weight_int4)
+            q3 = jax.jit(lambda w: jax.lax.map(quantize_weight_int4, w))
+        elif bits == 8:
+            def pair(w):
+                q, s = quantize_weight(w)
+                return {"q": q, "s": s}
+
+            q2 = jax.jit(pair)
+            q3 = jax.jit(lambda w: jax.lax.map(pair, w))
+        else:
+            raise ValueError(f"bits must be 4 or 8, got {bits}")
         blocks = self.params["blocks"]
         for k in ("qkv", "attn_out", "w_gate", "w_up", "w_down"):
-            q, s = jax.jit(lambda w: jax.lax.map(quantize_weight, w))(
-                blocks[k])
-            blocks[k] = {"q": q, "s": s}                # old leaf freed here
-        q, s = jax.jit(quantize_weight)(self.params["lm_head"])
-        self.params["lm_head"] = {"q": q, "s": s}
+            blocks[k] = q3(blocks[k])                   # old leaf freed here
+        self.params["lm_head"] = q2(self.params["lm_head"])
         self._jit_cache.clear()
         return self
 

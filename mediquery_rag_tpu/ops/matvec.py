@@ -105,21 +105,174 @@ def quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, s
 
 
-def quantize_decoder_params(params):
-    """Weight-only int8 for LM serving: every big matmul weight becomes
-    ``{"q": [.., out, in] i8, "s": [.., out] f32}`` (models/decoder._mm
-    consumes either form). Pure — compose with init under one jit at 7B+
-    scale so the float tree never coexists with the quantized one.
-    Stacked per-layer weights convert layer-by-layer (``lax.map``) to keep
-    the f32 transient at one layer, not L layers.
-    """
-    def q2(w):
-        q, s = quantize_weight(w)
-        return {"q": q, "s": s}
+# -- int4 weight streaming ----------------------------------------------------
+#
+# The reference serves its LLM through Ollama, whose default GGUF quant for
+# qwen2.5:7b is 4-bit (Q4_K_M) — so 4-bit weight-only is the parity point,
+# not just an optimization (/root/reference/src/medical_engine.py:46). Decode
+# is weight-bandwidth bound, so int4 halves int8's bytes again: a 7B-class
+# model in ~3.8 GB with a ~2x B=1 tok/s ceiling over int8.
+#
+# Layout reuses the corpus scan's proven nibble trick (ops/quant.py:117):
+# pack output channels r (low nibble, code biased +8) and r + F/2 (high
+# nibble, signed) into byte-row r of a [F/2, D] i8 matrix. One `& 15` VPU
+# pass + two int8 MXU dots per tile score BOTH halves:
+#
+#     dotU = x8 . (byte & 15)   ->  low  half = dotU - 8*sum(x8)
+#     dotP = x8 . byte          ->  high half = (dotP - dotU) / 16
+#
+# Quality: naive per-output-channel int4 (RTN) is visibly lossy because
+# weight magnitude varies along the INPUT axis too. Group-wise scales (the
+# GGML/GPTQ answer) would break the single-dot structure, so instead an
+# AWQ-style per-input-dim equalizer ``t[d] = (max_r |w[r,d]|)^alpha`` is
+# divided out of the weights before quantization and multiplied into the
+# activation at run time (one [B, D] elementwise op — free next to the
+# weight stream). This captures the input-axis spread that group scales
+# exist for while keeping the kernel exactly two dots.
 
-    def q3(w):                                          # [L, in, out]
-        q, s = jax.lax.map(quantize_weight, w)
-        return {"q": q, "s": s}
+
+def quantize_weight_int4(w: jax.Array, *, alpha: float = 0.5):
+    """``[in, out]`` float -> int4-packed serving form.
+
+    Returns ``{"q4": [out/2, in] i8 nibble-packed, "s": [2, out/2] f32
+    per-channel scale planes (0 = channels [0, F/2), 1 = [F/2, F)),
+    "t": [1, in] f32 activation equalizer}``. ``out`` must be even.
+    """
+    wt = w.astype(jnp.float32).T                        # [F, D]
+    f, d = wt.shape
+    if f % 2:
+        raise ValueError(f"int4 packing needs an even out dim, got {f}")
+    amax_d = jnp.maximum(jnp.max(jnp.abs(wt), axis=0), 1e-12)   # [D]
+    t = amax_d ** alpha
+    t = t / jnp.exp(jnp.mean(jnp.log(t)))               # scale-neutral
+    wn = wt / t[None, :]
+    s = jnp.maximum(jnp.max(jnp.abs(wn), axis=-1), 1e-12) / 7.0  # [F]
+    c = jnp.clip(jnp.round(wn / s[:, None]), -7, 7).astype(jnp.int32)
+    f2 = f // 2
+    lo, hi = c[:f2], c[f2:]
+    packed = (hi * 16 + (lo + 8)).astype(jnp.int8)      # [F/2, D]
+    s2 = jnp.stack([s[:f2], s[f2:]])                    # [2, F/2]
+    return {"q4": packed, "s": s2, "t": t.reshape(1, d)}
+
+
+def dequantize_weight_int4(wq, dtype=jnp.float32) -> jax.Array:
+    """Serving form -> ``[out, in]`` dense weights (prefill/scoring path,
+    where the matmul is MXU- not bandwidth-bound)."""
+    p = wq["q4"].astype(jnp.int32)
+    lo = (p & 15) - 8
+    hi = (p - (lo + 8)) // 16         # exact: byte = 16*hi + (lo + 8)
+    codes = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
+    s = wq["s"].reshape(-1)                             # [F] plane-ordered
+    return (codes * s[:, None] * wq["t"]).astype(dtype)
+
+
+def _matvec4_kernel(x_ref, corr_ref, w_ref, s_ref, lo_ref, hi_ref):
+    p = w_ref[:]                                        # [tf2, D] i8 packed
+    ulo = p & 15    # i8-native on the VPU (Mosaic rejects i8 shifts, not &)
+    x = x_ref[:]                                        # [Bp, D] i8
+    dims = (((1,), (1,)), ((), ()))
+    dotU = jax.lax.dot_general(x, ulo, dimension_numbers=dims,
+                               preferred_element_type=jnp.int32)
+    dotP = jax.lax.dot_general(x, p, dimension_numbers=dims,
+                               preferred_element_type=jnp.int32)
+    # (dotP - dotU) is exact in i32 and a multiple of 16; the /16 folds
+    # into the f32 rescale. f32 rounding past 2^24 is ~6e-8 relative —
+    # noise next to the int4 quantization error itself.
+    lo_ref[:] = ((dotU.astype(jnp.float32) - corr_ref[:])
+                 * s_ref[0:1, :])
+    hi_ref[:] = ((dotP - dotU).astype(jnp.float32) * 0.0625
+                 * s_ref[1:2, :])
+
+
+@functools.partial(jax.jit, static_argnames=("out_tile", "interpret"))
+def _matvec4_padded(x8, corr, w4, s2, *, out_tile, interpret):
+    bp, d = x8.shape
+    f2 = w4.shape[0]
+    grid = (f2 // out_tile,)
+    lo, hi = pl.pallas_call(
+        _matvec4_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bp, d), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_tile, d), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, out_tile), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bp, out_tile), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, out_tile), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((bp, f2), jnp.float32),
+                   jax.ShapeDtypeStruct((bp, f2), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bp * d * f2,                      # two dots
+            bytes_accessed=bp * d + f2 * d + f2 * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x8, corr, w4, s2)
+    return lo, hi
+
+
+def quant_matvec_int4(
+    x: jax.Array,          # [B, D] activations (any float dtype)
+    wq: dict,              # quantize_weight_int4 output
+    *,
+    out_tile: int = 256,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """``x @ W`` with int4-streamed weights. Returns [B, F] f32."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    b, d = x.shape
+    f2 = wq["q4"].shape[0]
+    out_tile = min(out_tile, f2)
+    if f2 % out_tile:   # small/odd-sized projections: one full-array block
+        out_tile = 128 if f2 % 128 == 0 else f2
+
+    xf = x.astype(jnp.float32) * wq["t"]                # equalizer
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    qs = jnp.maximum(amax, 1e-12) / 127.0
+    x8 = jnp.clip(jnp.round(xf / qs[:, None]), -127, 127).astype(jnp.int8)
+    bp = _round_up(max(b, 32), 32)                      # i8 sublane tile
+    if bp != b:
+        x8 = jnp.pad(x8, ((0, bp - b), (0, 0)))
+    corr = 8.0 * jnp.sum(x8.astype(jnp.int32), axis=-1,
+                         keepdims=True).astype(jnp.float32)   # [Bp, 1]
+    lo, hi = _matvec4_padded(x8, corr, wq["q4"], wq["s"],
+                             out_tile=out_tile, interpret=interpret)
+    out = jnp.concatenate([lo[:b], hi[:b]], axis=-1)    # split-half order
+    return out * qs[:b, None]
+
+
+def quantize_decoder_params(params, bits: int = 8):
+    """Weight-only quantization for LM serving: every big matmul weight
+    becomes ``{"q": [.., out, in] i8, "s": [.., out] f32}`` (``bits=8``) or
+    the int4 form ``{"q4", "s", "t"}`` (``bits=4`` — quantize_weight_int4;
+    models/decoder._mm consumes all three forms). Pure — compose with init
+    under one jit at 7B+ scale so the float tree never coexists with the
+    quantized one. Stacked per-layer weights convert layer-by-layer
+    (``lax.map``) to keep the f32 transient at one layer, not L layers.
+    """
+    if bits == 4:
+        q2 = quantize_weight_int4
+        q3 = lambda w: jax.lax.map(quantize_weight_int4, w)  # noqa: E731
+    elif bits == 8:
+        def q2(w):
+            q, s = quantize_weight(w)
+            return {"q": q, "s": s}
+
+        def q3(w):                                      # [L, in, out]
+            q, s = jax.lax.map(quantize_weight, w)
+            return {"q": q, "s": s}
+    else:
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
 
     out = dict(params)
     out["blocks"] = dict(params["blocks"])
