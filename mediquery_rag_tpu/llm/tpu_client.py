@@ -126,16 +126,18 @@ class TPULLMClient:
         return cls(Generator.from_checkpoint(path), **kw)
 
     @classmethod
-    def from_hf(cls, model_dir: str, *, quantize: bool = False,
+    def from_hf(cls, model_dir: str, *, quantize: bool | int = False,
                 **kw) -> "TPULLMClient":
         """Serve a real HF qwen2-class checkpoint from the TPU: imported
         weights + the checkpoint's BPE tokenizer + ChatML prompts (what
-        qwen2.5-instruct was trained on). ``quantize=True`` converts to
-        int8 weight-only serving (7B-class in ~7 GB, ops/matvec.py)."""
+        qwen2.5-instruct was trained on). ``quantize=8`` (or ``True``)
+        converts to int8 weight-only serving (7B-class in ~7 GB);
+        ``quantize=4`` to int4 (~3.8 GB — the same 4-bit tier the
+        reference's Ollama GGUF runs at). See ops/matvec.py."""
         from mediquery_rag_tpu.models.hf_import import load_qwen2_generator
 
         gen = load_qwen2_generator(model_dir)
         if quantize:
-            gen.quantize_weights()
+            gen.quantize_weights(bits=8 if quantize is True else quantize)
         kw.setdefault("template", "chatml")
         return cls(gen, **kw)

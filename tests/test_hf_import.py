@@ -117,6 +117,18 @@ class TestQwen2Import:
         outs = gen.generate(["你好，血压", "hello bp"], max_new_tokens=4)
         assert len(outs) == 2 and all(isinstance(o, str) for o in outs)
 
+    def test_generator_int4_serving(self, tmp_path):
+        """Imported checkpoints serve at the reference's Ollama tier
+        (4-bit weight-only) through TPULLMClient.from_hf(quantize=4)."""
+        from mediquery_rag_tpu.llm.tpu_client import TPULLMClient
+
+        _, d = _tiny_qwen(tmp_path, vocab=300)
+        _write_tiny_tokenizer(d, vocab_target=300)
+        client = TPULLMClient.from_hf(d, quantize=4, max_new_tokens=4)
+        assert "q4" in client.generator.params["lm_head"]
+        out = client.complete("血压高")
+        assert isinstance(out, str)
+
 
 def _write_tiny_tokenizer(model_dir, vocab_target=300):
     """Train a qwen2-STRUCTURED tokenizer.json (Split regex pre-tokenizer +

@@ -380,6 +380,21 @@ class TestOpenAIChatEndpoint:
         assert "".join(chunks) == plain
 
 
+class TestInt4Serving:
+    def test_int4_weights_through_slot_lanes(self):
+        """The continuous-batching engine must serve an int4-quantized
+        model unchanged (decode_step_slots reaches the q4 form of _mm):
+        outputs match the SAME quantized model's lockstep generate."""
+        import jax
+        gen4 = Generator(TINY, key=jax.random.PRNGKey(5))
+        gen4.quantize_weights(bits=4)
+        want = [gen4.generate([p], max_new_tokens=24)[0] for p in PROMPTS]
+        with LLMServer(gen4, slots=2, chunk=8) as srv:
+            futs = [srv.submit(p, max_new_tokens=24) for p in PROMPTS]
+            outs = [f.result(timeout=300) for f in futs]
+        assert outs == want
+
+
 class TestStreamVisible:
     """The incremental turn-cutter backing SSE streaming."""
 

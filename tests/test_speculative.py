@@ -55,6 +55,18 @@ class TestLossless:
         want = tgt.generate([prompt], max_new_tokens=512)[0]
         assert got == want
 
+    def test_int4_target_stays_lossless(self, draft):
+        """Weight quantization must not break the exact-match contract:
+        the spec output equals the int4 target's OWN greedy continuation
+        (verify and decode run the same q4 matvec path)."""
+        import jax
+        tgt4 = Generator(TARGET, key=jax.random.PRNGKey(9))
+        tgt4.quantize_weights(bits=4)
+        spec = SpeculativeGenerator(tgt4, draft, gamma=3)
+        got = spec.generate(PROMPTS[:2], max_new_tokens=32)
+        for p, o in zip(PROMPTS[:2], got):
+            assert o == tgt4.generate([p], max_new_tokens=32)[0]
+
     def test_eos_terminates_identically(self, target, draft):
         # long budget: EOS (if the random model hits one) must cut both
         # paths at the same place
