@@ -437,6 +437,100 @@ class Decoder:
             logits = _mm(x[0, last], params["lm_head"], adt)
         return logits, ks, vs, key_mask_row
 
+    def extend_slots(
+        self,
+        params: DecoderParams,
+        cache: KVCache,
+        toks: jax.Array,         # [B, G] i32 — G new tokens per lane
+        active: jax.Array,       # [B] bool
+    ) -> tuple[jax.Array, KVCache]:
+        """Batched multi-column extend at PER-LANE cursors — the verify/
+        propose primitive of speculative continuous batching (serve/llm.py
+        spec quantum). Lane ``b`` writes its G tokens' K/V at columns
+        ``cursor[b] .. cursor[b]+G-1`` (RoPE positions ``next_pos[b]+i``)
+        and gets one next-token distribution per fed token ([B, G, V] —
+        ``prefill_extend(all_logits=True)`` batched over lanes).
+
+        Cursor/positions advance by the FULL G for active lanes; the
+        caller owns acceptance and rolls back by setting cursor to
+        ``old + n_acc`` and re-masking ``key_mask`` to columns < cursor —
+        the invariant this method assumes on entry (it masks the fresh G
+        columns up for active lanes and nothing else). Inactive lanes
+        write garbage K/V at their columns with key_mask left 0, exactly
+        like ``decode_step_slots``. All G tokens are treated as real (no
+        intra-extension padding); the caller must guarantee
+        ``cursor[b] + G <= C`` for active lanes.
+        """
+        c = self.cfg
+        adt = jnp.dtype(c.dtype)
+        L, B, KH, C, dh = cache.k.shape
+        G = toks.shape[1]
+        rows = jnp.arange(B)
+        cols = jnp.arange(C)[None, :]                      # [1, C]
+        cur = cache.cursor[:, None]                        # [B, 1]
+
+        fresh = (cols >= cur) & (cols < cur + G)           # [B, C]
+        key_mask = jnp.where(fresh & active[:, None],
+                             1.0, cache.key_mask)
+        # query i of lane b sees: mask-live columns <= cursor[b] + i
+        vis = ((cols[:, None, :] <= cur[:, :, None] + jnp.arange(G)[None, :,
+                                                                   None])
+               .astype(jnp.float32) * key_mask[:, None, :])   # [B, G, C]
+        bias = (vis[:, None] - 1.0) * 1e9                  # [B, 1, G, C]
+        pos = cache.next_pos[:, None] + jnp.arange(G)[None, :]   # [B, G]
+        ccols = cur + jnp.arange(G)[None, :]               # [B, G]
+
+        x = params["tok_embed"][toks].astype(adt)          # [B, G, D]
+
+        def layer(carry, xs):
+            x = carry                                      # [B, G, D]
+            lp, k_layer, v_layer = xs
+            h = _rmsnorm(x, lp["rms1"], c.rms_eps)
+            qkv = _mm(h, lp["qkv"], adt)
+            if "qkv_b" in lp:
+                qkv = qkv + lp["qkv_b"].astype(jnp.float32)
+            qkv = qkv.astype(adt)
+            kvh = c.kv_heads or c.heads
+            q, k, v = _split_qkv(qkv, B, G, c.heads, kvh, dh)  # [B,*,G,dh]
+            q = _rope(q, pos, c.rope_theta)
+            k = _rope(k, pos, c.rope_theta)
+            # batched 2-d scatter: lane b, slot i -> column ccols[b, i]
+            k_layer = k_layer.at[rows[:, None], :, ccols, :].set(
+                k.transpose(0, 2, 1, 3))
+            v_layer = v_layer.at[rows[:, None], :, ccols, :].set(
+                v.transpose(0, 2, 1, 3))
+
+            g = c.heads // kvh
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q,
+                                _repeat_kv(k_layer, g),
+                                preferred_element_type=jnp.float32)
+            logits = logits * (dh ** -0.5) + bias
+            w = jax.nn.softmax(logits, axis=-1).astype(adt)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", w, _repeat_kv(v_layer, g),
+                             preferred_element_type=jnp.float32).astype(adt)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, G, c.hidden)
+            attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
+            x = x + attn
+
+            h = _rmsnorm(x, lp["rms2"], c.rms_eps)
+            gate = _mm(h, lp["w_gate"], adt)
+            up = _mm(h, lp["w_up"], adt)
+            ff = (jax.nn.silu(gate) * up).astype(adt)
+            ff = _mm(ff, lp["w_down"], adt)
+            return x + ff.astype(adt), (k_layer, v_layer)
+
+        x, (ks, vs) = jax.lax.scan(
+            layer, x, (params["blocks"], cache.k, cache.v))
+        x = _rmsnorm(x, params["rms_f"], c.rms_eps)
+        logits = _mm(x, params["lm_head"], adt)            # [B, G, V]
+        adv = G * active.astype(jnp.int32)
+        new_cache = KVCache(
+            k=ks, v=vs, key_mask=key_mask,
+            cursor=cache.cursor + adv,
+            next_pos=cache.next_pos + adv,
+        )
+        return logits, new_cache
+
     def decode_step_slots(
         self,
         params: DecoderParams,

@@ -70,6 +70,18 @@ class ServeState(NamedTuple):
     schema: jax.Array     # [B] i32 — registered schema index, -1 = none
 
 
+class DraftState(NamedTuple):
+    """Device-resident draft-model serving state for speculative quanta.
+    No carried logits: each round's first draft consume is the target's
+    free token, so the draft never needs its own next-token carry."""
+
+    k: jax.Array          # [L, B, KH, Cd, dh]
+    v: jax.Array
+    key_mask: jax.Array   # [B, Cd] f32
+    cursor: jax.Array     # [B] i32
+    next_pos: jax.Array   # [B] i32
+
+
 @dataclass
 class _Request:
     prompt: str
@@ -80,6 +92,7 @@ class _Request:
     schema: dict | None = None
     on_text: object = None       # streaming callback: fn(delta_text: str)
     tokens: list = field(default_factory=list)
+    prompt_ids: list = field(default_factory=list)  # real prefilled tokens
     streamed: int = 0            # tokens already flushed to on_text
     t_submit: float = 0.0
     t_first: float | None = None  # first token emitted (TTFT)
@@ -114,7 +127,8 @@ class LLMServer:
 
     def __init__(self, generator: Generator, *, slots: int = 4,
                  chunk: int = 32, cache_len: int | None = None,
-                 max_wait_ms: float = 2.0, seed: int = 0):
+                 max_wait_ms: float = 2.0, seed: int = 0,
+                 draft: Generator | None = None, gamma: int = 4):
         self.gen = generator
         cfg = generator.cfg
         self.model = generator.model
@@ -128,6 +142,30 @@ class LLMServer:
         self._rng = jax.random.PRNGKey(seed)
         self._eos = int(self.tok.eos_id)
         self._pad = int(self.tok.pad_id)
+
+        # speculative serving: a draft model turns each greedy lane's
+        # scheduling quantum into propose->verify rounds (gamma+1 tokens
+        # per target weight read in the best case, output still the
+        # target's exact greedy continuation per lane). Lanes that need
+        # sampling or grammar constraints fall back to plain quanta.
+        self.draft = draft
+        self.gamma = gamma
+        if draft is not None:
+            if draft.cfg.vocab_size != cfg.vocab_size:
+                raise ValueError("draft/target vocab mismatch")
+            if gamma < 1:
+                raise ValueError("gamma must be >= 1")
+            self.Cd = min(self.C, draft.cfg.max_len)
+            self.Cd -= self.Cd % 128
+            self._rounds = max(1, self.T // (gamma + 1))
+            if self.Cd < _round_up(self._rounds * (gamma + 1) + 1,
+                                   128) + 128:
+                raise ValueError(
+                    f"draft cache too small ({self.Cd}) for "
+                    f"{self._rounds} rounds of gamma={gamma}")
+        # lanes close enough to the cache end that a spec round could not
+        # write its gamma+1 candidates must finish as "length"
+        self._margin = (gamma + 1) if draft is not None else 1
 
         L, D = cfg.layers, cfg.hidden
         kvh = cfg.kv_heads or cfg.heads
@@ -148,6 +186,28 @@ class LLMServer:
             )
 
         self.state = jax.jit(_empty)()
+        self.dstate: DraftState | None = None
+        if draft is not None:
+            dcfg = draft.cfg
+            dkvh = dcfg.kv_heads or dcfg.heads
+            ddh = dcfg.hidden // dcfg.heads
+            Cd = self.Cd
+
+            def _dempty() -> DraftState:
+                return DraftState(
+                    k=jnp.zeros((dcfg.layers, B, dkvh, Cd, ddh),
+                                jnp.dtype(dcfg.dtype)),
+                    v=jnp.zeros((dcfg.layers, B, dkvh, Cd, ddh),
+                                jnp.dtype(dcfg.dtype)),
+                    key_mask=jnp.zeros((B, Cd), jnp.float32),
+                    cursor=jnp.zeros((B,), jnp.int32),
+                    next_pos=jnp.zeros((B,), jnp.int32),
+                )
+
+            self.dstate = jax.jit(_dempty)()
+        self._draft_dirty = [True] * self.B
+        self._dsync_cache: dict = {}
+        self._spec_fn = None
         self._admit_cache: dict = {}
         self._chunk_cache: dict = {}
         # grammar constraints: registered schemas stack into one padded
@@ -167,7 +227,8 @@ class LLMServer:
         self._clock = 0.0          # monotone LRU tick (no wall clock needed)
         self.stats = {"requests": 0, "chunks": 0, "prefills": 0,
                       "tokens_out": 0, "extends": 0,
-                      "prefix_tokens_reused": 0}
+                      "prefix_tokens_reused": 0,
+                      "spec_rounds": 0, "spec_tokens": 0, "draft_syncs": 0}
         from collections import deque
         # bounded: a long-lived server must not grow per-request state
         self._lat_total: deque = deque(maxlen=8192)   # submit -> done, s
@@ -359,6 +420,180 @@ class LLMServer:
         self._chunk_cache[use_dfa] = decode_chunk
         return decode_chunk
 
+    def _spec_program(self):
+        """The speculative quantum: up to ``_rounds`` propose->verify
+        rounds for all lanes in ONE dispatch. Per round, the draft
+        proposes gamma tokens per lane (G=1 ``extend_slots`` scan), the
+        target verifies all gamma+1 candidates of every lane in one
+        batched multi-column ``extend_slots``, and each lane keeps the
+        prefix its target agrees with — per-lane variable advance, exactly
+        the B=1 acceptance rule of models/speculative.py vectorized over
+        lanes. Emitted tokens are written COMPACTLY per lane (pad tail
+        only) so harvest/session bookkeeping sees the same row format as
+        the plain chunk program. Greedy lanes only — the scheduler falls
+        back to the plain program whenever a sampled or grammar-
+        constrained lane is active."""
+        if self._spec_fn is not None:
+            return self._spec_fn
+
+        from mediquery_rag_tpu.models.decoder import KVCache
+
+        model, dmodel = self.model, self.draft.model
+        pad_id, eos_id = self._pad, self._eos
+        B, G, R = self.B, self.gamma + 1, self._rounds
+        C, Cd = self.C, self.Cd
+
+        def _as_kv(state: ServeState) -> KVCache:
+            return KVCache(k=state.k, v=state.v, key_mask=state.key_mask,
+                           cursor=state.cursor, next_pos=state.next_pos)
+
+        def _dkv(d: DraftState) -> KVCache:
+            return KVCache(k=d.k, v=d.v, key_mask=d.key_mask,
+                           cursor=d.cursor, next_pos=d.next_pos)
+
+        @partial(jax.jit, donate_argnums=(2, 3))
+        def spec_chunk(tp, dp, state, dstate, active):
+            cols = jnp.arange(C)[None, :]
+            dcols = jnp.arange(Cd)[None, :]
+            out0 = jnp.full((B, R * G), pad_id, jnp.int32)
+            ncol0 = jnp.zeros((B,), jnp.int32)
+            # entry guarantee: every active lane has room for one round
+            live0 = (active & (state.cursor + G <= C)
+                     & (dstate.cursor + G <= Cd))
+
+            def cond(carry):
+                _, _, _, _, live, r = carry
+                return (r < R) & live.any()
+
+            def body(carry):
+                state, dstate, out, ncol, live, r = carry
+                t0 = jnp.argmax(state.logits, axis=-1).astype(jnp.int32)
+
+                # draft proposes gamma tokens; the G-th consume ingests the
+                # final candidate so a fully-accepted round leaves no hole
+                # in the draft cache (same invariant as models/speculative)
+                dcur0, dpos0 = dstate.cursor, dstate.next_pos
+
+                def propose(pc, _):
+                    dst, tok = pc
+                    dl, dkv2 = dmodel.extend_slots(
+                        dp, _dkv(dst), tok[:, None], live)
+                    nxt = jnp.argmax(dl[:, 0], axis=-1).astype(jnp.int32)
+                    return (DraftState(dkv2.k, dkv2.v, dkv2.key_mask,
+                                       dkv2.cursor, dkv2.next_pos),
+                            nxt), nxt
+
+                (dstate2, _), douts = jax.lax.scan(
+                    propose, (dstate, t0), None, length=G)
+                cand = jnp.concatenate(
+                    [t0[:, None], douts.T[:, : G - 1]], axis=1)   # [B, G]
+
+                # one batched target pass verifies every lane's candidates
+                tcur0, tpos0 = state.cursor, state.next_pos
+                tl, tkv = model.extend_slots(tp, _as_kv(state), cand, live)
+                u = jnp.argmax(tl, axis=-1).astype(jnp.int32)     # [B, G]
+                match = cand[:, 1:] == u[:, :-1]
+                not_eos = cand != eos_id
+                keep = jnp.concatenate(
+                    [not_eos[:, :1], match & not_eos[:, 1:]], axis=1)
+                acc = jnp.cumprod(keep.astype(jnp.int32), axis=1)
+                n_acc = jnp.sum(acc, axis=1)                      # [B]
+                hit_eos = (t0 == eos_id) & live
+
+                n_emit = jnp.where(live, jnp.maximum(n_acc, 1), 0)
+                emit = jnp.where(
+                    jnp.arange(G)[None, :] < n_emit[:, None], cand, pad_id)
+                out = jax.vmap(
+                    lambda o, e, s: jax.lax.dynamic_update_slice(
+                        o, e, (s,)))(out, emit, ncol)
+                ncol = ncol + n_emit
+
+                # roll both caches back to the accepted prefix: cursor =
+                # old + n_acc, everything at/after it masked dead (the
+                # invariant extend_slots assumes on entry)
+                adv = n_acc * live.astype(jnp.int32)
+                new_cur = tcur0 + adv
+                km = jnp.where(cols >= new_cur[:, None],
+                               0.0, tkv.key_mask)
+                idx = jnp.maximum(n_acc - 1, 0)
+                newlog = jnp.take_along_axis(
+                    tl, idx[:, None, None], axis=1)[:, 0]         # [B, V]
+                logits = jnp.where(live[:, None], newlog, state.logits)
+                state = ServeState(tkv.k, tkv.v, km, new_cur,
+                                   tpos0 + adv, logits,
+                                   state.dfa, state.schema)
+                dcur_new = dcur0 + adv
+                dkm = jnp.where(dcols >= dcur_new[:, None],
+                                0.0, dstate2.key_mask)
+                dstate = DraftState(dstate2.k, dstate2.v, dkm,
+                                    dcur_new, dpos0 + adv)
+
+                live = (live & ~hit_eos & (new_cur + G <= C)
+                        & (dcur_new + G <= Cd))
+                return state, dstate, out, ncol, live, r + 1
+
+            state, dstate, out, ncol, _, r = jax.lax.while_loop(
+                cond, body, (state, dstate, out0, ncol0, live0,
+                             jnp.int32(0)))
+            return state, dstate, out, ncol, r
+
+        self._spec_fn = spec_chunk
+        return spec_chunk
+
+    def _dsync_program(self, S: int):
+        """Draft-lane (re)build program for bucketed context length S:
+        prefill the draft model over the lane's recent tokens and scatter
+        into its slot. The draft cache never affects OUTPUT (losslessness
+        is the verify pass's property) — only acceptance rate — so lanes
+        resync lazily: after plain-quantum fallbacks, admissions, session
+        extensions, or when the draft's own (possibly smaller) cache runs
+        out of room, in which case the context window simply slides."""
+        fn = self._dsync_cache.get(S)
+        if fn is not None:
+            return fn
+        dmodel, Cd = self.draft.model, self.Cd
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def dsync(dp, dstate, ids, mask, slot):
+            _, kv = dmodel.prefill(dp, ids, mask, Cd)
+            return DraftState(
+                k=dstate.k.at[:, slot].set(kv.k[:, 0]),
+                v=dstate.v.at[:, slot].set(kv.v[:, 0]),
+                key_mask=dstate.key_mask.at[slot].set(kv.key_mask[0]),
+                cursor=dstate.cursor.at[slot].set(kv.cursor),
+                next_pos=dstate.next_pos.at[slot].set(kv.next_pos[0]),
+            )
+
+        self._dsync_cache[S] = dsync
+        return dsync
+
+    def _sync_draft_lanes(self) -> None:
+        """Bring every active lane's draft cache in line with its
+        transcript (prompt + tokens so far), bucketed and windowed to the
+        draft cache's spare room."""
+        room = self._rounds * (self.gamma + 1)
+        cap = self.Cd - _round_up(room + 1, 128)
+        dcur = np.asarray(self.dstate.cursor)
+        for b, req in enumerate(self._slots):
+            if req is None:
+                continue
+            if (not self._draft_dirty[b]
+                    and int(dcur[b]) + room <= self.Cd):
+                continue             # clean and has room for a full quantum
+            toks = (req.prompt_ids + req.tokens)[-cap:]
+            W = max(len(toks), 1)
+            S = _round_up(W, 128)
+            ids = np.full((1, S), self._pad, np.int32)
+            mask = np.zeros((1, S), np.float32)
+            ids[0, S - W:] = toks if toks else [self._pad]
+            mask[0, S - W:] = 1.0
+            run = self._dsync_program(S)
+            self.dstate = run(self.draft.params, self.dstate,
+                              jnp.asarray(ids), jnp.asarray(mask),
+                              jnp.int32(b))
+            self._draft_dirty[b] = False
+            self.stats["draft_syncs"] += 1
+
     def _admit_program(self, S: int):
         """Prefill-into-slot program for bucketed prompt length S (cached
         per S — arrivals at the same bucket reuse it)."""
@@ -469,7 +704,10 @@ class LLMServer:
         self.state = run(self.gen.params, self.state, jnp.asarray(ids),
                          jnp.asarray(mask), jnp.int32(slot),
                          jnp.int32(self._schema_idx(req)))
+        m = np.asarray(mask)[0] > 0
+        req.prompt_ids = [int(t) for t in np.asarray(ids)[0][m]]
         self._slots[slot] = req
+        self._draft_dirty[slot] = True
         self.stats["prefills"] += 1
         if req.session is not None:
             old = self._sessions.pop(req.session, None)
@@ -511,17 +749,22 @@ class LLMServer:
                          jnp.int32(col0), jnp.int32(m),
                          jnp.int32(self._schema_idx(req)))
         sess.tokens = list(new_toks)
+        req.prompt_ids = list(new_toks)
         self._clock += 1
         sess.last_use = self._clock
         self._slots[sess.lane] = req
+        self._draft_dirty[sess.lane] = True
         self.stats["extends"] += 1
         self.stats["prefix_tokens_reused"] += m
         return True
 
-    def _harvest(self, toks: np.ndarray) -> None:
+    def _harvest(self, toks: np.ndarray, counts=None) -> None:
         """Fold one chunk's tokens into per-slot transcripts; resolve
         futures for lanes that hit EOS, their token budget, or the cache
-        end."""
+        end. ``counts`` (spec quanta only): per-lane emitted-token count —
+        spec rows are compact with a pad TAIL that is not output (a lane
+        can stall on cache room mid-quantum without emitting EOS), unlike
+        plain rows where pad only ever follows EOS."""
         import time as _time
 
         now = _time.perf_counter()
@@ -529,7 +772,7 @@ class LLMServer:
         for b, req in enumerate(self._slots):
             if req is None:
                 continue
-            row = toks[b]
+            row = toks[b] if counts is None else toks[b][: int(counts[b])]
             # finish reason mirrors the OpenAI contract: "stop" = natural
             # EOS, "length" = token budget or cache exhaustion truncated it
             finish = None
@@ -558,8 +801,11 @@ class LLMServer:
                     except Exception:
                         pass          # a broken consumer must not kill serving
                     req.streamed = len(full)
-            if finish is None and int(cursors[b]) >= self.C - 1:
-                finish = "length"    # cache exhausted: finish with what we have
+            if finish is None and int(cursors[b]) >= self.C - self._margin:
+                # cache exhausted: finish with what we have. With a draft,
+                # the margin is gamma+1 — a spec round needs room for all
+                # its candidates, so closer-than-that lanes cannot progress
+                finish = "length"
             if finish is not None:
                 self.stats["tokens_out"] += len(req.tokens)
                 self._lat_total.append(now - req.t_submit)
@@ -624,6 +870,23 @@ class LLMServer:
                     self._try_admit(req, self._pick_lane(req))
                 continue
 
+            if self.draft is not None and all(
+                    r is None or (r.temperature == 0.0 and r.schema is None)
+                    for r in self._slots):
+                # speculative quantum: every active lane is greedy and
+                # unconstrained, so the propose->verify program applies
+                self._sync_draft_lanes()
+                self.state, self.dstate, toks, ncol, rounds = (
+                    self._spec_program()(
+                        self.gen.params, self.draft.params, self.state,
+                        self.dstate, jnp.asarray(active_h)))
+                ncol = np.asarray(ncol)
+                self.stats["chunks"] += 1
+                self.stats["spec_rounds"] += int(rounds)
+                self.stats["spec_tokens"] += int(ncol.sum())
+                self._harvest(np.asarray(toks), counts=ncol)
+                continue
+
             self._rng, sub = jax.random.split(self._rng)
             temps = jnp.asarray(
                 [r.temperature if r else 0.0 for r in self._slots],
@@ -637,6 +900,12 @@ class LLMServer:
                 self.gen.params, self.state,
                 jnp.asarray(active_h), temps, sub, *tables)
             self.stats["chunks"] += 1
+            if self.draft is not None:
+                # plain quanta advance target lanes past their draft
+                # mirrors; resync before the next spec quantum
+                for b, a in enumerate(active_h):
+                    if a:
+                        self._draft_dirty[b] = True
             self._harvest(np.asarray(toks))
 
 

@@ -315,6 +315,14 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=8384)
     ap.add_argument("--fake-llm", action="store_true")
     ap.add_argument("--llm-url", default=None)
+    ap.add_argument("--draft", default=None,
+                    help="speculative draft model for the TPU LLM server: "
+                         "an HF qwen2 dir or an orbax checkpoint path "
+                         "(e.g. a models/distill.py distilled draft)")
+    ap.add_argument("--gamma", type=int, default=4,
+                    help="draft tokens proposed per verify round")
+    ap.add_argument("--draft-quantize", type=int, default=0, choices=(0, 4, 8),
+                    help="int4/int8 weight-only quantization for the draft")
     args = ap.parse_args()
 
     from mediquery_rag_tpu.cli.context import AppContext
@@ -329,8 +337,22 @@ def main() -> None:
     template = "plain"
     from mediquery_rag_tpu.llm.tpu_client import TPULLMClient
     if isinstance(ctx.llm, TPULLMClient):
+        import os
+
         from mediquery_rag_tpu.serve.llm import LLMServer
-        llm_server = LLMServer(ctx.llm.generator, slots=4)
+        draft = None
+        if args.draft:
+            from mediquery_rag_tpu.models.generate import Generator
+            if os.path.isdir(args.draft):
+                from mediquery_rag_tpu.models.hf_import import (
+                    load_qwen2_generator)
+                draft = load_qwen2_generator(args.draft)
+            else:
+                draft = Generator.from_checkpoint(args.draft)
+            if args.draft_quantize:
+                draft.quantize_weights(bits=args.draft_quantize)
+        llm_server = LLMServer(ctx.llm.generator, slots=4,
+                               draft=draft, gamma=args.gamma)
         template = ctx.llm.template
     server = SearchServer(ctx.store, llm_server=llm_server,
                           chat_template=template)

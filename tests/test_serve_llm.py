@@ -446,6 +446,117 @@ class TestStreamVisible:
             assert out == _cut_turn(full, "plain"), f"split={split}"
 
 
+class TestSpeculativeServing:
+    """Speculative continuous batching: a draft model accelerates greedy
+    lanes (propose->verify quanta) without changing a single output token.
+    Every test pins server-with-draft output against the plain lockstep
+    oracle — losslessness is the whole contract."""
+
+    DRAFT = DecoderConfig(vocab_size=384, hidden=32, layers=1, heads=2,
+                          mlp_dim=64, max_len=1024, dtype="float32")
+
+    @pytest.fixture(scope="class")
+    def draft(self):
+        import jax
+        return Generator(self.DRAFT, key=jax.random.PRNGKey(7))
+
+    def test_adversarial_draft_lossless(self, gen, draft, oracle):
+        # random (untrained) draft disagrees with the target constantly;
+        # outputs must STILL be bit-identical to lockstep greedy
+        with LLMServer(gen, slots=4, chunk=8, draft=draft, gamma=3) as srv:
+            futs = [srv.submit(p, max_new_tokens=40) for p in PROMPTS]
+            outs = [f.result(timeout=300) for f in futs]
+            stats = dict(srv.stats)
+        for p, o in zip(PROMPTS, outs):
+            assert o == oracle(p, 40)
+        assert stats["spec_rounds"] > 0
+        assert stats["spec_tokens"] > 0
+        assert stats["draft_syncs"] >= len(PROMPTS)
+
+    def test_perfect_draft_accepts_everything(self, gen, oracle):
+        # the target drafting for itself agrees on every proposal: tokens
+        # per round == gamma+1, i.e. spec_tokens/spec_rounds ~ gamma+1
+        with LLMServer(gen, slots=2, chunk=10, draft=gen, gamma=4) as srv:
+            out = srv.submit(PROMPTS[0], max_new_tokens=40).result(
+                timeout=300)
+            stats = dict(srv.stats)
+        assert out == oracle(PROMPTS[0], 40)
+        assert stats["spec_tokens"] >= 4 * stats["spec_rounds"]
+
+    def test_sampled_lane_forces_fallback_and_recovery(self, gen, draft,
+                                                       oracle):
+        # a temperature>0 lane disables spec quanta while it runs; the
+        # greedy lane sharing the batch must still be exact, and spec
+        # quanta must resume (draft resync) after the sampled lane leaves
+        with LLMServer(gen, slots=2, chunk=8, draft=draft, gamma=3) as srv:
+            f_greedy = srv.submit(PROMPTS[0], max_new_tokens=64)
+            f_sampled = srv.submit(PROMPTS[1], max_new_tokens=8,
+                                   temperature=0.9)
+            o_greedy = f_greedy.result(timeout=300)
+            f_sampled.result(timeout=300)
+            stats = dict(srv.stats)
+        assert o_greedy == oracle(PROMPTS[0], 64)
+        assert stats["spec_rounds"] > 0      # resumed after fallback
+
+    def test_constrained_lane_forces_fallback(self, gen, draft):
+        import json
+        from mediquery_rag_tpu.models.constrain import RISK_SCHEMA
+        with LLMServer(gen, slots=2, chunk=8, draft=draft, gamma=3) as srv:
+            out = srv.complete("血压 180/120", schema=RISK_SCHEMA)
+        json.loads(out)
+
+    def test_session_over_spec_server_matches_cold(self, gen, draft):
+        from mediquery_rag_tpu.serve.llm import ChatSession
+        with LLMServer(gen, slots=2, chunk=8, draft=draft, gamma=3) as srv:
+            s = ChatSession(srv, max_new_tokens=24)
+            s.ask("高血压饮食")
+            r2 = s.ask("运动呢？")
+            assert srv.stats["extends"] == 1
+            transcript = list(s.messages[:-1])
+        from mediquery_rag_tpu.llm.tpu_client import _cut_turn, render_chat
+        with LLMServer(gen, slots=2, chunk=8) as srv2:   # no draft
+            out = srv2.complete(render_chat(transcript), max_new_tokens=24)
+        assert _cut_turn(out, "plain") == r2
+
+    def test_small_draft_cache_windows_and_stays_lossless(self, gen,
+                                                          oracle):
+        # draft cache (256) far smaller than the target's (1024): lanes
+        # must window-resync when the draft runs out of room, and the
+        # output — the target's property alone — must not move
+        import jax
+        small = DecoderConfig(vocab_size=384, hidden=32, layers=1, heads=2,
+                              mlp_dim=64, max_len=256, dtype="float32")
+        draft = Generator(small, key=jax.random.PRNGKey(11))
+        with LLMServer(gen, slots=1, chunk=10, draft=draft,
+                       gamma=4) as srv:
+            out = srv.submit(PROMPTS[0], max_new_tokens=200).result(
+                timeout=600)
+            stats = dict(srv.stats)
+        assert out == oracle(PROMPTS[0], 200)
+        assert stats["draft_syncs"] >= 2     # re-windowed at least once
+
+    def test_cache_exhaustion_prefix_of_plain(self, gen, draft):
+        # near the cache end a spec quantum needs gamma+1 columns, so the
+        # spec server may stop up to gamma tokens earlier — but what it
+        # does emit must be a prefix of the plain server's output
+        prompt = "健康" * 60
+        with LLMServer(gen, slots=1, chunk=8, cache_len=256) as plain:
+            want = plain.complete(prompt, max_new_tokens=500)
+        with LLMServer(gen, slots=1, chunk=8, cache_len=256, draft=draft,
+                       gamma=3) as srv:
+            got = srv.complete(prompt, max_new_tokens=500)
+        assert want.startswith(got)
+        assert len(want.encode()) - len(got.encode()) <= 4 * 3  # ≤γ+1 toks
+
+    def test_vocab_mismatch_rejected(self, gen):
+        import jax
+        bad = Generator(DecoderConfig(
+            vocab_size=512, hidden=32, layers=1, heads=2, mlp_dim=64,
+            max_len=1024, dtype="float32"), key=jax.random.PRNGKey(1))
+        with pytest.raises(ValueError, match="vocab"):
+            LLMServer(gen, draft=bad)
+
+
 class TestSlotStepPrimitive:
     def test_slot_step_matches_lockstep_step(self, gen):
         """decode_step_slots with a shared cursor must reproduce
@@ -505,3 +616,68 @@ class TestSlotStepPrimitive:
         assert int(c2.next_pos[1]) == int(slot_cache.next_pos[1])
         assert np.array_equal(np.asarray(c2.key_mask[1]),
                               np.asarray(slot_cache.key_mask[1]))
+
+    def test_extend_slots_matches_sequential_steps(self, gen):
+        """Multi-column extend == the same tokens fed one decode_step_slots
+        at a time: identical per-position logits, cache writes, cursors."""
+        import jax
+        import jax.numpy as jnp
+
+        tok = gen.tokenizer
+        ids, mask = tok.batch_encode(["高血压", "糖尿病运动"])
+        logits, cache = jax.jit(
+            lambda p, i, m: gen.model.prefill(p, i, m, 256))(
+            gen.params, jnp.asarray(ids), jnp.asarray(mask))
+        from mediquery_rag_tpu.models.decoder import KVCache
+        B = ids.shape[0]
+        base = KVCache(
+            k=cache.k, v=cache.v, key_mask=cache.key_mask,
+            cursor=jnp.full((B,), cache.cursor, jnp.int32),
+            next_pos=cache.next_pos)
+        toks = jnp.asarray([[5, 9, 200], [77, 3, 150]], jnp.int32)
+        act = jnp.ones((B,), bool)
+
+        seq_logits, c_seq = [], base
+        for i in range(3):
+            l, c_seq = jax.jit(gen.model.decode_step_slots)(
+                gen.params, c_seq, toks[:, i], act)
+            seq_logits.append(np.asarray(l))
+
+        l_ext, c_ext = jax.jit(gen.model.extend_slots)(
+            gen.params, base, toks, act)
+        np.testing.assert_allclose(
+            np.asarray(l_ext), np.stack(seq_logits, axis=1),
+            rtol=2e-4, atol=2e-4)
+        assert np.array_equal(np.asarray(c_ext.cursor),
+                              np.asarray(c_seq.cursor))
+        assert np.array_equal(np.asarray(c_ext.next_pos),
+                              np.asarray(c_seq.next_pos))
+        assert np.array_equal(np.asarray(c_ext.key_mask),
+                              np.asarray(c_seq.key_mask))
+        np.testing.assert_allclose(np.asarray(c_ext.k),
+                                   np.asarray(c_seq.k), rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_extend_slots_inactive_lane_frozen(self, gen):
+        import jax
+        import jax.numpy as jnp
+
+        tok = gen.tokenizer
+        ids, mask = tok.batch_encode(["头痛", "咳嗽"])
+        _, cache = jax.jit(
+            lambda p, i, m: gen.model.prefill(p, i, m, 256))(
+            gen.params, jnp.asarray(ids), jnp.asarray(mask))
+        from mediquery_rag_tpu.models.decoder import KVCache
+        B = ids.shape[0]
+        base = KVCache(
+            k=cache.k, v=cache.v, key_mask=cache.key_mask,
+            cursor=jnp.full((B,), cache.cursor, jnp.int32),
+            next_pos=cache.next_pos)
+        toks = jnp.asarray([[5, 9], [7, 3]], jnp.int32)
+        _, c2 = jax.jit(gen.model.extend_slots)(
+            gen.params, base, toks, jnp.asarray([True, False]))
+        assert int(c2.cursor[0]) == int(base.cursor[0]) + 2
+        assert int(c2.cursor[1]) == int(base.cursor[1])
+        assert int(c2.next_pos[1]) == int(base.next_pos[1])
+        assert np.array_equal(np.asarray(c2.key_mask[1]),
+                              np.asarray(base.key_mask[1]))
