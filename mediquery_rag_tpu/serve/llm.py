@@ -99,6 +99,18 @@ class _Request:
 
 
 @dataclass
+class _PendingPrefill:
+    """A long admission being prefilled in pieces (chunked prefill): the
+    lane stays inactive while its prompt lands ``prefill_chunk`` tokens
+    per scheduler iteration, so co-tenant decode quanta interleave with
+    the pieces instead of stalling behind one monolithic prefill."""
+
+    req: _Request
+    toks: list
+    done: int = 0
+
+
+@dataclass
 class _Session:
     """Host bookkeeping for a lane-pinned chat session (the prefix cache).
 
@@ -128,7 +140,8 @@ class LLMServer:
     def __init__(self, generator: Generator, *, slots: int = 4,
                  chunk: int = 32, cache_len: int | None = None,
                  max_wait_ms: float = 2.0, seed: int = 0,
-                 draft: Generator | None = None, gamma: int = 4):
+                 draft: Generator | None = None, gamma: int = 4,
+                 prefill_chunk: int = 256):
         self.gen = generator
         cfg = generator.cfg
         self.model = generator.model
@@ -219,6 +232,8 @@ class LLMServer:
 
         # host-side bookkeeping
         self._slots: list[_Request | None] = [None] * self.B
+        self._pending: dict[int, _PendingPrefill] = {}
+        self.prefill_chunk = prefill_chunk
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._sessions: dict[str, _Session] = {}
@@ -227,7 +242,7 @@ class LLMServer:
         self._clock = 0.0          # monotone LRU tick (no wall clock needed)
         self.stats = {"requests": 0, "chunks": 0, "prefills": 0,
                       "tokens_out": 0, "extends": 0,
-                      "prefix_tokens_reused": 0,
+                      "prefix_tokens_reused": 0, "prefill_pieces": 0,
                       "spec_rounds": 0, "spec_tokens": 0, "draft_syncs": 0}
         from collections import deque
         # bounded: a long-lived server must not grow per-request state
@@ -652,7 +667,8 @@ class LLMServer:
         """A free lane for ``req``: its own session's parked lane if
         possible, else an unowned free lane, else evict the least-recently-
         used parked session."""
-        free = [b for b in range(self.B) if self._slots[b] is None]
+        free = [b for b in range(self.B)
+                if self._slots[b] is None and b not in self._pending]
         if not free:
             return None
         if req.session is not None:
@@ -693,6 +709,19 @@ class LLMServer:
             self._evict(slot)    # prefix too cold / cache full: start over
         elif self._lane_owner[slot] is not None:
             self._evict(slot)    # lane reassigned to someone else
+
+        # chunked prefill: a long prompt with co-tenants (or other pending
+        # admissions) lands piece by piece so decode quanta interleave —
+        # one admission must not stall everyone else's generation for its
+        # whole prefill. Alone on the server, monolithic is strictly better.
+        toks = self.tok.encode(req.prompt)
+        busy = any(s is not None for s in self._slots) or bool(self._pending)
+        if busy and len(toks) > self.prefill_chunk:
+            cap = self.C - 128
+            if len(toks) > cap:   # keep the tail — standard chat truncation
+                toks = toks[-cap:]
+            self._pending[slot] = _PendingPrefill(req, list(toks))
+            return
 
         ids, mask = self.tok.batch_encode([req.prompt])
         S = ids.shape[1]
@@ -757,6 +786,44 @@ class LLMServer:
         self.stats["extends"] += 1
         self.stats["prefix_tokens_reused"] += m
         return True
+
+    def _advance_pending(self) -> None:
+        """Land ONE prefill piece per pending admission (the suffix-prefill
+        program at the lane's running column). A finished admission
+        installs the request into its lane exactly like a monolithic
+        prefill — same carried logits, same session bookkeeping, with the
+        first real token at column 0 (right-padded pieces)."""
+        for slot, p in list(self._pending.items()):
+            piece = p.toks[p.done: p.done + self.prefill_chunk]
+            S = _round_up(len(piece), 128)
+            ids = np.full((S,), self._pad, np.int32)
+            mask = np.zeros((S,), np.float32)
+            ids[: len(piece)] = piece
+            mask[: len(piece)] = 1.0
+            run = self._extend_program(S)
+            self.state = run(self.gen.params, self.state, jnp.asarray(ids),
+                             jnp.asarray(mask), jnp.int32(slot),
+                             jnp.int32(p.done), jnp.int32(p.done),
+                             jnp.int32(self._schema_idx(p.req)))
+            p.done += len(piece)
+            self.stats["prefill_pieces"] += 1
+            if p.done < len(p.toks):
+                continue
+            del self._pending[slot]
+            req = p.req
+            req.prompt_ids = list(p.toks)
+            self._slots[slot] = req
+            self._draft_dirty[slot] = True
+            self.stats["prefills"] += 1
+            if req.session is not None:
+                old = self._sessions.pop(req.session, None)
+                if (old is not None
+                        and self._lane_owner[old.lane] == req.session):
+                    self._lane_owner[old.lane] = None
+                self._clock += 1
+                self._sessions[req.session] = _Session(
+                    slot, 0, list(p.toks), self._clock)
+                self._lane_owner[slot] = req.session
 
     def _harvest(self, toks: np.ndarray, counts=None) -> None:
         """Fold one chunk's tokens into per-slot transcripts; resolve
@@ -845,7 +912,8 @@ class LLMServer:
         """Drain the queue into free lanes. Returns True if anything was
         admitted."""
         admitted = False
-        while any(s is None for s in self._slots):
+        while any(self._slots[b] is None and b not in self._pending
+                  for b in range(self.B)):
             try:
                 req = self._queue.get_nowait()
             except queue.Empty:
@@ -859,8 +927,11 @@ class LLMServer:
     def _loop(self) -> None:
         while not self._stop.is_set():
             admitted = self._admit_queued()
+            self._advance_pending()
             active_h = [r is not None for r in self._slots]
             if not any(active_h):
+                if self._pending:
+                    continue          # keep landing prefill pieces
                 if not admitted:
                     try:
                         req = self._queue.get(timeout=0.05)

@@ -446,6 +446,69 @@ class TestStreamVisible:
             assert out == _cut_turn(full, "plain"), f"split={split}"
 
 
+class TestChunkedPrefill:
+    """Chunked prefill: a long admission lands piece by piece so decode
+    quanta interleave — one arrival must not stall co-tenant generation
+    for its whole prefill, and the pieced-together prefill must be exactly
+    equivalent to the monolithic one."""
+
+    LONG = "高血压患者的日常饮食应当注意低盐低脂并保持适量运动与充足睡眠。" * 6
+
+    def test_long_admission_interleaves_and_stays_exact(self, gen, oracle):
+        import time
+        with LLMServer(gen, slots=2, chunk=4, prefill_chunk=128) as srv:
+            f1 = srv.submit(PROMPTS[0], max_new_tokens=48)
+            while srv.stats["chunks"] == 0:    # co-tenant is decoding
+                time.sleep(0.005)
+            f2 = srv.submit(self.LONG, max_new_tokens=24)
+            o1 = f1.result(timeout=300)
+            o2 = f2.result(timeout=300)
+            stats = dict(srv.stats)
+        assert o1 == oracle(PROMPTS[0], 48)
+        assert o2 == oracle(self.LONG, 24)
+        assert stats["prefill_pieces"] >= 2    # actually landed in pieces
+
+    def test_alone_on_server_uses_monolithic(self, gen):
+        with LLMServer(gen, slots=2, chunk=8, prefill_chunk=128) as srv:
+            srv.complete(self.LONG, max_new_tokens=8)
+            assert srv.stats["prefill_pieces"] == 0
+            assert srv.stats["prefills"] == 1
+
+    def test_chunked_session_parks_and_extends(self, gen, oracle):
+        import time
+        with LLMServer(gen, slots=2, chunk=4, prefill_chunk=128) as srv:
+            hold = srv.submit(PROMPTS[1], max_new_tokens=64)
+            while srv.stats["chunks"] == 0:
+                time.sleep(0.005)
+            srv.complete(self.LONG, session="s1", max_new_tokens=8)
+            assert srv.stats["prefill_pieces"] >= 2
+            hold.result(timeout=300)
+            out = srv.complete(self.LONG + "运动方面呢？", session="s1",
+                               max_new_tokens=24)
+            assert srv.stats["extends"] == 1   # parked lane was reused
+        assert out == oracle(self.LONG + "运动方面呢？", 24)
+
+    def test_chunked_admission_with_spec_lanes(self, gen, oracle):
+        import jax
+        import time
+        draft = Generator(DecoderConfig(
+            vocab_size=384, hidden=32, layers=1, heads=2, mlp_dim=64,
+            max_len=1024, dtype="float32"), key=jax.random.PRNGKey(7))
+        with LLMServer(gen, slots=2, chunk=10, prefill_chunk=128,
+                       draft=draft, gamma=4) as srv:
+            f1 = srv.submit(PROMPTS[0], max_new_tokens=48)
+            while srv.stats["chunks"] == 0:
+                time.sleep(0.005)
+            f2 = srv.submit(self.LONG, max_new_tokens=24)
+            o1 = f1.result(timeout=300)
+            o2 = f2.result(timeout=300)
+            stats = dict(srv.stats)
+        assert o1 == oracle(PROMPTS[0], 48)
+        assert o2 == oracle(self.LONG, 24)
+        assert stats["spec_rounds"] > 0
+        assert stats["prefill_pieces"] >= 2
+
+
 class TestSpeculativeServing:
     """Speculative continuous batching: a draft model accelerates greedy
     lanes (propose->verify quanta) without changing a single output token.
