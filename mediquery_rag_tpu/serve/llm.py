@@ -52,6 +52,14 @@ import numpy as np
 from mediquery_rag_tpu.models.generate import Generator, _round_up
 
 
+class ServerSaturated(RuntimeError):
+    """Raised by ``submit`` when the request backlog exceeds
+    ``max_backlog`` — the signal the HTTP layer maps to 429. Shedding at
+    admission beats queueing forever: a caller that sees saturation can
+    retry against another replica; a caller stuck in an unbounded queue
+    just times out with the work wasted."""
+
+
 class ServeState(NamedTuple):
     """Device-resident serving state. ``logits`` carries each lane's
     next-token distribution across chunk boundaries (the token after a
@@ -141,7 +149,7 @@ class LLMServer:
                  chunk: int = 32, cache_len: int | None = None,
                  max_wait_ms: float = 2.0, seed: int = 0,
                  draft: Generator | None = None, gamma: int = 4,
-                 prefill_chunk: int = 256):
+                 prefill_chunk: int = 256, max_backlog: int = 0):
         self.gen = generator
         cfg = generator.cfg
         self.model = generator.model
@@ -234,6 +242,7 @@ class LLMServer:
         self._slots: list[_Request | None] = [None] * self.B
         self._pending: dict[int, _PendingPrefill] = {}
         self.prefill_chunk = prefill_chunk
+        self.max_backlog = max_backlog
         self._queue: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._sessions: dict[str, _Session] = {}
@@ -243,7 +252,8 @@ class LLMServer:
         self.stats = {"requests": 0, "chunks": 0, "prefills": 0,
                       "tokens_out": 0, "extends": 0,
                       "prefix_tokens_reused": 0, "prefill_pieces": 0,
-                      "spec_rounds": 0, "spec_tokens": 0, "draft_syncs": 0}
+                      "spec_rounds": 0, "spec_tokens": 0, "draft_syncs": 0,
+                      "cancelled": 0, "rejected": 0}
         from collections import deque
         # bounded: a long-lived server must not grow per-request state
         self._lat_total: deque = deque(maxlen=8192)   # submit -> done, s
@@ -266,9 +276,20 @@ class LLMServer:
         share one batch. ``on_text``: streaming callback ``fn(delta)``
         invoked from the scheduler thread at every chunk boundary with the
         newly decoded text (UTF-8-safe: a trailing partial byte sequence
-        is held back until it completes)."""
+        is held back until it completes).
+
+        Cancellation: calling ``.cancel()`` on the returned future drops
+        the request — immediately if still queued, at the next chunk
+        boundary if its lane is already decoding (the lane frees for the
+        backlog). Raises ``ServerSaturated`` when ``max_backlog`` > 0 and
+        that many requests are already waiting for a lane."""
         import time as _time
 
+        if self.max_backlog and self._queue.qsize() >= self.max_backlog:
+            self.stats["rejected"] += 1
+            raise ServerSaturated(
+                f"backlog {self._queue.qsize()} >= max_backlog "
+                f"{self.max_backlog}")
         fut: Future = Future()
         self._queue.put(_Request(prompt, max_new_tokens, temperature, fut,
                                  session, schema, on_text,
@@ -701,6 +722,9 @@ class LLMServer:
         return idx
 
     def _try_admit(self, req: _Request, slot: int) -> None:
+        if req.future.cancelled():
+            self.stats["cancelled"] += 1   # dropped while queued: no prefill
+            return
         sess = (self._sessions.get(req.session)
                 if req.session is not None else None)
         if sess is not None and sess.lane == slot:
@@ -794,6 +818,10 @@ class LLMServer:
         prefill — same carried logits, same session bookkeeping, with the
         first real token at column 0 (right-padded pieces)."""
         for slot, p in list(self._pending.items()):
+            if p.req.future.cancelled():
+                del self._pending[slot]    # abandon the half-built lane
+                self.stats["cancelled"] += 1
+                continue
             piece = p.toks[p.done: p.done + self.prefill_chunk]
             S = _round_up(len(piece), 128)
             ids = np.full((S,), self._pad, np.int32)
@@ -838,6 +866,13 @@ class LLMServer:
         cursors = np.asarray(self.state.cursor)
         for b, req in enumerate(self._slots):
             if req is None:
+                continue
+            if req.future.cancelled():
+                # client gone (disconnect/timeout): free the lane for the
+                # backlog at this chunk boundary; its session mirror was
+                # not extended, so a parked prefix stays consistent
+                self._slots[b] = None
+                self.stats["cancelled"] += 1
                 continue
             row = toks[b] if counts is None else toks[b][: int(counts[b])]
             # finish reason mirrors the OpenAI contract: "stop" = natural
@@ -888,7 +923,12 @@ class LLMServer:
                         self._clock += 1
                         sess.last_use = self._clock
                 req.future.finish_reason = finish   # read via getattr
-                req.future.set_result(self.tok.decode(req.tokens))
+                try:
+                    req.future.set_result(self.tok.decode(req.tokens))
+                except Exception:
+                    # cancelled between the check above and here — the
+                    # result is simply dropped, never a dead worker thread
+                    self.stats["cancelled"] += 1
                 self._slots[b] = None
 
     def latency(self) -> dict:

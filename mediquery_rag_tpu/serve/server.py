@@ -14,6 +14,8 @@ Endpoints (JSON in/out):
   POST /qa      {"question": str, "user_id": str="anonymous"}
                                              -> {"answer": str, "docs": [...]}
   GET  /healthz                              -> {"ok": true, "stats": {...}}
+  GET  /metrics                              -> Prometheus text exposition
+                (search + LLM counters, latency gauges)
   POST /v1/chat/completions                  -> OpenAI-compatible chat over
                 the continuous-batching TPU LLM server (serve/llm.py),
                 including ``"stream": true`` SSE chunks. The reference
@@ -23,6 +25,11 @@ Endpoints (JSON in/out):
                 framework is a drop-in replacement for the daemon it
                 replaced. Extension: ``"schema"`` (models/constrain.py
                 restricted JSON schema) grammar-constrains the reply.
+
+Robustness: a disconnected SSE client or timed-out request CANCELS its
+future, freeing the lane at the next chunk boundary; with ``max_backlog``
+set on the LLM server, saturation returns HTTP 429 instead of queueing
+unboundedly.
 """
 
 from __future__ import annotations
@@ -141,7 +148,11 @@ class SearchServer:
 
         prompt, kw = self._chat_prompt(body)
         fut = self.llm_server.submit(prompt, **kw)
-        out = fut.result(timeout=600.0)
+        try:
+            out = fut.result(timeout=600.0)
+        except Exception:
+            fut.cancel()       # timed out / interrupted: free the lane
+            raise
         if kw["schema"] is not None:
             content, cut = out.strip(), False
         else:
@@ -203,24 +214,51 @@ class SearchServer:
                 write_sse(chunk(acc[sent:vis], None))
                 sent = vis
 
-        while not cut_hit:
-            try:
-                acc += deltas.get(timeout=0.05)
+        try:
+            while not cut_hit:
+                try:
+                    acc += deltas.get(timeout=0.05)
+                    flush()
+                except _q.Empty:
+                    if fut.done():
+                        break
+                    if _time.monotonic() > deadline:   # dead worker: don't
+                        raise TimeoutError(            # spin forever
+                            f"stream produced nothing for {timeout:.0f}s")
+            if not cut_hit:
+                while not deltas.empty():          # drain the tail
+                    acc += deltas.get()
                 flush()
-            except _q.Empty:
-                if fut.done():
-                    break
-                if _time.monotonic() > deadline:   # dead worker: don't
-                    raise TimeoutError(            # spin forever
-                        f"stream produced nothing for {timeout:.0f}s")
-        if not cut_hit:
-            while not deltas.empty():          # drain the tail
-                acc += deltas.get()
-            flush()
-        finish = ("stop" if cut_hit
-                  else getattr(fut, "finish_reason", None) or "stop")
-        write_sse(chunk(None, finish))
-        write_sse("[DONE]")
+            finish = ("stop" if cut_hit
+                      else getattr(fut, "finish_reason", None) or "stop")
+            write_sse(chunk(None, finish))
+            write_sse("[DONE]")
+        except Exception:
+            # client disconnected (broken pipe) or the stream died: cancel
+            # so the lane stops decoding for nobody at the next chunk
+            # boundary instead of burning the full token budget
+            fut.cancel()
+            raise
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition (0.0.4): search-service counters,
+        LLM-server counters, and request-latency gauges — the scrape
+        surface a production deployment puts behind its collector."""
+        lines: list[str] = []
+
+        def emit(name: str, value, mtype: str) -> None:
+            lines.append(f"# TYPE {name} {mtype}")
+            lines.append(f"{name} {value}")
+
+        for k, v in sorted(dict(self.service.stats).items()):
+            emit(f"mediquery_search_{k}", v, "counter")
+        if self.llm_server is not None:
+            for k, v in sorted(dict(self.llm_server.stats).items()):
+                emit(f"mediquery_llm_{k}", v, "counter")
+            for k, v in self.llm_server.latency().items():
+                if v is not None:
+                    emit(f"mediquery_llm_latency_{k}", v, "gauge")
+        return "\n".join(lines) + "\n"
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -243,6 +281,14 @@ class SearchServer:
                 if self.path == "/healthz":
                     self._send(200, {"ok": True,
                                      "stats": dict(outer.service.stats)})
+                elif self.path == "/metrics":
+                    data = outer.metrics_text().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
                 else:
                     self._send(404, {"error": "not found"})
 
@@ -280,7 +326,9 @@ class SearchServer:
                     else:
                         self._send(404, {"error": "not found"})
                 except Exception as e:          # fail-open JSON error
+                    from mediquery_rag_tpu.serve.llm import ServerSaturated
                     err = {"error": f"{type(e).__name__}: {e}"}
+                    code = 429 if isinstance(e, ServerSaturated) else 400
                     if sse_started:
                         # headers are committed — surface the error inside
                         # the stream and terminate it, never a 2nd status
@@ -290,7 +338,7 @@ class SearchServer:
                         except Exception:
                             pass               # client already gone
                     else:
-                        self._send(400, err)
+                        self._send(code, err)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread = threading.Thread(target=self._httpd.serve_forever,
@@ -323,6 +371,8 @@ def main() -> None:
                     help="draft tokens proposed per verify round")
     ap.add_argument("--draft-quantize", type=int, default=0, choices=(0, 4, 8),
                     help="int4/int8 weight-only quantization for the draft")
+    ap.add_argument("--max-backlog", type=int, default=64,
+                    help="queued LLM requests before 429 (0 = unbounded)")
     args = ap.parse_args()
 
     from mediquery_rag_tpu.cli.context import AppContext
@@ -352,7 +402,8 @@ def main() -> None:
             if args.draft_quantize:
                 draft.quantize_weights(bits=args.draft_quantize)
         llm_server = LLMServer(ctx.llm.generator, slots=4,
-                               draft=draft, gamma=args.gamma)
+                               draft=draft, gamma=args.gamma,
+                               max_backlog=args.max_backlog)
         template = ctx.llm.template
     server = SearchServer(ctx.store, llm_server=llm_server,
                           chat_template=template)
@@ -370,7 +421,7 @@ def main() -> None:
     for b in (1, 4, 8, 16):
         ctx.store.batch_search([f"预热{i}" for i in range(b)], k=5)
     port = server.start(args.host, args.port)
-    eps = "/search /qa /healthz" + (
+    eps = "/search /qa /healthz /metrics" + (
         " /v1/chat/completions" if llm_server is not None else "")
     print(f"serving on http://{args.host}:{port}  ({eps})")
     try:

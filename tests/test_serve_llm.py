@@ -315,6 +315,17 @@ class TestOpenAIChatEndpoint:
         out = client.complete("头痛怎么办")
         assert isinstance(out, str)
 
+    def test_metrics_endpoint(self, http):
+        import urllib.request
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{http}/metrics", timeout=30) as r:
+            text = r.read().decode()
+            ctype = r.headers["Content-Type"]
+        assert "text/plain" in ctype
+        assert "# TYPE" in text
+        assert "mediquery_llm_requests" in text
+        assert "mediquery_search_" in text
+
     def test_schema_extension_yields_valid_json(self, http):
         import json as js
         from mediquery_rag_tpu.models.constrain import RISK_SCHEMA
@@ -378,6 +389,72 @@ class TestOpenAIChatEndpoint:
                 if "content" in delta:
                     chunks.append(delta["content"])
         assert "".join(chunks) == plain
+
+
+class TestCancellationAndBackpressure:
+    """A gone client must not keep burning TPU: cancellation frees the
+    lane at the next chunk boundary; a bounded backlog sheds load with
+    ServerSaturated (HTTP 429) instead of queueing unboundedly."""
+
+    def test_cancel_queued_request(self, gen):
+        from concurrent.futures import CancelledError
+        with LLMServer(gen, slots=1, chunk=4) as srv:
+            f1 = srv.submit(PROMPTS[0], max_new_tokens=48)
+            f2 = srv.submit(PROMPTS[1], max_new_tokens=48)
+            assert f2.cancel()
+            assert isinstance(f1.result(timeout=300), str)
+            with pytest.raises(CancelledError):
+                f2.result(timeout=30)
+
+    def test_cancel_mid_generation_frees_lane(self, gen, oracle):
+        import time
+        with LLMServer(gen, slots=1, chunk=4) as srv:
+            f1 = srv.submit(PROMPTS[0], max_new_tokens=512)
+            while srv.stats["chunks"] == 0:
+                time.sleep(0.005)
+            assert f1.cancel()     # futures are never marked running
+            out = srv.complete(PROMPTS[1], max_new_tokens=16, timeout=300)
+            assert out == oracle(PROMPTS[1], 16)
+            assert srv.stats["cancelled"] >= 1
+
+    def test_backlog_rejection_and_drain(self, gen):
+        import time
+        from mediquery_rag_tpu.serve.llm import ServerSaturated
+        with LLMServer(gen, slots=1, chunk=4, max_backlog=1) as srv:
+            f1 = srv.submit(PROMPTS[0], max_new_tokens=256)
+            while srv.stats["prefills"] == 0:  # f1 owns the only lane
+                time.sleep(0.005)
+            f2 = srv.submit(PROMPTS[1], max_new_tokens=8)
+            with pytest.raises(ServerSaturated):
+                srv.submit(PROMPTS[2], max_new_tokens=8)
+            assert srv.stats["rejected"] == 1
+            f1.cancel()            # lane frees -> backlog drains
+            assert isinstance(f2.result(timeout=300), str)
+
+    def test_sse_disconnect_cancels_lane(self, gen):
+        from mediquery_rag_tpu.serve.server import SearchServer
+
+        class _NoStore:
+            def batch_search(self, queries, k, **kw):
+                return [[] for _ in queries]
+
+        with LLMServer(gen, slots=1, chunk=4) as srv:
+            s = SearchServer(_NoStore(), llm_server=srv)
+            try:
+                def write_sse(_payload):      # client hangs up immediately
+                    raise BrokenPipeError
+                body = {"messages": [
+                    {"role": "user", "content": "高血压怎么办"}],
+                    "max_tokens": 512}
+                prompt, kw = s._chat_prompt(body)
+                with pytest.raises(BrokenPipeError):
+                    s._stream_chat(body, prompt, kw, write_sse)
+                # the lane must free up and serve the next request
+                out = srv.complete("头痛", max_new_tokens=8, timeout=300)
+                assert isinstance(out, str)
+                assert srv.stats["cancelled"] >= 1
+            finally:
+                s.service.shutdown()
 
 
 class TestInt4Serving:
