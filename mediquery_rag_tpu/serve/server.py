@@ -16,6 +16,12 @@ Endpoints (JSON in/out):
   GET  /healthz                              -> {"ok": true, "stats": {...}}
   GET  /metrics                              -> Prometheus text exposition
                 (search + LLM counters, latency gauges)
+  POST /v1/embeddings  {"input": str|[str]}  -> OpenAI-compatible batched
+                embeddings over the TPU embedder (the reference pulled
+                these from OllamaEmbeddings)
+  POST /documents      {"documents": [{chunk_id, title, content, tags}]}
+                                             -> embed + insert live
+  POST /documents/delete {"chunk_ids": [str]} -> mask out of the index
   POST /v1/chat/completions                  -> OpenAI-compatible chat over
                 the continuous-batching TPU LLM server (serve/llm.py),
                 including ``"stream": true`` SSE chunks. The reference
@@ -92,6 +98,9 @@ class SearchServer:
         self.chat_template = chat_template
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # index mutations are functional snapshot swaps (safe vs concurrent
+        # searches) but must not interleave with EACH OTHER
+        self._mut_lock = threading.Lock()
 
     # -- request handling ------------------------------------------------
 
@@ -125,6 +134,58 @@ class SearchServer:
             "answer": final.get("final_answer", ""),
             "docs": final.get("documents", []),
         }
+
+    def _handle_embeddings(self, body: dict) -> dict:
+        """OpenAI-compatible /v1/embeddings over the TPU embedder — the
+        other half of the daemon the reference consumed (its
+        medical_engine.py:43 pulled OllamaEmbeddings over this API; chat
+        is served by /v1/chat/completions). Batched: a list input is one
+        TPU program."""
+        emb = getattr(self.store, "embedder", None)
+        if emb is None:
+            raise ValueError("/v1/embeddings is not configured (no embedder)")
+        inp = body["input"]
+        texts = [inp] if isinstance(inp, str) else list(inp)
+        if not texts or not all(isinstance(t, str) for t in texts):
+            raise ValueError("input must be a string or list of strings")
+        import numpy as np
+        vecs = np.asarray(emb(texts))
+        n_tok = sum(len(t) for t in texts)
+        return {
+            "object": "list",
+            "model": body.get("model", "mediquery-tpu-embedder"),
+            "data": [{"object": "embedding", "index": i,
+                      "embedding": [float(x) for x in v]}
+                     for i, v in enumerate(vecs)],
+            "usage": {"prompt_tokens": n_tok, "total_tokens": n_tok},
+        }
+
+    def _handle_docs_add(self, body: dict) -> dict:
+        """Index admin: embed + insert documents into the live index
+        (DocumentStore.add_documents — Chroma add parity over HTTP).
+        Searches running concurrently see the old or new index snapshot,
+        never a torn one."""
+        from mediquery_rag_tpu.ingest.parser import Chunk
+
+        docs = body["documents"]
+        chunks = []
+        for d in docs:
+            if not d.get("chunk_id"):
+                raise ValueError("every document needs a chunk_id")
+            chunks.append(Chunk(
+                chunk_id=str(d["chunk_id"]), title=d.get("title", ""),
+                content=d.get("content", d.get("text", "")),
+                source=d.get("source", "http"),
+                tags=list(d.get("tags", []))))
+        with self._mut_lock:
+            ids = self.store.add_documents(chunks)
+        return {"added": len(ids), "doc_ids": [int(i) for i in ids]}
+
+    def _handle_docs_delete(self, body: dict) -> dict:
+        with self._mut_lock:
+            n = self.store.delete_documents(
+                [str(c) for c in body["chunk_ids"]])
+        return {"deleted": n}
 
     def _chat_prompt(self, body: dict) -> tuple[str, dict]:
         """OpenAI request -> (rendered prompt, generation kwargs)."""
@@ -309,6 +370,12 @@ class SearchServer:
                         self._send(200, outer._handle_search(body))
                     elif self.path == "/qa":
                         self._send(200, outer._handle_qa(body))
+                    elif self.path == "/v1/embeddings":
+                        self._send(200, outer._handle_embeddings(body))
+                    elif self.path == "/documents":
+                        self._send(200, outer._handle_docs_add(body))
+                    elif self.path == "/documents/delete":
+                        self._send(200, outer._handle_docs_delete(body))
                     elif self.path == "/v1/chat/completions":
                         if body.get("stream"):
                             # validate/render BEFORE committing SSE headers
@@ -421,7 +488,7 @@ def main() -> None:
     for b in (1, 4, 8, 16):
         ctx.store.batch_search([f"预热{i}" for i in range(b)], k=5)
     port = server.start(args.host, args.port)
-    eps = "/search /qa /healthz /metrics" + (
+    eps = "/search /qa /healthz /metrics /v1/embeddings /documents" + (
         " /v1/chat/completions" if llm_server is not None else "")
     print(f"serving on http://{args.host}:{port}  ({eps})")
     try:

@@ -198,6 +198,55 @@ class TestHTTPServer:
         except urllib.error.HTTPError as e:
             assert e.code == 400
 
+    def test_embeddings_endpoint(self, server):
+        srv, port = server
+        out = self._post(port, "/v1/embeddings",
+                         {"input": ["高血压", "头痛"]})
+        assert out["object"] == "list" and len(out["data"]) == 2
+        v0 = out["data"][0]["embedding"]
+        assert len(v0) == 256 and isinstance(v0[0], float)
+        # single-string input: OpenAI contract returns a 1-row list
+        one = self._post(port, "/v1/embeddings", {"input": "失眠"})
+        assert len(one["data"]) == 1
+        assert one["data"][0]["index"] == 0
+        assert one["usage"]["prompt_tokens"] > 0
+
+    def test_document_add_then_searchable(self, server):
+        srv, port = server
+        before = srv.store.live_count
+        out = self._post(port, "/documents", {"documents": [{
+            "chunk_id": "http_add_1",
+            "title": "深海鱼油与血脂",
+            "content": "适量摄入深海鱼油可能有助于调节血脂水平。",
+            "tags": ["血脂", "营养"]}]})
+        assert out["added"] == 1
+        assert srv.store.live_count == before + 1
+        hits = self._post(port, "/search",
+                          {"query": "深海鱼油 血脂", "k": 3})
+        assert any(d["metadata"]["chunk_id"] == "http_add_1"
+                   for d in hits["results"][0])
+
+    def test_document_delete_masks_from_search(self, server):
+        srv, port = server
+        self._post(port, "/documents", {"documents": [{
+            "chunk_id": "http_del_1", "title": "临时条目",
+            "content": "马上会被删除的临时健康条目。", "tags": []}]})
+        out = self._post(port, "/documents/delete",
+                         {"chunk_ids": ["http_del_1", "not_there"]})
+        assert out["deleted"] == 1
+        hits = self._post(port, "/search", {"query": "临时健康条目", "k": 5})
+        assert all(d["metadata"]["chunk_id"] != "http_del_1"
+                   for d in hits["results"][0])
+
+    def test_metrics_without_llm(self, server):
+        import urllib.request
+        srv, port = server
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=30) as r:
+            text = r.read().decode()
+        assert "mediquery_search_" in text
+        assert "mediquery_llm_" not in text       # no LLM server configured
+
 
 def test_engine_failure_propagates_to_callers():
     """A failing engine must reject every future in the batch, not hang."""
