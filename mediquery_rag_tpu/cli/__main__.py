@@ -13,6 +13,8 @@ def main() -> None:
                     help="force CPU backend + hash embedder")
     ap.add_argument("--root", default=".", help="data root directory")
     ap.add_argument("--llm-url", default="http://localhost:11434")
+    ap.add_argument("--index", choices=("flat", "ivf"), default=None,
+                    help="index type (default: config/engine.index_kind)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -28,6 +30,7 @@ def main() -> None:
         fake_llm=args.fake_llm,
         use_tpu_embedder=False if args.cpu else None,
         llm_url=args.llm_url,
+        index_kind=args.index,
     )
     print(f"就绪：{len(ctx.store.chunks)} 条知识库条目。")
     main_menu(ctx)

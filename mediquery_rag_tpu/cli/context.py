@@ -45,8 +45,14 @@ class AppContext:
         use_tpu_embedder: bool | None = None,
         llm_url: str = "http://localhost:11434",
         web_search: Callable | None = None,
+        index_kind: str | None = None,
     ) -> "AppContext":
         cfg = load_config(root)
+        index_kind = (index_kind
+                      or os.environ.get("MEDIQUERY_INDEX", "")
+                      or cfg.engine.index_kind)
+        if index_kind not in ("flat", "ivf"):
+            raise ValueError(f"unknown index_kind {index_kind!r}")
 
         # embedder selection: a pretrained HF zh encoder (dmeta-class BERT,
         # MEDIQUERY_HF_EMBEDDER=<dir>) beats everything > hybrid
@@ -85,7 +91,15 @@ class AppContext:
         if os.path.exists(os.path.join(idx, "chunks.jsonl")):
             try:
                 store = DocumentStore.load(idx, embedder)
-                if os.path.exists(cfg.paths.corpus_file):
+                from mediquery_rag_tpu.engine import IVFIndex
+                loaded_kind = ("ivf" if isinstance(store.index, IVFIndex)
+                               else "flat")
+                if loaded_kind != index_kind:
+                    print(f"（索引类型已切换：{loaded_kind} -> "
+                          f"{index_kind}，重新构建）")
+                    store = None
+                if store is not None and os.path.exists(
+                        cfg.paths.corpus_file):
                     from mediquery_rag_tpu.ingest.parser import (
                         parse_corpus_file)
                     want = {c.chunk_id
@@ -98,7 +112,8 @@ class AppContext:
             except ValueError as e:       # embedder fingerprint mismatch
                 print(f"（索引与当前嵌入模型不匹配，重新构建：{e}）")
         if store is None:
-            store = build_document_store(cfg.paths.corpus_file, embedder)
+            store = build_document_store(cfg.paths.corpus_file, embedder,
+                                         cfg.engine, kind=index_kind)
             try:
                 store.save(idx)
             except OSError:

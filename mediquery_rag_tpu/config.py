@@ -21,6 +21,9 @@ class EngineConfig:
 
     dim: int = 768                  # embedding dim (shaw/dmeta-embedding-zh is 768-d)
     top_k: int = 5                  # reference graph path uses k=5 (nodes.py:93)
+    index_kind: str = "flat"        # flat | ivf — the app-level index type
+                                    # (flat is exact and fastest under ~1M
+                                    # rows; ivf wins at multi-M scale)
     dtype: str = "bfloat16"         # corpus storage: float32 | bfloat16 | int8
                                     # | int4 (flat/sharded-flat only, nibble-
                                     # packed; pair with rerank_factor)

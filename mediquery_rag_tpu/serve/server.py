@@ -440,6 +440,8 @@ def main() -> None:
                     help="int4/int8 weight-only quantization for the draft")
     ap.add_argument("--max-backlog", type=int, default=64,
                     help="queued LLM requests before 429 (0 = unbounded)")
+    ap.add_argument("--index", choices=("flat", "ivf"), default=None,
+                    help="index type (default: config/engine.index_kind)")
     args = ap.parse_args()
 
     from mediquery_rag_tpu.cli.context import AppContext
@@ -447,7 +449,8 @@ def main() -> None:
 
     ctx = AppContext.build(
         ".", fake_llm=args.fake_llm or not args.llm_url,
-        llm_url=args.llm_url or "http://localhost:11434")
+        llm_url=args.llm_url or "http://localhost:11434",
+        index_kind=args.index)
     # if the app context runs a TPU-hosted LM, expose it over the OpenAI-
     # compatible endpoint through the continuous-batching server
     llm_server = None

@@ -239,3 +239,40 @@ class TestInt4Store:
                                      kind="ivf")
         docs = store.similarity_search("睡眠不好怎么办", k=2)
         assert len(docs) == 2
+
+
+class TestAppContextIndexKind:
+    """The app-level index-type knob (EngineConfig.index_kind / --index):
+    the context must build the requested engine and rebuild a saved index
+    whose type no longer matches."""
+
+    def _mini_root(self, tmp_path):
+        import shutil
+        (tmp_path / "data").mkdir()
+        blocks = open("data/medical_data.txt", encoding="utf-8").read(
+            ).split("\n\n")
+        (tmp_path / "data" / "medical_data.txt").write_text(
+            "\n\n".join(blocks[:16]), encoding="utf-8")
+        return str(tmp_path)
+
+    def test_ivf_kind_builds_then_switch_rebuilds(self, tmp_path):
+        from mediquery_rag_tpu.cli.context import AppContext
+        from mediquery_rag_tpu.engine import FlatIndex, IVFIndex
+
+        root = self._mini_root(tmp_path)
+        ctx = AppContext.build(root, fake_llm=True, use_tpu_embedder=False,
+                               index_kind="ivf")
+        assert isinstance(ctx.store.index, IVFIndex)
+        hits = ctx.store.similarity_search("高血压 饮食 限盐", k=3)
+        assert any("高血压" in d.text for d in hits)
+
+        # same root, flat requested: the saved ivf index must be rebuilt
+        ctx2 = AppContext.build(root, fake_llm=True, use_tpu_embedder=False,
+                                index_kind="flat")
+        assert isinstance(ctx2.store.index, FlatIndex)
+
+    def test_unknown_kind_rejected(self, tmp_path):
+        from mediquery_rag_tpu.cli.context import AppContext
+        with pytest.raises(ValueError, match="index_kind"):
+            AppContext.build(self._mini_root(tmp_path), fake_llm=True,
+                             use_tpu_embedder=False, index_kind="hnsw")
