@@ -478,8 +478,18 @@ def main() -> None:
     server = SearchServer(ctx.store, llm_server=llm_server,
                           chat_template=template)
 
+    # /qa's graph rides the SAME continuous-batching decode loop as
+    # /v1/chat/completions when one exists (ServedLLMClient seam) — one
+    # lockstep generate would otherwise contend with the server's slot
+    # lanes for the chip
+    if llm_server is not None:
+        from mediquery_rag_tpu.serve.llm import ServedLLMClient
+        graph_llm = ServedLLMClient(llm_server, template=template)
+    else:
+        graph_llm = ctx.llm
+
     def make_app():
-        nodes = create_nodes(ctx.llm, server.service,
+        nodes = create_nodes(graph_llm, server.service,
                              web_search=ctx.web_search)
         return build_medical_graph(nodes)
 
