@@ -206,7 +206,9 @@ class LLMServer:
                 schema=jnp.full((B,), -1, jnp.int32),
             )
 
-        self.state = jax.jit(_empty)()
+        self._make_empty = jax.jit(_empty)
+        self.state = self._make_empty()
+        self._make_dempty = None
         self.dstate: DraftState | None = None
         if draft is not None:
             dcfg = draft.cfg
@@ -225,7 +227,8 @@ class LLMServer:
                     next_pos=jnp.zeros((B,), jnp.int32),
                 )
 
-            self.dstate = jax.jit(_dempty)()
+            self._make_dempty = jax.jit(_dempty)
+            self.dstate = self._make_dempty()
         self._draft_dirty = [True] * self.B
         self._dsync_cache: dict = {}
         self._spec_fn = None
@@ -253,7 +256,7 @@ class LLMServer:
                       "tokens_out": 0, "extends": 0,
                       "prefix_tokens_reused": 0, "prefill_pieces": 0,
                       "spec_rounds": 0, "spec_tokens": 0, "draft_syncs": 0,
-                      "cancelled": 0, "rejected": 0}
+                      "cancelled": 0, "rejected": 0, "errors": 0}
         from collections import deque
         # bounded: a long-lived server must not grow per-request state
         self._lat_total: deque = deque(maxlen=8192)   # submit -> done, s
@@ -312,6 +315,31 @@ class LLMServer:
     def close(self) -> None:
         self._stop.set()
         self._worker.join(timeout=30.0)
+        # fail whatever is still outstanding — a caller blocked on
+        # .result() must see the shutdown, not a timeout
+        err = RuntimeError("LLMServer closed")
+        for b, req in enumerate(self._slots):
+            if req is not None:
+                try:
+                    req.future.set_exception(err)
+                except Exception:
+                    pass
+                self._slots[b] = None
+        for slot, p in list(self._pending.items()):
+            try:
+                p.req.future.set_exception(err)
+            except Exception:
+                pass
+            del self._pending[slot]
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            try:
+                req.future.set_exception(err)
+            except Exception:
+                pass
 
     def __enter__(self):
         return self
@@ -966,58 +994,99 @@ class LLMServer:
 
     def _loop(self) -> None:
         while not self._stop.is_set():
-            admitted = self._admit_queued()
-            self._advance_pending()
-            active_h = [r is not None for r in self._slots]
-            if not any(active_h):
-                if self._pending:
-                    continue          # keep landing prefill pieces
-                if not admitted:
-                    try:
-                        req = self._queue.get(timeout=0.05)
-                    except queue.Empty:
-                        continue
-                    self.stats["requests"] += 1
-                    self._try_admit(req, self._pick_lane(req))
-                continue
+            try:
+                self._tick()
+            except Exception as e:   # noqa: BLE001 — containment boundary
+                self._contain_failure(e)
 
-            if self.draft is not None and all(
-                    r is None or (r.temperature == 0.0 and r.schema is None)
-                    for r in self._slots):
-                # speculative quantum: every active lane is greedy and
-                # unconstrained, so the propose->verify program applies
-                self._sync_draft_lanes()
-                self.state, self.dstate, toks, ncol, rounds = (
-                    self._spec_program()(
-                        self.gen.params, self.draft.params, self.state,
-                        self.dstate, jnp.asarray(active_h)))
-                ncol = np.asarray(ncol)
-                self.stats["chunks"] += 1
-                self.stats["spec_rounds"] += int(rounds)
-                self.stats["spec_tokens"] += int(ncol.sum())
-                self._harvest(np.asarray(toks), counts=ncol)
-                continue
-
-            self._rng, sub = jax.random.split(self._rng)
-            temps = jnp.asarray(
-                [r.temperature if r else 0.0 for r in self._slots],
-                jnp.float32)
-            if self._nt_dev is not None:
-                tables = (self._nt_dev, *self._tok_dev)
-            else:
-                zero = jnp.zeros((1,), jnp.int32)     # untraced placeholders
-                tables = (zero[:, None, None], zero[:, None], zero)
-            self.state, toks = self._chunk_program()(
-                self.gen.params, self.state,
-                jnp.asarray(active_h), temps, sub, *tables)
-            self.stats["chunks"] += 1
+    def _contain_failure(self, e: Exception) -> None:
+        """A dispatch failure (device OOM, relay error, a bug) must not
+        silently kill the worker and hang every outstanding future. Fail
+        the in-flight requests with the error, rebuild the device state
+        from scratch (the donated buffers may be half-consumed and are
+        unsafe to touch), drop parked sessions (their lanes mirror that
+        state), and keep serving — the next admission prefills clean."""
+        self.stats["errors"] += 1
+        for b, req in enumerate(self._slots):
+            if req is not None:
+                try:
+                    req.future.set_exception(e)
+                except Exception:
+                    pass             # already cancelled
+                self._slots[b] = None
+        for slot, p in list(self._pending.items()):
+            try:
+                p.req.future.set_exception(e)
+            except Exception:
+                pass
+            del self._pending[slot]
+        self._sessions.clear()
+        self._lane_owner = [None] * self.B
+        self._draft_dirty = [True] * self.B
+        try:
+            self.state = self._make_empty()
             if self.draft is not None:
-                # plain quanta advance target lanes past their draft
-                # mirrors; resync before the next spec quantum
-                for b, a in enumerate(active_h):
-                    if a:
-                        self._draft_dirty[b] = True
-            self._harvest(np.asarray(toks))
+                self.dstate = self._make_dempty()
+        except Exception:
+            # the device itself is gone: stop rather than spin hot
+            self._stop.set()
+            raise
+
+    def _tick(self) -> None:
+        """One scheduler iteration: admissions, prefill pieces, one decode
+        quantum (speculative when eligible)."""
+        admitted = self._admit_queued()
+        self._advance_pending()
+        active_h = [r is not None for r in self._slots]
+        if not any(active_h):
+            if self._pending:
+                return            # keep landing prefill pieces
+            if not admitted:
+                try:
+                    req = self._queue.get(timeout=0.05)
+                except queue.Empty:
+                    return
+                self.stats["requests"] += 1
+                self._try_admit(req, self._pick_lane(req))
+            return
+
+        if self.draft is not None and all(
+                r is None or (r.temperature == 0.0 and r.schema is None)
+                for r in self._slots):
+            # speculative quantum: every active lane is greedy and
+            # unconstrained, so the propose->verify program applies
+            self._sync_draft_lanes()
+            self.state, self.dstate, toks, ncol, rounds = (
+                self._spec_program()(
+                    self.gen.params, self.draft.params, self.state,
+                    self.dstate, jnp.asarray(active_h)))
+            ncol = np.asarray(ncol)
+            self.stats["chunks"] += 1
+            self.stats["spec_rounds"] += int(rounds)
+            self.stats["spec_tokens"] += int(ncol.sum())
+            self._harvest(np.asarray(toks), counts=ncol)
+            return
+
+        self._rng, sub = jax.random.split(self._rng)
+        temps = jnp.asarray(
+            [r.temperature if r else 0.0 for r in self._slots],
+            jnp.float32)
+        if self._nt_dev is not None:
+            tables = (self._nt_dev, *self._tok_dev)
+        else:
+            zero = jnp.zeros((1,), jnp.int32)     # untraced placeholders
+            tables = (zero[:, None, None], zero[:, None], zero)
+        self.state, toks = self._chunk_program()(
+            self.gen.params, self.state,
+            jnp.asarray(active_h), temps, sub, *tables)
+        self.stats["chunks"] += 1
+        if self.draft is not None:
+            # plain quanta advance target lanes past their draft
+            # mirrors; resync before the next spec quantum
+            for b, a in enumerate(active_h):
+                if a:
+                    self._draft_dirty[b] = True
+        self._harvest(np.asarray(toks))
 
 
 class ChatSession:

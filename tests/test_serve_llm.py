@@ -457,6 +457,37 @@ class TestCancellationAndBackpressure:
                 s.service.shutdown()
 
 
+class TestFaultContainment:
+    """A dispatch failure must fail the in-flight futures and leave the
+    server serving — never a silently dead worker thread with every
+    caller hung on .result()."""
+
+    def test_dispatch_failure_fails_futures_and_recovers(self, gen, oracle):
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            real = srv._chunk_program()      # compile, then sabotage
+
+            def bad(*a, **k):
+                raise RuntimeError("injected dispatch failure")
+
+            srv._chunk_cache[False] = bad
+            f = srv.submit(PROMPTS[0], max_new_tokens=16)
+            with pytest.raises(RuntimeError, match="injected"):
+                f.result(timeout=300)
+            assert srv.stats["errors"] >= 1
+            srv._chunk_cache[False] = real   # "transient" fault clears
+            out = srv.complete(PROMPTS[1], max_new_tokens=16, timeout=300)
+            assert out == oracle(PROMPTS[1], 16)
+
+    def test_close_fails_outstanding_futures(self, gen):
+        srv = LLMServer(gen, slots=1, chunk=4)
+        f1 = srv.submit(PROMPTS[0], max_new_tokens=512)
+        f2 = srv.submit(PROMPTS[1], max_new_tokens=8)    # queued behind f1
+        srv.close()
+        for f in (f1, f2):
+            with pytest.raises(Exception):
+                f.result(timeout=10)
+
+
 class TestInt4Serving:
     def test_int4_weights_through_slot_lanes(self):
         """The continuous-batching engine must serve an int4-quantized
