@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MODELS = {
     # name: (hidden, layers, heads, kv_heads, mlp_dim) — as benchmarks/decode.py
+    "tiny": (64, 2, 4, None, 128),      # CPU smoke runs only
     "base-60M": (512, 8, 8, None, 1536),
     "1B-class": (2048, 16, 16, None, 5632),
     "7B-class": (3584, 28, 28, 4, 18944),
@@ -51,10 +52,20 @@ def main() -> None:
     ap.add_argument("--requests", type=int, default=16)
     ap.add_argument("--max-new", type=int, default=128)
     ap.add_argument("--chunk", type=int, default=32)
-    ap.add_argument("--weights", choices=("bf16", "int8"), default="bf16")
+    ap.add_argument("--weights", choices=("bf16", "int8", "int4"),
+                    default="bf16")
+    ap.add_argument("--draft", choices=sorted(MODELS), default=None,
+                    help="speculative serving: draft model (e.g. base-60M)")
+    ap.add_argument("--gamma", type=int, default=4)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon site hook pins "
+                         "JAX_PLATFORMS; the env var alone does not win)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from mediquery_rag_tpu.config import DecoderConfig
     from mediquery_rag_tpu.models.generate import Generator
@@ -63,19 +74,22 @@ def main() -> None:
     h, l_, heads, kvh, mlp = MODELS[args.model]
     cfg = DecoderConfig(hidden=h, layers=l_, heads=heads, kv_heads=kvh,
                         mlp_dim=mlp, max_len=1024, param_dtype="bfloat16")
-    if args.weights == "int8":
-        from mediquery_rag_tpu.models.decoder import Decoder
-        from mediquery_rag_tpu.ops.matvec import quantize_decoder_params
-        model = Decoder(cfg)
-        params = jax.jit(lambda k: quantize_decoder_params(model.init(k)))(
-            jax.random.PRNGKey(0))
-        gen = Generator(cfg, params=params)
-    else:
-        gen = Generator(cfg)
+    gen = Generator(cfg)
+    if args.weights != "bf16":
+        gen.quantize_weights(bits=8 if args.weights == "int8" else 4)
+
+    draft = None
+    if args.draft:
+        dh, dl, dheads, dkvh, dmlp = MODELS[args.draft]
+        draft = Generator(DecoderConfig(
+            hidden=dh, layers=dl, heads=dheads, kv_heads=dkvh, mlp_dim=dmlp,
+            max_len=1024, param_dtype="bfloat16"),
+            key=jax.random.PRNGKey(7))
 
     reqs = [PROMPTS[i % len(PROMPTS)] for i in range(args.requests)]
     for slots in (int(s) for s in args.slots.split(",")):
-        srv = LLMServer(gen, slots=slots, chunk=args.chunk)
+        srv = LLMServer(gen, slots=slots, chunk=args.chunk,
+                        draft=draft, gamma=args.gamma)
         # warm the compile caches (one prefill bucket + the chunk program)
         srv.complete(reqs[0], max_new_tokens=args.chunk, timeout=1200)
         t0 = time.perf_counter()
@@ -83,10 +97,12 @@ def main() -> None:
         outs = [f.result(timeout=2400) for f in futs]
         dt = time.perf_counter() - t0
         toks = srv.stats["tokens_out"]
+        stats = dict(srv.stats)
+        lat = srv.latency()
         srv.close()
         # tokens_out includes the warmup request's tokens; subtract
         toks -= min(args.chunk, args.max_new)
-        print(json.dumps({
+        row = {
             "metric": "serve_llm_tok_per_s",
             "model": args.model,
             "weights": args.weights,
@@ -97,7 +113,18 @@ def main() -> None:
             "unit": "aggregate generated tok/s (wall clock incl. scheduling)",
             "wall_s": round(dt, 2),
             "completed": sum(1 for o in outs if isinstance(o, str)),
-        }))
+            "ttft_p50_s": (None if lat["ttft_p50_s"] is None
+                           else round(lat["ttft_p50_s"], 3)),
+            "ttft_p99_s": (None if lat["ttft_p99_s"] is None
+                           else round(lat["ttft_p99_s"], 3)),
+        }
+        if draft is not None:
+            row["draft"] = args.draft
+            row["gamma"] = args.gamma
+            row["spec_tok_per_round"] = (
+                round(stats["spec_tokens"] / stats["spec_rounds"], 2)
+                if stats["spec_rounds"] else None)
+        print(json.dumps(row))
 
 
 if __name__ == "__main__":

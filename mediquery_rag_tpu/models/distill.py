@@ -80,3 +80,76 @@ def distill_draft(
     draft = Generator(draft_cfg, params=state.params, tokenizer=tok)
     draft.last_loss = float(metrics["loss"])
     return draft
+
+
+# draft shape presets (dims as benchmarks/decode.py model zoo)
+PRESETS = {
+    "tiny": (64, 2, 4, None, 128),          # CPU smoke / tests
+    "draft-20M": (256, 4, 4, None, 768),
+    "draft-60M": (512, 8, 8, None, 1536),   # the classic 7B-pair draft size
+}
+
+
+def main() -> None:
+    """``python -m mediquery_rag_tpu.models.distill`` — produce the draft
+    checkpoint that ``LLMServer(draft=...)`` / ``serve --draft`` consumes.
+
+    The saved draft restores via ``Generator.from_checkpoint`` with its
+    DEFAULT tokenizer — harmless for serving, where only token ids flow
+    and the draft's vocab (not its tokenizer) must match the target's.
+    Prompt distribution defaults to the corpus question titles: the
+    queries the app's chat traffic actually resembles."""
+    import argparse
+    import json
+    import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target", required=True,
+                    help="HF qwen2-class dir OR a Generator checkpoint dir")
+    ap.add_argument("--out", default="checkpoints/draft")
+    ap.add_argument("--preset", choices=sorted(PRESETS), default="draft-60M")
+    ap.add_argument("--prompts-file", default=None,
+                    help="one prompt per line (default: corpus titles)")
+    ap.add_argument("--corpus", default="data/medical_data.txt")
+    ap.add_argument("--max-new", type=int, default=64)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon site hook pins "
+                         "JAX_PLATFORMS; the env var alone does not win)")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    with open(os.path.join(args.target, "config.json"),
+              encoding="utf-8") as f:
+        tcfg_raw = json.load(f)
+    if "model_type" in tcfg_raw:        # HF checkpoint, not a Generator save
+        from mediquery_rag_tpu.models.hf_import import load_qwen2_generator
+        target = load_qwen2_generator(args.target)
+    else:
+        target = Generator.from_checkpoint(args.target)
+
+    if args.prompts_file:
+        with open(args.prompts_file, encoding="utf-8") as f:
+            prompts = [ln.strip() for ln in f if ln.strip()]
+    else:
+        from mediquery_rag_tpu.ingest.parser import parse_corpus_file
+        prompts = [c.title for c in parse_corpus_file(args.corpus)]
+    if not prompts:
+        raise SystemExit("no prompts to distill on")
+
+    h, l_, heads, kvh, mlp = PRESETS[args.preset]
+    dcfg = DecoderConfig(
+        vocab_size=target.cfg.vocab_size, hidden=h, layers=l_, heads=heads,
+        kv_heads=kvh, mlp_dim=mlp, max_len=target.cfg.max_len,
+        dtype=target.cfg.dtype)
+    draft = distill_draft(target, dcfg, prompts,
+                          max_new_tokens=args.max_new, epochs=args.epochs)
+    draft.save(args.out)
+    print(json.dumps({"out": args.out, "preset": args.preset,
+                      "last_loss": round(draft.last_loss, 4),
+                      "prompts": len(prompts)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -134,3 +134,35 @@ class TestDistill:
                             mlp_dim=64, max_len=512, dtype="float32")
         with pytest.raises(ValueError, match="vocab"):
             distill_draft(target, bad, ["x"])
+
+
+class TestDistillCLI:
+    def test_cli_roundtrip_serves_lossless(self, target, tmp_path):
+        """python -m mediquery_rag_tpu.models.distill --target <ckpt> must
+        produce a checkpoint that Generator.from_checkpoint restores and
+        LLMServer(draft=...) serves — output still the target's exact
+        greedy continuation."""
+        import sys
+
+        from mediquery_rag_tpu.models import distill as dmod
+        from mediquery_rag_tpu.serve.llm import LLMServer
+
+        tdir, odir = tmp_path / "target", tmp_path / "draft"
+        target.save(str(tdir))
+        pfile = tmp_path / "p.txt"
+        pfile.write_text("\n".join(PROMPTS), encoding="utf-8")
+        argv = sys.argv
+        sys.argv = ["distill", "--target", str(tdir), "--out", str(odir),
+                    "--preset", "tiny", "--prompts-file", str(pfile),
+                    "--max-new", "16", "--epochs", "3"]
+        try:
+            dmod.main()
+        finally:
+            sys.argv = argv
+
+        draft = Generator.from_checkpoint(str(odir))
+        want = target.generate([PROMPTS[0]], max_new_tokens=16)[0]
+        with LLMServer(target, slots=1, chunk=6, draft=draft, gamma=2) as srv:
+            got = srv.complete(PROMPTS[0], max_new_tokens=16)
+            assert srv.stats["spec_rounds"] > 0
+        assert got == want
