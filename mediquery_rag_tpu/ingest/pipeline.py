@@ -149,11 +149,16 @@ class DocumentStore:
                 [c.text for c in new_chunks[i:i + batch_size]])))
         vecs = np.concatenate(embs, axis=0)
         start = self.index.next_id
-        self.index = self.index.add(vecs)
         # keep position == doc id (holes between next_id and len are
         # impossible: ids are handed out consecutively)
         assert start == len(self.chunks), "doc-id/chunk alignment broken"
+        new_index = self.index.add(vecs)
+        # publication order matters for lock-free concurrent readers
+        # (serve/server.py runs searches in parallel with mutations):
+        # grow ``chunks`` BEFORE swapping the index ref, so a reader that
+        # sees the new index can never look up a doc id past len(chunks)
         self.chunks.extend(new_chunks)
+        self.index = new_index
         self._live += len(new_chunks)
         return list(range(start, start + len(new_chunks)))
 

@@ -288,6 +288,9 @@ class LLMServer:
         that many requests are already waiting for a lane."""
         import time as _time
 
+        if self._stop.is_set():
+            raise RuntimeError(
+                "LLMServer is stopped (closed or device failure)")
         if self.max_backlog and self._queue.qsize() >= self.max_backlog:
             self.stats["rejected"] += 1
             raise ServerSaturated(
@@ -775,18 +778,23 @@ class LLMServer:
             self._pending[slot] = _PendingPrefill(req, list(toks))
             return
 
-        ids, mask = self.tok.batch_encode([req.prompt])
-        S = ids.shape[1]
+        # left-padded one-row batch straight from ``toks`` (exactly the
+        # batch_encode contract — reusing the encode above keeps the
+        # tokenizer off this hot path twice more)
+        S = min(_round_up(max(len(toks), 1), 128), self.tok.max_len)
         if S >= self.C:          # keep the tail — standard chat truncation
-            keep = _round_up(self.C - 128, 128)
-            ids, mask = ids[:, -keep:], mask[:, -keep:]
-            S = ids.shape[1]
+            S = _round_up(self.C - 128, 128)
+        kept = toks[-S:]
+        ids = np.full((1, S), self._pad, np.int32)
+        mask = np.zeros((1, S), np.float32)
+        if kept:
+            ids[0, S - len(kept):] = kept
+            mask[0, S - len(kept):] = 1.0
         run = self._admit_program(S)
         self.state = run(self.gen.params, self.state, jnp.asarray(ids),
                          jnp.asarray(mask), jnp.int32(slot),
                          jnp.int32(self._schema_idx(req)))
-        m = np.asarray(mask)[0] > 0
-        req.prompt_ids = [int(t) for t in np.asarray(ids)[0][m]]
+        req.prompt_ids = list(kept)
         self._slots[slot] = req
         self._draft_dirty[slot] = True
         self.stats["prefills"] += 1
@@ -794,11 +802,9 @@ class LLMServer:
             old = self._sessions.pop(req.session, None)
             if old is not None and self._lane_owner[old.lane] == req.session:
                 self._lane_owner[old.lane] = None   # moved to a new lane
-            n_real = int(mask.sum())
-            toks = self.tok.encode(req.prompt)[-n_real:]
             self._clock += 1
             self._sessions[req.session] = _Session(
-                slot, S - n_real, list(toks), self._clock)
+                slot, S - len(kept), list(kept), self._clock)
             self._lane_owner[slot] = req.session
 
     def _try_extend(self, req: _Request, sess: _Session) -> bool:
@@ -1028,8 +1034,19 @@ class LLMServer:
             if self.draft is not None:
                 self.dstate = self._make_dempty()
         except Exception:
-            # the device itself is gone: stop rather than spin hot
+            # the device itself is gone: stop rather than spin hot — and
+            # fail the queued futures too, or their callers (and every
+            # later submit) would hang against a worker that no longer runs
             self._stop.set()
+            while True:
+                try:
+                    queued = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                try:
+                    queued.future.set_exception(e)
+                except Exception:
+                    pass
             raise
 
     def _tick(self) -> None:

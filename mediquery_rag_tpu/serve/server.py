@@ -290,6 +290,10 @@ class SearchServer:
                 while not deltas.empty():          # drain the tail
                     acc += deltas.get()
                 flush()
+            if cut_hit:
+                # the visible turn is over: stop the lane now instead of
+                # decoding the rest of the budget into discarded text
+                fut.cancel()
             finish = ("stop" if cut_hit
                       else getattr(fut, "finish_reason", None) or "stop")
             write_sse(chunk(None, finish))
@@ -395,7 +399,17 @@ class SearchServer:
                 except Exception as e:          # fail-open JSON error
                     from mediquery_rag_tpu.serve.llm import ServerSaturated
                     err = {"error": f"{type(e).__name__}: {e}"}
-                    code = 429 if isinstance(e, ServerSaturated) else 400
+                    # honest status classes: caller bugs are 4xx, server
+                    # trouble is 5xx (clients retry/alert on 5xx, not 400)
+                    if isinstance(e, ServerSaturated):
+                        code = 429
+                    elif isinstance(e, TimeoutError):
+                        code = 504      # incl. concurrent.futures timeout
+                    elif isinstance(e, (KeyError, ValueError, TypeError,
+                                        json.JSONDecodeError)):
+                        code = 400
+                    else:
+                        code = 500
                     if sse_started:
                         # headers are committed — surface the error inside
                         # the stream and terminate it, never a 2nd status
@@ -463,7 +477,13 @@ def main() -> None:
         draft = None
         if args.draft:
             from mediquery_rag_tpu.models.generate import Generator
-            if os.path.isdir(args.draft):
+            # HF checkpoint dirs carry "model_type" in config.json;
+            # Generator.save() dirs carry DecoderConfig fields (the same
+            # discriminator models/distill.py uses)
+            with open(os.path.join(args.draft, "config.json"),
+                      encoding="utf-8") as f:
+                dcfg_raw = json.load(f)
+            if "model_type" in dcfg_raw:
                 from mediquery_rag_tpu.models.hf_import import (
                     load_qwen2_generator)
                 draft = load_qwen2_generator(args.draft)
