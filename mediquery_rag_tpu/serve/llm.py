@@ -98,6 +98,7 @@ class _Request:
     future: Future
     session: str | None = None
     schema: dict | None = None
+    top_p: float = 1.0
     on_text: object = None       # streaming callback: fn(delta_text: str)
     tokens: list = field(default_factory=list)
     prompt_ids: list = field(default_factory=list)  # real prefilled tokens
@@ -267,7 +268,8 @@ class LLMServer:
     # -- client API ----------------------------------------------------------
 
     def submit(self, prompt: str, *, max_new_tokens: int = 256,
-               temperature: float = 0.0, session: str | None = None,
+               temperature: float = 0.0, top_p: float = 1.0,
+               session: str | None = None,
                schema: dict | None = None, on_text=None) -> Future:
         """``session``: opaque id pinning this conversation to a lane whose
         KV cache persists between turns — the next turn with the same id
@@ -298,16 +300,18 @@ class LLMServer:
                 f"{self.max_backlog}")
         fut: Future = Future()
         self._queue.put(_Request(prompt, max_new_tokens, temperature, fut,
-                                 session, schema, on_text,
+                                 session, schema, top_p, on_text,
                                  t_submit=_time.perf_counter()))
         return fut
 
     def complete(self, prompt: str, *, max_new_tokens: int = 256,
-                 temperature: float = 0.0, timeout: float = 600.0,
+                 temperature: float = 0.0, top_p: float = 1.0,
+                 timeout: float = 600.0,
                  session: str | None = None,
                  schema: dict | None = None) -> str:
         return self.submit(prompt, max_new_tokens=max_new_tokens,
-                           temperature=temperature, session=session,
+                           temperature=temperature, top_p=top_p,
+                           session=session,
                            schema=schema).result(timeout=timeout)
 
     def complete_batch(self, prompts: Sequence[str], **kw) -> list[str]:
@@ -384,12 +388,13 @@ class LLMServer:
         self._tok_dev = (jnp.asarray(tb), jnp.asarray(tl))
         return idx
 
-    def _chunk_program(self):
-        """The T-step decode program. Compiled per constraint-mode (the
-        vocab-parallel DFA walk only traces when schemas exist, so purely
-        free-text servers never pay for it)."""
+    def _chunk_program(self, use_topp: bool = False):
+        """The T-step decode program. Compiled per (constraint-mode,
+        nucleus-mode): the vocab-parallel DFA walk and the top-p vocab
+        sort only trace when a lane actually needs them, so greedy
+        free-text servers never pay for either."""
         use_dfa = bool(self._constraints)
-        fn = self._chunk_cache.get(use_dfa)
+        fn = self._chunk_cache.get((use_dfa, use_topp))
         if fn is not None:
             return fn
 
@@ -403,7 +408,7 @@ class LLMServer:
                            cursor=state.cursor, next_pos=state.next_pos)
 
         @partial(jax.jit, donate_argnums=(1,))
-        def decode_chunk(params, state, active, temps, rng,
+        def decode_chunk(params, state, active, temps, top_ps, rng,
                          nt, tok_bytes, tok_len):
             """T decode steps for all lanes; returns (state, tokens [B,T]).
             Early-exits once every active lane has emitted EOS this chunk
@@ -448,8 +453,22 @@ class LLMServer:
                     logits = jnp.where(allowed, logits, -1e9)
                 greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 t = jnp.maximum(temps, 1e-6)
-                sampled = jax.random.categorical(
-                    r, logits / t[:, None]).astype(jnp.int32)
+                warped = logits / t[:, None]
+                if use_topp:
+                    # nucleus: keep the smallest prefix of the sorted
+                    # distribution whose mass reaches top_p (HF order:
+                    # temperature first, then the nucleus cut; the top-1
+                    # token is always kept)
+                    srt = jnp.sort(warped, axis=-1)[:, ::-1]      # desc
+                    probs = jax.nn.softmax(srt, axis=-1)
+                    cum = jnp.cumsum(probs, axis=-1)
+                    keep = (cum - probs) < top_ps[:, None]
+                    thr = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1)
+                    thr = jnp.where(top_ps >= 1.0, -jnp.inf, thr)
+                    warped = jnp.where(warped >= thr[:, None],
+                                       warped, -1e9)
+                sampled = jax.random.categorical(r, warped).astype(
+                    jnp.int32)
                 return jnp.where(temps > 0.0, sampled, greedy), land
 
             out0 = jnp.full((B, T), pad_id, jnp.int32)
@@ -484,7 +503,7 @@ class LLMServer:
                 cond, body, (state, out0, live0, jnp.int32(0)))
             return state, out
 
-        self._chunk_cache[use_dfa] = decode_chunk
+        self._chunk_cache[(use_dfa, use_topp)] = decode_chunk
         return decode_chunk
 
     def _spec_program(self):
@@ -1088,14 +1107,18 @@ class LLMServer:
         temps = jnp.asarray(
             [r.temperature if r else 0.0 for r in self._slots],
             jnp.float32)
+        top_ps = jnp.asarray(
+            [r.top_p if r else 1.0 for r in self._slots], jnp.float32)
+        use_topp = any(r is not None and r.top_p < 1.0 and
+                       r.temperature > 0.0 for r in self._slots)
         if self._nt_dev is not None:
             tables = (self._nt_dev, *self._tok_dev)
         else:
             zero = jnp.zeros((1,), jnp.int32)     # untraced placeholders
             tables = (zero[:, None, None], zero[:, None], zero)
-        self.state, toks = self._chunk_program()(
+        self.state, toks = self._chunk_program(use_topp)(
             self.gen.params, self.state,
-            jnp.asarray(active_h), temps, sub, *tables)
+            jnp.asarray(active_h), temps, top_ps, sub, *tables)
         self.stats["chunks"] += 1
         if self.draft is not None:
             # plain quanta advance target lanes past their draft
@@ -1166,6 +1189,7 @@ class ServedLLMClient:
             prompt,
             max_new_tokens=kw.get("max_new_tokens", self.max_new_tokens),
             temperature=kw.get("temperature", self.temperature),
+            top_p=kw.get("top_p", 1.0),
             schema=schema)
         if schema is not None:
             # grammar + EOS already terminate valid JSON; marker-cutting

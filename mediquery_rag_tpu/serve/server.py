@@ -200,6 +200,7 @@ class SearchServer:
         kw = {
             "max_new_tokens": int(body.get("max_tokens", 256)),
             "temperature": float(body.get("temperature", 0.0)),
+            "top_p": float(body.get("top_p", 1.0)),
             "schema": body.get("schema"),
         }
         return prompt, kw

@@ -469,12 +469,12 @@ class TestFaultContainment:
             def bad(*a, **k):
                 raise RuntimeError("injected dispatch failure")
 
-            srv._chunk_cache[False] = bad
+            srv._chunk_cache[(False, False)] = bad
             f = srv.submit(PROMPTS[0], max_new_tokens=16)
             with pytest.raises(RuntimeError, match="injected"):
                 f.result(timeout=300)
             assert srv.stats["errors"] >= 1
-            srv._chunk_cache[False] = real   # "transient" fault clears
+            srv._chunk_cache[(False, False)] = real   # "transient" fault clears
             out = srv.complete(PROMPTS[1], max_new_tokens=16, timeout=300)
             assert out == oracle(PROMPTS[1], 16)
 
@@ -852,3 +852,58 @@ class TestSlotStepPrimitive:
         assert int(c2.next_pos[1]) == int(base.next_pos[1])
         assert np.array_equal(np.asarray(c2.key_mask[1]),
                               np.asarray(base.key_mask[1]))
+
+
+class TestTopP:
+    """Per-lane nucleus sampling (OpenAI top_p parity). The sharp oracle:
+    top_p small enough keeps only the argmax token, so sampled output
+    must equal the greedy continuation exactly."""
+
+    def test_tiny_top_p_equals_greedy(self, gen, oracle):
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            out = srv.complete(PROMPTS[0], max_new_tokens=32,
+                               temperature=0.9, top_p=1e-6)
+        assert out == oracle(PROMPTS[0], 32)
+
+    def test_mixed_topp_and_greedy_lanes(self, gen, oracle):
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            f1 = srv.submit(PROMPTS[0], max_new_tokens=32)   # greedy
+            f2 = srv.submit(PROMPTS[1], max_new_tokens=16,
+                            temperature=0.9, top_p=0.8)
+            o1, o2 = f1.result(timeout=300), f2.result(timeout=300)
+        assert o1 == oracle(PROMPTS[0], 32)   # co-occupant-independent
+        assert isinstance(o2, str)
+
+    def test_top_p_one_is_plain_sampling(self, gen):
+        # top_p=1.0 must not trace the nucleus sort (greedy program key)
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            srv.complete(PROMPTS[0], max_new_tokens=8, temperature=0.9,
+                         top_p=1.0)
+            assert all(not k[1] for k in srv._chunk_cache)
+
+    def test_http_top_p_accepted(self, gen):
+        import json as js
+        import urllib.request
+        from mediquery_rag_tpu.serve.server import SearchServer
+
+        class _NoStore:
+            def batch_search(self, queries, k, **kw):
+                return [[] for _ in queries]
+
+        with LLMServer(gen, slots=2, chunk=8) as llm_srv:
+            srv = SearchServer(_NoStore(), llm_server=llm_srv)
+            port = srv.start(port=0)
+            try:
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/v1/chat/completions",
+                    data=js.dumps({
+                        "messages": [{"role": "user", "content": "咳嗽"}],
+                        "max_tokens": 12, "temperature": 0.9,
+                        "top_p": 0.5}).encode(),
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    out = js.loads(r.read())
+                assert isinstance(
+                    out["choices"][0]["message"]["content"], str)
+            finally:
+                srv.shutdown()
