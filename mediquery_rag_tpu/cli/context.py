@@ -137,9 +137,12 @@ class AppContext:
             # MEDIQUERY_HF_LLM_QUANT: "8" (default) int8, "4" int4 (the
             # tier Ollama's default GGUF serves the reference at), "0" off
             qflag = os.environ.get("MEDIQUERY_HF_LLM_QUANT", "8")
+            # MEDIQUERY_HF_LLM_KV=int8: quantized KV cache (half the
+            # serving-cache HBM; see DecoderConfig.kv_dtype)
             llm = TPULLMClient.from_hf(
                 hf_llm, quantize=0 if qflag == "0" else
-                (4 if qflag == "4" else 8))
+                (4 if qflag == "4" else 8),
+                kv_dtype=os.environ.get("MEDIQUERY_HF_LLM_KV", ""))
             print("  预训练 HF 语言模型已加载（TPU 本地推理，无需外部服务）")
         elif os.path.exists(os.path.join(lm_ckpt, "params.npz")):
             try:

@@ -111,6 +111,11 @@ class DecoderConfig:
                                     # masters; bfloat16 halves serving HBM
                                     # traffic (decode is weight-bandwidth
                                     # bound — see Generator.to_serving_dtype)
+    kv_dtype: str = ""              # KV-cache storage: "" = activation dtype;
+                                    # "int8" = per-column-per-head absmax
+                                    # quantization — halves cache HBM (2x the
+                                    # lanes or context at a given budget) and
+                                    # the attention read bytes at long context
 
 
 @dataclass(frozen=True)

@@ -127,16 +127,18 @@ class TPULLMClient:
 
     @classmethod
     def from_hf(cls, model_dir: str, *, quantize: bool | int = False,
-                **kw) -> "TPULLMClient":
+                kv_dtype: str = "", **kw) -> "TPULLMClient":
         """Serve a real HF qwen2-class checkpoint from the TPU: imported
         weights + the checkpoint's BPE tokenizer + ChatML prompts (what
         qwen2.5-instruct was trained on). ``quantize=8`` (or ``True``)
         converts to int8 weight-only serving (7B-class in ~7 GB);
         ``quantize=4`` to int4 (~3.8 GB — the same 4-bit tier the
-        reference's Ollama GGUF runs at). See ops/matvec.py."""
+        reference's Ollama GGUF runs at). See ops/matvec.py.
+        ``kv_dtype="int8"`` additionally quantizes the KV cache at write
+        time — half the cache HBM, so 2x the lanes or context."""
         from mediquery_rag_tpu.models.hf_import import load_qwen2_generator
 
-        gen = load_qwen2_generator(model_dir)
+        gen = load_qwen2_generator(model_dir, kv_dtype=kv_dtype)
         if quantize:
             gen.quantize_weights(bits=8 if quantize is True else quantize)
         kw.setdefault("template", "chatml")

@@ -41,13 +41,22 @@ class KVCache(NamedTuple):
     """Preallocated decode state. ``k``/``v``: [L, B, H, C, dh]; ``key_mask``:
     [B, C] (1 = slot holds a real token); ``cursor``: next write column
     (shared — left-padding aligns all sequences); ``next_pos``: per-sequence
-    RoPE position of the next token."""
+    RoPE position of the next token.
+
+    With ``DecoderConfig.kv_dtype == "int8"``, ``k``/``v`` hold int8 codes
+    and ``k_scale``/``v_scale`` the per-column-per-head absmax scales
+    [L, B, H, C] f32 (None otherwise — the float path is untouched).
+    Quantization happens at WRITE time (after RoPE); reads fold the scale
+    into the attention einsums (per-column for K logits, into the softmax
+    weights for V), so the dequantized cache is never materialized."""
 
     k: jax.Array
     v: jax.Array
     key_mask: jax.Array
     cursor: jax.Array       # i32 scalar
     next_pos: jax.Array     # [B] i32
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
 
 
 def _init_dense(key, fan_in, shape):
@@ -94,6 +103,44 @@ def _mm(x, w, adt):
         return out.reshape(*lead, out.shape[-1])
     wd = w["q"].astype(adt) * w["s"][:, None].astype(adt)
     return jnp.einsum("...d,fd->...f", x, wd,
+                      preferred_element_type=jnp.float32)
+
+
+def _kv_quantize(x):
+    """[..., dh] float -> (int8 codes, f32 absmax scales [...]). Per-token
+    per-head granularity: one scale per cache column per KV head."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-6) / 127.0
+    return jnp.round(xf / s[..., None]).astype(jnp.int8), s
+
+
+def _rep_s(s, groups):
+    """GQA-expand a scale tensor [B, KH, C] along the head axis."""
+    return s if groups == 1 else jnp.repeat(s, groups, axis=1)
+
+
+def _cached_attn(q, k_layer, v_layer, ks, vs, bias, adt, dh):
+    """Attention of ``q`` over a cache layer, float or int8+scales.
+    The float path is the exact op sequence the cache methods always
+    used (bit-identical); the int8 path folds K scales into the logits
+    per column and V scales into the softmax weights — no materialized
+    dequantized cache. Returns f32 ctx [B, H, S, dh]."""
+    g = q.shape[1] // k_layer.shape[1]
+    if ks is None:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, _repeat_kv(k_layer, g),
+                            preferred_element_type=jnp.float32)
+        logits = logits * (dh ** -0.5) + bias
+        w = jax.nn.softmax(logits, axis=-1).astype(adt)
+        return jnp.einsum("bhqk,bhkd->bhqd", w, _repeat_kv(v_layer, g),
+                          preferred_element_type=jnp.float32)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q,
+                        _repeat_kv(k_layer, g).astype(adt),
+                        preferred_element_type=jnp.float32)
+    logits = logits * _rep_s(ks, g)[:, :, None, :]
+    logits = logits * (dh ** -0.5) + bias
+    w = jax.nn.softmax(logits, axis=-1)
+    w = (w * _rep_s(vs, g)[:, :, None, :]).astype(adt)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, _repeat_kv(v_layer, g),
                       preferred_element_type=jnp.float32)
 
 
@@ -240,6 +287,8 @@ class Decoder:
         causal = jnp.tril(jnp.ones((S, S), jnp.float32))
         bias = (causal[None, None] * mask[:, None, None, :] - 1.0) * 1e9
 
+        quant = c.kv_dtype == "int8"
+
         def step(carry, lp):
             x = carry
             x, k, v = _block_kv(x, lp, heads=c.heads,
@@ -247,9 +296,16 @@ class Decoder:
                                 bias=bias, pos=pos, theta=c.rope_theta,
                                 eps=c.rms_eps)
             pad = [(0, 0), (0, 0), (0, cache_len - S), (0, 0)]
-            return x, (jnp.pad(k, pad), jnp.pad(v, pad))
+            if not quant:
+                return x, (jnp.pad(k, pad), jnp.pad(v, pad), None, None)
+            # attention within the prompt ran in full precision above;
+            # only the STORED cache quantizes
+            k8, ksc = _kv_quantize(k)
+            v8, vsc = _kv_quantize(v)
+            return x, (jnp.pad(k8, pad), jnp.pad(v8, pad),
+                       jnp.pad(ksc, pad[:-1]), jnp.pad(vsc, pad[:-1]))
 
-        x, (ks, vs) = jax.lax.scan(step, x, params["blocks"])
+        x, (ks, vs, kss, vss) = jax.lax.scan(step, x, params["blocks"])
         x = _rmsnorm(x, params["rms_f"], c.rms_eps)
         logits = _mm(x[:, -1], params["lm_head"], adt)
 
@@ -258,6 +314,7 @@ class Decoder:
             k=ks, v=vs, key_mask=key_mask,
             cursor=jnp.int32(S),
             next_pos=jnp.cumsum(mask, axis=1)[:, -1].astype(jnp.int32),
+            k_scale=kss, v_scale=vss,
         )
         return logits, cache
 
@@ -287,7 +344,7 @@ class Decoder:
         # body differs from _block_kv in the attention span only
         def layer(carry, xs):
             x = carry                                          # [B, 1, D]
-            lp, k_layer, v_layer = xs
+            lp, k_layer, v_layer, ksl, vsl = xs
             h = _rmsnorm(x, lp["rms1"], c.rms_eps)
             qkv = _mm(h, lp["qkv"], adt)
             if "qkv_b" in lp:
@@ -297,19 +354,20 @@ class Decoder:
             q, k, v = _split_qkv(qkv, B, 1, c.heads, kvh, dh)  # [B,*,1,dh]
             q = _rope(q, pos, c.rope_theta)
             k = _rope(k, pos, c.rope_theta)
+            if ksl is not None:
+                k, ksc = _kv_quantize(k)
+                v, vsc = _kv_quantize(v)
+                ksl = jax.lax.dynamic_update_slice(
+                    ksl, ksc, (0, 0, cache.cursor))
+                vsl = jax.lax.dynamic_update_slice(
+                    vsl, vsc, (0, 0, cache.cursor))
             k_layer = jax.lax.dynamic_update_slice(
                 k_layer, k, (0, 0, cache.cursor, 0))
             v_layer = jax.lax.dynamic_update_slice(
                 v_layer, v, (0, 0, cache.cursor, 0))
 
-            g = c.heads // kvh
-            logits = jnp.einsum("bhqd,bhkd->bhqk", q,
-                                _repeat_kv(k_layer, g),
-                                preferred_element_type=jnp.float32)
-            logits = logits * (dh ** -0.5) + bias
-            w = jax.nn.softmax(logits, axis=-1).astype(adt)
-            ctx = jnp.einsum("bhqk,bhkd->bhqd", w, _repeat_kv(v_layer, g),
-                             preferred_element_type=jnp.float32).astype(adt)
+            ctx = _cached_attn(q, k_layer, v_layer, ksl, vsl, bias, adt,
+                               dh).astype(adt)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, c.hidden)
             attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
             x = x + attn
@@ -319,16 +377,18 @@ class Decoder:
             up = _mm(h, lp["w_up"], adt)
             ff = (jax.nn.silu(gate) * up).astype(adt)
             ff = _mm(ff, lp["w_down"], adt)
-            return x + ff.astype(adt), (k_layer, v_layer)
+            return x + ff.astype(adt), (k_layer, v_layer, ksl, vsl)
 
-        x, (ks, vs) = jax.lax.scan(
-            layer, x, (params["blocks"], cache.k, cache.v))
+        x, (ks, vs, kss, vss) = jax.lax.scan(
+            layer, x, (params["blocks"], cache.k, cache.v,
+                       cache.k_scale, cache.v_scale))
         x = _rmsnorm(x, params["rms_f"], c.rms_eps)
         logits = _mm(x[:, 0], params["lm_head"], adt)
         new_cache = KVCache(
             k=ks, v=vs, key_mask=key_mask,
             cursor=cache.cursor + 1,
             next_pos=cache.next_pos + 1,
+            k_scale=kss, v_scale=vss,
         )
         return logits, new_cache
 
@@ -344,7 +404,9 @@ class Decoder:
         col0: jax.Array,         # i32 — first cache column to write
         pos0: jax.Array,         # i32 — RoPE position of the first new token
         all_logits: bool = False,
-    ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        k_scale_row: jax.Array | None = None,   # [L, KH, C] (int8 cache)
+        v_scale_row: jax.Array | None = None,
+    ) -> tuple:
         """Prefill a CONTINUATION into an existing lane — the prefix-cache
         primitive (serve/llm.py ChatSession): multi-turn chats re-send the
         whole growing transcript, and re-prefilling the shared prefix every
@@ -362,10 +424,12 @@ class Decoder:
         tokens occupy [0, n) so they map to contiguous cache columns; pad
         columns get garbage K/V with key_mask 0 — the same invariant
         ``decode_step_slots`` relies on. Returns (last-real-token logits
-        [V], k_row, v_row, key_mask_row); with ``all_logits=True`` the
-        logits are [S, V] (one distribution per fed token — the verify
-        pass of speculative decoding, models/speculative.py, which needs
-        the target's next-token prediction AFTER each candidate).
+        [V], k_row, v_row, key_mask_row, k_scale_row, v_scale_row) — the
+        scale rows are None unless the cache is int8 (pass the lane's
+        scale rows in); with ``all_logits=True`` the logits are [S, V]
+        (one distribution per fed token — the verify pass of speculative
+        decoding, models/speculative.py, which needs the target's
+        next-token prediction AFTER each candidate).
         """
         c = self.cfg
         adt = jnp.dtype(c.dtype)
@@ -392,7 +456,7 @@ class Decoder:
 
         def layer(carry, xs):
             x = carry
-            lp, k_layer, v_layer = xs                    # [KH, C, dh]
+            lp, k_layer, v_layer, ksl, vsl = xs          # [KH, C, dh]
             h = _rmsnorm(x, lp["rms1"], c.rms_eps)
             qkv = _mm(h, lp["qkv"], adt)
             if "qkv_b" in lp:
@@ -402,20 +466,21 @@ class Decoder:
             q, k, v = _split_qkv(qkv, 1, S, c.heads, kvh, dh)
             q = _rope(q, pos, c.rope_theta)
             k = _rope(k, pos, c.rope_theta)
+            if ksl is not None:
+                k, ksc = _kv_quantize(k)                 # ksc [1, KH, S]
+                v, vsc = _kv_quantize(v)
+                ksl = jax.lax.dynamic_update_slice(ksl, ksc[0], (0, col0))
+                vsl = jax.lax.dynamic_update_slice(vsl, vsc[0], (0, col0))
             k_layer = jax.lax.dynamic_update_slice(
                 k_layer, k[0], (0, col0, 0))
             v_layer = jax.lax.dynamic_update_slice(
                 v_layer, v[0], (0, col0, 0))
 
-            g = c.heads // kvh
-            logits = jnp.einsum("bhqd,hkd->bhqk", q,
-                                _repeat_kv(k_layer[None], g)[0],
-                                preferred_element_type=jnp.float32)
-            logits = logits * (dh ** -0.5) + bias
-            w = jax.nn.softmax(logits, axis=-1).astype(adt)
-            ctx = jnp.einsum("bhqk,hkd->bhqd", w,
-                             _repeat_kv(v_layer[None], g)[0],
-                             preferred_element_type=jnp.float32).astype(adt)
+            ctx = _cached_attn(
+                q, k_layer[None], v_layer[None],
+                None if ksl is None else ksl[None],
+                None if vsl is None else vsl[None],
+                bias, adt, dh).astype(adt)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(1, S, c.hidden)
             attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
             x = x + attn
@@ -425,17 +490,18 @@ class Decoder:
             up = _mm(h, lp["w_up"], adt)
             ff = (jax.nn.silu(gate) * up).astype(adt)
             ff = _mm(ff, lp["w_down"], adt)
-            return x + ff.astype(adt), (k_layer, v_layer)
+            return x + ff.astype(adt), (k_layer, v_layer, ksl, vsl)
 
-        x, (ks, vs) = jax.lax.scan(
-            layer, x, (params["blocks"], k_row, v_row))
+        x, (ks, vs, kss, vss) = jax.lax.scan(
+            layer, x, (params["blocks"], k_row, v_row,
+                       k_scale_row, v_scale_row))
         x = _rmsnorm(x, params["rms_f"], c.rms_eps)
         if all_logits:
             logits = _mm(x[0], params["lm_head"], adt)       # [S, V]
         else:
             last = jnp.clip(jnp.sum(mask).astype(jnp.int32) - 1, 0)
             logits = _mm(x[0, last], params["lm_head"], adt)
-        return logits, ks, vs, key_mask_row
+        return logits, ks, vs, key_mask_row, kss, vss
 
     def extend_slots(
         self,
@@ -484,7 +550,7 @@ class Decoder:
 
         def layer(carry, xs):
             x = carry                                      # [B, G, D]
-            lp, k_layer, v_layer = xs
+            lp, k_layer, v_layer, ksl, vsl = xs
             h = _rmsnorm(x, lp["rms1"], c.rms_eps)
             qkv = _mm(h, lp["qkv"], adt)
             if "qkv_b" in lp:
@@ -494,20 +560,21 @@ class Decoder:
             q, k, v = _split_qkv(qkv, B, G, c.heads, kvh, dh)  # [B,*,G,dh]
             q = _rope(q, pos, c.rope_theta)
             k = _rope(k, pos, c.rope_theta)
+            if ksl is not None:
+                k, ksc = _kv_quantize(k)                   # ksc [B, KH, G]
+                v, vsc = _kv_quantize(v)
+                ksl = ksl.at[rows[:, None], :, ccols].set(
+                    ksc.transpose(0, 2, 1))
+                vsl = vsl.at[rows[:, None], :, ccols].set(
+                    vsc.transpose(0, 2, 1))
             # batched 2-d scatter: lane b, slot i -> column ccols[b, i]
             k_layer = k_layer.at[rows[:, None], :, ccols, :].set(
                 k.transpose(0, 2, 1, 3))
             v_layer = v_layer.at[rows[:, None], :, ccols, :].set(
                 v.transpose(0, 2, 1, 3))
 
-            g = c.heads // kvh
-            logits = jnp.einsum("bhqd,bhkd->bhqk", q,
-                                _repeat_kv(k_layer, g),
-                                preferred_element_type=jnp.float32)
-            logits = logits * (dh ** -0.5) + bias
-            w = jax.nn.softmax(logits, axis=-1).astype(adt)
-            ctx = jnp.einsum("bhqk,bhkd->bhqd", w, _repeat_kv(v_layer, g),
-                             preferred_element_type=jnp.float32).astype(adt)
+            ctx = _cached_attn(q, k_layer, v_layer, ksl, vsl, bias, adt,
+                               dh).astype(adt)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, G, c.hidden)
             attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
             x = x + attn
@@ -517,10 +584,11 @@ class Decoder:
             up = _mm(h, lp["w_up"], adt)
             ff = (jax.nn.silu(gate) * up).astype(adt)
             ff = _mm(ff, lp["w_down"], adt)
-            return x + ff.astype(adt), (k_layer, v_layer)
+            return x + ff.astype(adt), (k_layer, v_layer, ksl, vsl)
 
-        x, (ks, vs) = jax.lax.scan(
-            layer, x, (params["blocks"], cache.k, cache.v))
+        x, (ks, vs, kss, vss) = jax.lax.scan(
+            layer, x, (params["blocks"], cache.k, cache.v,
+                       cache.k_scale, cache.v_scale))
         x = _rmsnorm(x, params["rms_f"], c.rms_eps)
         logits = _mm(x, params["lm_head"], adt)            # [B, G, V]
         adv = G * active.astype(jnp.int32)
@@ -528,6 +596,7 @@ class Decoder:
             k=ks, v=vs, key_mask=key_mask,
             cursor=cache.cursor + adv,
             next_pos=cache.next_pos + adv,
+            k_scale=kss, v_scale=vss,
         )
         return logits, new_cache
 
@@ -564,7 +633,7 @@ class Decoder:
 
         def layer(carry, xs):
             x = carry                                          # [B, 1, D]
-            lp, k_layer, v_layer = xs
+            lp, k_layer, v_layer, ksl, vsl = xs
             h = _rmsnorm(x, lp["rms1"], c.rms_eps)
             qkv = _mm(h, lp["qkv"], adt)
             if "qkv_b" in lp:
@@ -574,18 +643,17 @@ class Decoder:
             q, k, v = _split_qkv(qkv, B, 1, c.heads, kvh, dh)  # [B,*,1,dh]
             q = _rope(q, pos, c.rope_theta)
             k = _rope(k, pos, c.rope_theta)
+            if ksl is not None:
+                k, ksc = _kv_quantize(k)
+                v, vsc = _kv_quantize(v)
+                ksl = ksl.at[rows, :, cache.cursor].set(ksc[:, :, 0])
+                vsl = vsl.at[rows, :, cache.cursor].set(vsc[:, :, 0])
             # batched scatter: row b writes its column cache.cursor[b]
             k_layer = k_layer.at[rows, :, cache.cursor, :].set(k[:, :, 0, :])
             v_layer = v_layer.at[rows, :, cache.cursor, :].set(v[:, :, 0, :])
 
-            g = c.heads // kvh
-            logits = jnp.einsum("bhqd,bhkd->bhqk", q,
-                                _repeat_kv(k_layer, g),
-                                preferred_element_type=jnp.float32)
-            logits = logits * (dh ** -0.5) + bias
-            w = jax.nn.softmax(logits, axis=-1).astype(adt)
-            ctx = jnp.einsum("bhqk,bhkd->bhqd", w, _repeat_kv(v_layer, g),
-                             preferred_element_type=jnp.float32).astype(adt)
+            ctx = _cached_attn(q, k_layer, v_layer, ksl, vsl, bias, adt,
+                               dh).astype(adt)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, c.hidden)
             attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
             x = x + attn
@@ -595,10 +663,11 @@ class Decoder:
             up = _mm(h, lp["w_up"], adt)
             ff = (jax.nn.silu(gate) * up).astype(adt)
             ff = _mm(ff, lp["w_down"], adt)
-            return x + ff.astype(adt), (k_layer, v_layer)
+            return x + ff.astype(adt), (k_layer, v_layer, ksl, vsl)
 
-        x, (ks, vs) = jax.lax.scan(
-            layer, x, (params["blocks"], cache.k, cache.v))
+        x, (ks, vs, kss, vss) = jax.lax.scan(
+            layer, x, (params["blocks"], cache.k, cache.v,
+                       cache.k_scale, cache.v_scale))
         x = _rmsnorm(x, params["rms_f"], c.rms_eps)
         logits = _mm(x[:, 0], params["lm_head"], adt)
         adv = active.astype(jnp.int32)
@@ -606,6 +675,7 @@ class Decoder:
             k=ks, v=vs, key_mask=key_mask,
             cursor=jnp.minimum(cache.cursor + adv, C - 1),
             next_pos=cache.next_pos + adv,
+            k_scale=kss, v_scale=vss,
         )
         return logits, new_cache
 

@@ -79,7 +79,8 @@ def _load_all_tensors(model_dir: str) -> dict[str, np.ndarray]:
 
 
 def load_qwen2(model_dir: str, *, max_len: int = 4096,
-               dtype: str = "bfloat16", param_dtype: str = "bfloat16"):
+               dtype: str = "bfloat16", param_dtype: str = "bfloat16",
+               kv_dtype: str = ""):
     """Read an HF qwen2/qwen2.5 (or any llama-class) checkpoint directory.
 
     Returns ``(DecoderConfig, params)`` ready for ``Decoder``/``Generator``.
@@ -165,7 +166,7 @@ def load_qwen2(model_dir: str, *, max_len: int = 4096,
         rope_theta=float(hf.get("rope_theta", 10000.0)),
         qkv_bias=qkv_bias,
         rms_eps=float(hf.get("rms_norm_eps", 1e-6)),
-        dtype=dtype, param_dtype=param_dtype,
+        dtype=dtype, param_dtype=param_dtype, kv_dtype=kv_dtype,
     )
     return cfg, params
 
@@ -310,7 +311,8 @@ class BertTextEmbedder:
 
 def load_qwen2_generator(model_dir: str, *, max_len: int = 4096,
                          dtype: str = "bfloat16",
-                         param_dtype: str = "bfloat16"):
+                         param_dtype: str = "bfloat16",
+                         kv_dtype: str = ""):
     """Checkpoint dir -> ready ``Generator`` (weights + the checkpoint's own
     BPE tokenizer). The drop-in replacement for ``ChatOllama(qwen2.5:7b)``
     (reference medical_engine.py:46)."""
@@ -318,6 +320,6 @@ def load_qwen2_generator(model_dir: str, *, max_len: int = 4096,
     from mediquery_rag_tpu.models.generate import Generator
 
     cfg, params = load_qwen2(model_dir, max_len=max_len, dtype=dtype,
-                             param_dtype=param_dtype)
+                             param_dtype=param_dtype, kv_dtype=kv_dtype)
     tok = BPETokenizer.from_pretrained(model_dir, max_len=cfg.max_len)
     return Generator(cfg, params=params, tokenizer=tok)

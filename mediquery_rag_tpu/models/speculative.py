@@ -124,7 +124,7 @@ class SpeculativeGenerator:
                 # proposal (losslessness would hold, throughput wouldn't).
                 def propose(carry, i):
                     dk, dv, dkm, tok = carry
-                    dl, dk, dv, dkm = dmodel.prefill_extend(
+                    dl, dk, dv, dkm, _, _ = dmodel.prefill_extend(
                         dp, dk, dv, dkm, tok[None], ones1,
                         st["cur"] + i, st["pos"] + i)
                     nxt = jnp.argmax(dl).astype(jnp.int32)
@@ -137,7 +137,7 @@ class SpeculativeGenerator:
 
                 # target verifies ALL candidates in one pass (one weight
                 # read); its rollback kills last round's rejected K/V
-                tl, tk, tv, tkm = tmodel.prefill_extend(
+                tl, tk, tv, tkm, _, _ = tmodel.prefill_extend(
                     tp, st["tk"], st["tv"], st["tkm"], cand, onesG,
                     st["cur"], st["pos"], all_logits=True)      # [G, V]
                 u = jnp.argmax(tl, axis=-1).astype(jnp.int32)   # [G]

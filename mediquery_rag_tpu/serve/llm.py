@@ -68,7 +68,7 @@ class ServeState(NamedTuple):
     JSON schema the lane decodes under (-1 = unconstrained) and its
     current DFA state (models/constrain.py)."""
 
-    k: jax.Array          # [L, B, KH, C, dh]
+    k: jax.Array          # [L, B, KH, C, dh] — int8 when kv_dtype="int8"
     v: jax.Array
     key_mask: jax.Array   # [B, C] f32
     cursor: jax.Array     # [B] i32 — per-slot next write column
@@ -76,6 +76,8 @@ class ServeState(NamedTuple):
     logits: jax.Array     # [B, V] f32
     dfa: jax.Array        # [B] i32 — DFA state under the lane's schema
     schema: jax.Array     # [B] i32 — registered schema index, -1 = none
+    k_scale: jax.Array | None = None   # [L, B, KH, C] f32 (int8 cache)
+    v_scale: jax.Array | None = None
 
 
 class DraftState(NamedTuple):
@@ -88,6 +90,8 @@ class DraftState(NamedTuple):
     key_mask: jax.Array   # [B, Cd] f32
     cursor: jax.Array     # [B] i32
     next_pos: jax.Array   # [B] i32
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
 
 
 @dataclass
@@ -195,16 +199,23 @@ class LLMServer:
         adt = jnp.dtype(cfg.dtype)
         B, C, V = self.B, self.C, cfg.vocab_size
 
+        kv_quant = cfg.kv_dtype == "int8"
+        cdt = jnp.int8 if kv_quant else adt
+
         def _empty() -> ServeState:
             return ServeState(
-                k=jnp.zeros((L, B, kvh, C, dh), adt),
-                v=jnp.zeros((L, B, kvh, C, dh), adt),
+                k=jnp.zeros((L, B, kvh, C, dh), cdt),
+                v=jnp.zeros((L, B, kvh, C, dh), cdt),
                 key_mask=jnp.zeros((B, C), jnp.float32),
                 cursor=jnp.zeros((B,), jnp.int32),
                 next_pos=jnp.zeros((B,), jnp.int32),
                 logits=jnp.zeros((B, V), jnp.float32),
                 dfa=jnp.zeros((B,), jnp.int32),
                 schema=jnp.full((B,), -1, jnp.int32),
+                k_scale=(jnp.zeros((L, B, kvh, C), jnp.float32)
+                         if kv_quant else None),
+                v_scale=(jnp.zeros((L, B, kvh, C), jnp.float32)
+                         if kv_quant else None),
             )
 
         self._make_empty = jax.jit(_empty)
@@ -217,15 +228,20 @@ class LLMServer:
             ddh = dcfg.hidden // dcfg.heads
             Cd = self.Cd
 
+            dquant = dcfg.kv_dtype == "int8"
+            ddt = jnp.int8 if dquant else jnp.dtype(dcfg.dtype)
+
             def _dempty() -> DraftState:
                 return DraftState(
-                    k=jnp.zeros((dcfg.layers, B, dkvh, Cd, ddh),
-                                jnp.dtype(dcfg.dtype)),
-                    v=jnp.zeros((dcfg.layers, B, dkvh, Cd, ddh),
-                                jnp.dtype(dcfg.dtype)),
+                    k=jnp.zeros((dcfg.layers, B, dkvh, Cd, ddh), ddt),
+                    v=jnp.zeros((dcfg.layers, B, dkvh, Cd, ddh), ddt),
                     key_mask=jnp.zeros((B, Cd), jnp.float32),
                     cursor=jnp.zeros((B,), jnp.int32),
                     next_pos=jnp.zeros((B,), jnp.int32),
+                    k_scale=(jnp.zeros((dcfg.layers, B, dkvh, Cd),
+                                       jnp.float32) if dquant else None),
+                    v_scale=(jnp.zeros((dcfg.layers, B, dkvh, Cd),
+                                       jnp.float32) if dquant else None),
                 )
 
             self._make_dempty = jax.jit(_dempty)
@@ -405,7 +421,8 @@ class LLMServer:
 
         def _as_kv(state: ServeState) -> KVCache:
             return KVCache(k=state.k, v=state.v, key_mask=state.key_mask,
-                           cursor=state.cursor, next_pos=state.next_pos)
+                           cursor=state.cursor, next_pos=state.next_pos,
+                           k_scale=state.k_scale, v_scale=state.v_scale)
 
         @partial(jax.jit, donate_argnums=(1,))
         def decode_chunk(params, state, active, temps, top_ps, rng,
@@ -496,7 +513,8 @@ class LLMServer:
                 live = live & (tok != eos_id)
                 state = ServeState(cache.k, cache.v, cache.key_mask,
                                    cache.cursor, cache.next_pos, logits,
-                                   dfa, state.schema)
+                                   dfa, state.schema,
+                                   cache.k_scale, cache.v_scale)
                 return state, out, live, t + 1
 
             state, out, _, _ = jax.lax.while_loop(
@@ -531,11 +549,13 @@ class LLMServer:
 
         def _as_kv(state: ServeState) -> KVCache:
             return KVCache(k=state.k, v=state.v, key_mask=state.key_mask,
-                           cursor=state.cursor, next_pos=state.next_pos)
+                           cursor=state.cursor, next_pos=state.next_pos,
+                           k_scale=state.k_scale, v_scale=state.v_scale)
 
         def _dkv(d: DraftState) -> KVCache:
             return KVCache(k=d.k, v=d.v, key_mask=d.key_mask,
-                           cursor=d.cursor, next_pos=d.next_pos)
+                           cursor=d.cursor, next_pos=d.next_pos,
+                           k_scale=d.k_scale, v_scale=d.v_scale)
 
         @partial(jax.jit, donate_argnums=(2, 3))
         def spec_chunk(tp, dp, state, dstate, active):
@@ -566,7 +586,8 @@ class LLMServer:
                         dp, _dkv(dst), tok[:, None], live)
                     nxt = jnp.argmax(dl[:, 0], axis=-1).astype(jnp.int32)
                     return (DraftState(dkv2.k, dkv2.v, dkv2.key_mask,
-                                       dkv2.cursor, dkv2.next_pos),
+                                       dkv2.cursor, dkv2.next_pos,
+                                       dkv2.k_scale, dkv2.v_scale),
                             nxt), nxt
 
                 (dstate2, _), douts = jax.lax.scan(
@@ -607,12 +628,14 @@ class LLMServer:
                 logits = jnp.where(live[:, None], newlog, state.logits)
                 state = ServeState(tkv.k, tkv.v, km, new_cur,
                                    tpos0 + adv, logits,
-                                   state.dfa, state.schema)
+                                   state.dfa, state.schema,
+                                   tkv.k_scale, tkv.v_scale)
                 dcur_new = dcur0 + adv
                 dkm = jnp.where(dcols >= dcur_new[:, None],
                                 0.0, dstate2.key_mask)
                 dstate = DraftState(dstate2.k, dstate2.v, dkm,
-                                    dcur_new, dpos0 + adv)
+                                    dcur_new, dpos0 + adv,
+                                    dstate2.k_scale, dstate2.v_scale)
 
                 live = (live & ~hit_eos & (new_cur + G <= C)
                         & (dcur_new + G <= Cd))
@@ -648,6 +671,12 @@ class LLMServer:
                 key_mask=dstate.key_mask.at[slot].set(kv.key_mask[0]),
                 cursor=dstate.cursor.at[slot].set(kv.cursor),
                 next_pos=dstate.next_pos.at[slot].set(kv.next_pos[0]),
+                k_scale=(None if dstate.k_scale is None
+                         else dstate.k_scale.at[:, slot].set(
+                             kv.k_scale[:, 0])),
+                v_scale=(None if dstate.v_scale is None
+                         else dstate.v_scale.at[:, slot].set(
+                             kv.v_scale[:, 0])),
             )
 
         self._dsync_cache[S] = dsync
@@ -700,6 +729,12 @@ class LLMServer:
                 logits=state.logits.at[slot].set(logits[0]),
                 dfa=state.dfa.at[slot].set(0),
                 schema=state.schema.at[slot].set(sch),
+                k_scale=(None if state.k_scale is None
+                         else state.k_scale.at[:, slot].set(
+                             kv.k_scale[:, 0])),
+                v_scale=(None if state.v_scale is None
+                         else state.v_scale.at[:, slot].set(
+                             kv.v_scale[:, 0])),
             )
 
         self._admit_cache[S] = admit
@@ -716,9 +751,13 @@ class LLMServer:
 
         @partial(jax.jit, donate_argnums=(1,))
         def extend(params, state, ids, mask, slot, col0, pos0, sch):
-            logits, k_row, v_row, km = model.prefill_extend(
+            logits, k_row, v_row, km, ksr, vsr = model.prefill_extend(
                 params, state.k[:, slot], state.v[:, slot],
-                state.key_mask[slot], ids, mask, col0, pos0)
+                state.key_mask[slot], ids, mask, col0, pos0,
+                k_scale_row=(None if state.k_scale is None
+                             else state.k_scale[:, slot]),
+                v_scale_row=(None if state.v_scale is None
+                             else state.v_scale[:, slot]))
             n = jnp.sum(mask).astype(jnp.int32)
             return ServeState(
                 k=state.k.at[:, slot].set(k_row),
@@ -729,6 +768,10 @@ class LLMServer:
                 logits=state.logits.at[slot].set(logits),
                 dfa=state.dfa.at[slot].set(0),
                 schema=state.schema.at[slot].set(sch),
+                k_scale=(None if state.k_scale is None
+                         else state.k_scale.at[:, slot].set(ksr)),
+                v_scale=(None if state.v_scale is None
+                         else state.v_scale.at[:, slot].set(vsr)),
             )
 
         self._extend_cache[S] = extend
