@@ -175,6 +175,11 @@ class Decoder:
         kvh = cfg.kv_heads or cfg.heads
         if cfg.heads % kvh:
             raise ValueError(f"heads {cfg.heads} % kv_heads {kvh} != 0")
+        if cfg.kv_dtype not in ("", "int8"):
+            # fail loudly: a typo'd value silently serving a full-precision
+            # cache would defeat the memory budget the operator planned for
+            raise ValueError(
+                f"kv_dtype must be '' or 'int8', got {cfg.kv_dtype!r}")
 
     # -- params ----------------------------------------------------------------
 

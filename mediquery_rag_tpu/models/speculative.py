@@ -104,6 +104,12 @@ class SpeculativeGenerator:
             # row format: [L, KH, C, dh] single lane
             tk, tv, tkm = tkv.k[:, 0], tkv.v[:, 0], tkv.key_mask[0]
             dk, dv, dkm = dkv.k[:, 0], dkv.v[:, 0], dkv.key_mask[0]
+            # scale ROWS for int8-KV caches (None on the float path) —
+            # threaded through the while_loop like the cache rows
+            tks = None if tkv.k_scale is None else tkv.k_scale[:, 0]
+            tvs = None if tkv.v_scale is None else tkv.v_scale[:, 0]
+            dks = None if dkv.k_scale is None else dkv.k_scale[:, 0]
+            dvs = None if dkv.v_scale is None else dkv.v_scale[:, 0]
             cur = tkv.cursor                     # scalar: next write column
             pos = tkv.next_pos[0]                # scalar: next RoPE position
             ones1 = jnp.ones((1,), jnp.float32)
@@ -123,23 +129,27 @@ class SpeculativeGenerator:
                 # in the draft cache that silently degrades every later
                 # proposal (losslessness would hold, throughput wouldn't).
                 def propose(carry, i):
-                    dk, dv, dkm, tok = carry
-                    dl, dk, dv, dkm, _, _ = dmodel.prefill_extend(
+                    dk, dv, dkm, dks, dvs, tok = carry
+                    dl, dk, dv, dkm, dks, dvs = dmodel.prefill_extend(
                         dp, dk, dv, dkm, tok[None], ones1,
-                        st["cur"] + i, st["pos"] + i)
+                        st["cur"] + i, st["pos"] + i,
+                        k_scale_row=dks, v_scale_row=dvs)
                     nxt = jnp.argmax(dl).astype(jnp.int32)
-                    return (dk, dv, dkm, nxt), nxt
+                    return (dk, dv, dkm, dks, dvs, nxt), nxt
 
-                (dk, dv, dkm, _), outs = jax.lax.scan(
-                    propose, (st["dk"], st["dv"], st["dkm"], t0),
+                (dk, dv, dkm, dks, dvs, _), outs = jax.lax.scan(
+                    propose, (st["dk"], st["dv"], st["dkm"],
+                              st["dks"], st["dvs"], t0),
                     jnp.arange(G))
                 cand = jnp.concatenate([t0[None], outs[:gamma]])   # [G]
 
                 # target verifies ALL candidates in one pass (one weight
                 # read); its rollback kills last round's rejected K/V
-                tl, tk, tv, tkm, _, _ = tmodel.prefill_extend(
+                tl, tk, tv, tkm, tks, tvs = tmodel.prefill_extend(
                     tp, st["tk"], st["tv"], st["tkm"], cand, onesG,
-                    st["cur"], st["pos"], all_logits=True)      # [G, V]
+                    st["cur"], st["pos"], all_logits=True,
+                    k_scale_row=st["tks"],
+                    v_scale_row=st["tvs"])                      # [G, V]
                 u = jnp.argmax(tl, axis=-1).astype(jnp.int32)   # [G]
 
                 # accept the longest prefix of drafts the target agrees
@@ -165,6 +175,7 @@ class SpeculativeGenerator:
                 return {
                     "tk": tk, "tv": tv, "tkm": tkm,
                     "dk": dk, "dv": dv, "dkm": dkm,
+                    "tks": tks, "tvs": tvs, "dks": dks, "dvs": dvs,
                     "cur": st["cur"] + n_acc, "pos": st["pos"] + n_acc,
                     "t_logits": t_logits, "out": out,
                     "n": st["n"] + jnp.maximum(n_acc, 1).astype(jnp.int32),
@@ -175,6 +186,7 @@ class SpeculativeGenerator:
             st0 = {
                 "tk": tk, "tv": tv, "tkm": tkm,
                 "dk": dk, "dv": dv, "dkm": dkm,
+                "tks": tks, "tvs": tvs, "dks": dks, "dvs": dvs,
                 "cur": cur, "pos": pos, "t_logits": t_logits[0],
                 "out": jnp.full((out_len,), pad_id, jnp.int32),
                 "n": jnp.int32(0), "done": jnp.zeros((), bool),

@@ -52,6 +52,16 @@ import numpy as np
 from mediquery_rag_tpu.models.generate import Generator, _round_up
 
 
+def _set_scale(dst, slot, src, lane=None):
+    """Scatter one lane's KV-scale row into an optional [L, B, KH, C]
+    scale array. None-propagating: the float path carries no scales (and
+    then ``src`` is None too, never touched). ``lane`` slices a batch
+    axis out of ``src`` first (prefill outputs are [L, 1, KH, C])."""
+    if dst is None:
+        return None
+    return dst.at[:, slot].set(src if lane is None else src[:, lane])
+
+
 class ServerSaturated(RuntimeError):
     """Raised by ``submit`` when the request backlog exceeds
     ``max_backlog`` — the signal the HTTP layer maps to 429. Shedding at
@@ -671,12 +681,10 @@ class LLMServer:
                 key_mask=dstate.key_mask.at[slot].set(kv.key_mask[0]),
                 cursor=dstate.cursor.at[slot].set(kv.cursor),
                 next_pos=dstate.next_pos.at[slot].set(kv.next_pos[0]),
-                k_scale=(None if dstate.k_scale is None
-                         else dstate.k_scale.at[:, slot].set(
-                             kv.k_scale[:, 0])),
-                v_scale=(None if dstate.v_scale is None
-                         else dstate.v_scale.at[:, slot].set(
-                             kv.v_scale[:, 0])),
+                k_scale=_set_scale(dstate.k_scale, slot, kv.k_scale,
+                                   lane=0),
+                v_scale=_set_scale(dstate.v_scale, slot, kv.v_scale,
+                                   lane=0),
             )
 
         self._dsync_cache[S] = dsync
@@ -729,12 +737,10 @@ class LLMServer:
                 logits=state.logits.at[slot].set(logits[0]),
                 dfa=state.dfa.at[slot].set(0),
                 schema=state.schema.at[slot].set(sch),
-                k_scale=(None if state.k_scale is None
-                         else state.k_scale.at[:, slot].set(
-                             kv.k_scale[:, 0])),
-                v_scale=(None if state.v_scale is None
-                         else state.v_scale.at[:, slot].set(
-                             kv.v_scale[:, 0])),
+                k_scale=_set_scale(state.k_scale, slot, kv.k_scale,
+                                   lane=0),
+                v_scale=_set_scale(state.v_scale, slot, kv.v_scale,
+                                   lane=0),
             )
 
         self._admit_cache[S] = admit
@@ -768,10 +774,8 @@ class LLMServer:
                 logits=state.logits.at[slot].set(logits),
                 dfa=state.dfa.at[slot].set(0),
                 schema=state.schema.at[slot].set(sch),
-                k_scale=(None if state.k_scale is None
-                         else state.k_scale.at[:, slot].set(ksr)),
-                v_scale=(None if state.v_scale is None
-                         else state.v_scale.at[:, slot].set(vsr)),
+                k_scale=_set_scale(state.k_scale, slot, ksr),
+                v_scale=_set_scale(state.v_scale, slot, vsr),
             )
 
         self._extend_cache[S] = extend

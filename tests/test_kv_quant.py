@@ -174,3 +174,93 @@ class TestServingEquivalences:
             assert srv.stats["extends"] == 1
             assert srv.stats["prefix_tokens_reused"] > 0
         assert isinstance(r1, str) and isinstance(r2, str)
+
+
+class TestGQAQuant:
+    """GQA (kv_heads < heads) exercises the scale head-expansion
+    (_rep_s): a repeat/tile or transpose slip would corrupt attention
+    only on real qwen2.5-shaped checkpoints — pin it on a tiny GQA
+    config."""
+
+    GKW = dict(vocab_size=384, hidden=64, layers=2, heads=4, kv_heads=2,
+               mlp_dim=128, max_len=512, dtype="float32")
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        g32 = Generator(DecoderConfig(**self.GKW))
+        q8 = Generator(DecoderConfig(**self.GKW, kv_dtype="int8"))
+        q8.params = g32.params
+        return g32, q8
+
+    def test_decode_argmax_agrees(self, pair):
+        g32, q8 = pair
+        tok = g32.tokenizer
+        ids, mask = tok.batch_encode(PROMPTS)
+        ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        l32, c32 = jax.jit(
+            lambda p, i, m: g32.model.prefill(p, i, m, 256))(
+            g32.params, ids, mask)
+        _, c8 = jax.jit(
+            lambda p, i, m: q8.model.prefill(p, i, m, 256))(
+            q8.params, ids, mask)
+        t0 = jnp.argmax(l32, axis=-1).astype(jnp.int32)
+        d32, _ = jax.jit(g32.model.decode_step)(g32.params, c32, t0)
+        d8, _ = jax.jit(q8.model.decode_step)(q8.params, c8, t0)
+        assert np.array_equal(np.asarray(d32).argmax(-1),
+                              np.asarray(d8).argmax(-1))
+
+    def test_extend_slots_matches_sequential_gqa(self, pair):
+        from mediquery_rag_tpu.models.decoder import KVCache
+        _, q8 = pair
+        tok = q8.tokenizer
+        ids, mask = tok.batch_encode(["高血压", "糖尿病"])
+        _, cache = jax.jit(
+            lambda p, i, m: q8.model.prefill(p, i, m, 256))(
+            q8.params, jnp.asarray(ids), jnp.asarray(mask))
+        B = ids.shape[0]
+        base = KVCache(
+            k=cache.k, v=cache.v, key_mask=cache.key_mask,
+            cursor=jnp.full((B,), cache.cursor, jnp.int32),
+            next_pos=cache.next_pos,
+            k_scale=cache.k_scale, v_scale=cache.v_scale)
+        toks = jnp.asarray([[5, 9], [77, 3]], jnp.int32)
+        act = jnp.ones((B,), bool)
+        seq, c_seq = [], base
+        for i in range(2):
+            l, c_seq = jax.jit(q8.model.decode_step_slots)(
+                q8.params, c_seq, toks[:, i], act)
+            seq.append(np.asarray(l))
+        l_ext, c_ext = jax.jit(q8.model.extend_slots)(
+            q8.params, base, toks, act)
+        np.testing.assert_allclose(np.asarray(l_ext),
+                                   np.stack(seq, axis=1),
+                                   rtol=2e-4, atol=2e-4)
+        assert np.array_equal(np.asarray(c_ext.k), np.asarray(c_seq.k))
+
+    def test_server_greedy_matches_lockstep_gqa(self, pair):
+        _, q8 = pair
+        want = q8.generate([PROMPTS[0]], max_new_tokens=24)[0]
+        with LLMServer(q8, slots=2, chunk=8) as srv:
+            got = srv.complete(PROMPTS[0], max_new_tokens=24)
+        assert got == want
+
+
+class TestLockstepSpeculativeQuant:
+    def test_speculative_generator_runs_int8(self, gen_q8):
+        """The lockstep SpeculativeGenerator must thread the scale rows
+        (it crashed with dtype mismatch before) and stay lossless."""
+        from mediquery_rag_tpu.models.speculative import SpeculativeGenerator
+        draft = Generator(DecoderConfig(
+            vocab_size=384, hidden=32, layers=1, heads=2, mlp_dim=64,
+            max_len=1024, dtype="float32", kv_dtype="int8"),
+            key=jax.random.PRNGKey(7))
+        spec = SpeculativeGenerator(gen_q8, draft, gamma=3)
+        got = spec.generate([PROMPTS[0]], max_new_tokens=24)[0]
+        want = gen_q8.generate([PROMPTS[0]], max_new_tokens=24)[0]
+        assert got == want
+
+
+class TestValidation:
+    def test_bad_kv_dtype_rejected(self):
+        with pytest.raises(ValueError, match="kv_dtype"):
+            Generator(DecoderConfig(**KW, kv_dtype="int4"))
