@@ -20,6 +20,77 @@ from concurrent.futures import Future
 from typing import Callable, Sequence
 
 
+class MicroBatcher:
+    """Generic request coalescer: concurrent callers submit single items;
+    a collector thread batches them (up to ``max_batch`` or
+    ``max_wait_ms``) into ONE ``fn(items) -> results`` call and fans the
+    results back out through futures. The embeddings endpoint rides this
+    (serve/server.py /v1/embeddings): N concurrent HTTP callers become
+    one TPU embed program, the same amortization BatchingSearchService
+    does for retrieval."""
+
+    def __init__(self, fn: Callable[[list], Sequence], *,
+                 max_batch: int = 64, max_wait_ms: float = 2.0):
+        self._fn = fn
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0}
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def submit(self, item) -> Future:
+        fut: Future = Future()
+        self._q.put((item, fut))
+        return fut
+
+    def submit_many(self, items: Sequence) -> list:
+        """Results for ``items``, coalesced with everyone else's."""
+        futs = [self.submit(x) for x in items]
+        return [f.result(timeout=120.0) for f in futs]
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._q.put(None)
+        self._worker.join(timeout=5)
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                item = self._q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            if item is None:
+                continue
+            batch = [item]
+            t_end = time.perf_counter() + self.max_wait
+            while len(batch) < self.max_batch:
+                remaining = t_end - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                batch.append(nxt)
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
+            self.stats["max_batch_seen"] = max(
+                self.stats["max_batch_seen"], len(batch))
+            try:
+                results = self._fn([x for x, _ in batch])
+                for (_, fut), res in zip(batch, results):
+                    if not fut.done():
+                        fut.set_result(res)
+            except Exception as e:
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+
 class BatchingSearchService:
     def __init__(
         self,

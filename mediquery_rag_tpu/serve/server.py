@@ -101,6 +101,10 @@ class SearchServer:
         # index mutations are functional snapshot swaps (safe vs concurrent
         # searches) but must not interleave with EACH OTHER
         self._mut_lock = threading.Lock()
+        # /v1/embeddings coalescer (lazy: only servers that actually serve
+        # embeddings pay for the collector thread)
+        self._embed_batcher = None
+        self._embed_lock = threading.Lock()
 
     # -- request handling ------------------------------------------------
 
@@ -148,8 +152,16 @@ class SearchServer:
         texts = [inp] if isinstance(inp, str) else list(inp)
         if not texts or not all(isinstance(t, str) for t in texts):
             raise ValueError("input must be a string or list of strings")
+        if self._embed_batcher is None:
+            from mediquery_rag_tpu.serve.batcher import MicroBatcher
+            with self._embed_lock:
+                if self._embed_batcher is None:
+                    # resolve the embedder at call time: index admin can
+                    # swap self.store, and the coalescer must follow it
+                    self._embed_batcher = MicroBatcher(
+                        lambda ts: list(self.store.embedder(ts)))
         import numpy as np
-        vecs = np.asarray(emb(texts))
+        vecs = np.asarray(self._embed_batcher.submit_many(texts))
         n_tok = sum(len(t) for t in texts)
         return {
             "object": "list",
@@ -318,6 +330,9 @@ class SearchServer:
 
         for k, v in sorted(dict(self.service.stats).items()):
             emit(f"mediquery_search_{k}", v, "counter")
+        if self._embed_batcher is not None:
+            for k, v in sorted(dict(self._embed_batcher.stats).items()):
+                emit(f"mediquery_embed_{k}", v, "counter")
         if self.llm_server is not None:
             for k, v in sorted(dict(self.llm_server.stats).items()):
                 emit(f"mediquery_llm_{k}", v, "counter")
@@ -433,6 +448,8 @@ class SearchServer:
             self._httpd.shutdown()
             self._thread.join(timeout=5)
             self._httpd.server_close()
+        if self._embed_batcher is not None:
+            self._embed_batcher.shutdown()
         self.service.shutdown()
 
 

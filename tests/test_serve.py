@@ -71,6 +71,66 @@ def test_shutdown_idempotent(service):
     service.shutdown()
 
 
+class TestMicroBatcher:
+    """Generic item-level coalescer (serve/batcher.py:MicroBatcher)."""
+
+    def test_coalesces_and_fans_out(self):
+        from mediquery_rag_tpu.serve.batcher import MicroBatcher
+        calls = []
+
+        def fn(items):
+            calls.append(list(items))
+            return [x * 2 for x in items]
+
+        mb = MicroBatcher(fn, max_batch=8, max_wait_ms=30)
+        try:
+            results = {}
+
+            def worker(i):
+                results[i] = mb.submit(i).result(timeout=10)
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=10)
+            assert results == {i: i * 2 for i in range(8)}
+            assert mb.stats["requests"] == 8
+            assert mb.stats["max_batch_seen"] >= 2   # coalescing happened
+            assert sum(len(c) for c in calls) == 8   # nothing duplicated
+        finally:
+            mb.shutdown()
+
+    def test_submit_many_preserves_order(self):
+        from mediquery_rag_tpu.serve.batcher import MicroBatcher
+        mb = MicroBatcher(lambda xs: [x + 1 for x in xs],
+                          max_batch=4, max_wait_ms=1)
+        try:
+            assert mb.submit_many(list(range(10))) == list(range(1, 11))
+        finally:
+            mb.shutdown()
+
+    def test_exception_fans_out(self):
+        from mediquery_rag_tpu.serve.batcher import MicroBatcher
+
+        def broken(items):
+            raise RuntimeError("embedder down")
+
+        mb = MicroBatcher(broken, max_wait_ms=1)
+        try:
+            with pytest.raises(RuntimeError, match="embedder down"):
+                mb.submit("x").result(timeout=5)
+        finally:
+            mb.shutdown()
+
+    def test_shutdown_idempotent(self):
+        from mediquery_rag_tpu.serve.batcher import MicroBatcher
+        mb = MicroBatcher(lambda xs: xs)
+        mb.shutdown()
+        mb.shutdown()
+
+
 def test_selfrag_sessions_coalesce_through_batcher():
     """N concurrent Self-RAG sessions with the batcher as the graph's store:
     their retrieve nodes coalesce into shared TPU batches (the BASELINE
@@ -210,6 +270,33 @@ class TestHTTPServer:
         assert len(one["data"]) == 1
         assert one["data"][0]["index"] == 0
         assert one["usage"]["prompt_tokens"] > 0
+
+    def test_concurrent_embeddings_coalesce(self, server):
+        """N concurrent /v1/embeddings callers become few TPU embed calls
+        (server-side MicroBatcher), with each caller getting its own rows."""
+        srv, port = server
+        results = {}
+
+        def worker(i):
+            results[i] = self._post(port, "/v1/embeddings",
+                                    {"input": [f"查询{i}", f"问题{i}"]})
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert len(results) == 6
+        for out in results.values():
+            assert len(out["data"]) == 2
+            assert len(out["data"][0]["embedding"]) == 256
+        mb = srv._embed_batcher
+        assert mb is not None and mb.stats["max_batch_seen"] >= 2
+        # determinism: same text through the coalescer == direct embed
+        direct = self._post(port, "/v1/embeddings", {"input": "查询0"})
+        assert direct["data"][0]["embedding"] == \
+            results[0]["data"][0]["embedding"]
 
     def test_document_add_then_searchable(self, server):
         srv, port = server
