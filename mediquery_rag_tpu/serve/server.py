@@ -13,6 +13,9 @@ Endpoints (JSON in/out):
                  "where": {...}=null}        -> {"results": [[doc...]]}
   POST /qa      {"question": str, "user_id": str="anonymous"}
                                              -> {"answer": str, "docs": [...]}
+                with ``"stream": true``: SSE — one {"event":"node",...}
+                per Self-RAG super-step, a final {"event":"answer",...},
+                then [DONE] (the app.stream surface over HTTP)
   GET  /healthz                              -> {"ok": true, "stats": {...}}
   GET  /metrics                              -> Prometheus text exposition
                 (search + LLM counters, latency gauges)
@@ -138,6 +141,39 @@ class SearchServer:
             "answer": final.get("final_answer", ""),
             "docs": final.get("documents", []),
         }
+
+    def _stream_qa(self, body: dict, write_sse) -> None:
+        """SSE streaming for /qa: one ``{"event": "node", ...}`` progress
+        event per Self-RAG super-step (the ``app.stream`` surface the
+        reference consumed from LangGraph, ui/interface.py:293-307 printed
+        the summarizer event of exactly this stream), then a final
+        ``{"event": "answer", ...}`` and the [DONE] sentinel. A client
+        watching the stream sees retrieve→grade→(rewrite|web) loop turns
+        as they happen instead of one opaque multi-second wait."""
+        from mediquery_rag_tpu.llm.messages import user
+
+        app = self._make_graph_app()
+        thread_id = body.get("thread_id", f"http_{uuid.uuid4().hex[:8]}")
+        state: dict = {}
+        for node, state in app.stream(
+                {"messages": [user(body["question"])],
+                 "user_id": body.get("user_id", "anonymous")},
+                thread_id=thread_id):
+            write_sse({
+                "event": "node",
+                "node": node,
+                "mode": state.get("mode"),
+                "loop_step": state.get("loop_step", 0),
+                "n_docs": len(state.get("documents") or []),
+                "used_web_search": bool(state.get("used_web_search")),
+            })
+        write_sse({
+            "event": "answer",
+            "answer": state.get("final_answer", ""),
+            "docs": state.get("documents", []),
+            "thread_id": thread_id,
+        })
+        write_sse("[DONE]")
 
     def _handle_embeddings(self, body: dict) -> dict:
         """OpenAI-compatible /v1/embeddings over the TPU embedder — the
@@ -389,7 +425,25 @@ class SearchServer:
                     if self.path == "/search":
                         self._send(200, outer._handle_search(body))
                     elif self.path == "/qa":
-                        self._send(200, outer._handle_qa(body))
+                        if body.get("stream"):
+                            # validate BEFORE committing SSE headers so a
+                            # bad request still gets a clean HTTP 400
+                            if outer._make_graph_app is None:
+                                raise ValueError(
+                                    "/qa is not configured (no graph factory)")
+                            if not isinstance(body.get("question"), str) \
+                                    or not body["question"]:
+                                raise ValueError(
+                                    "question must be a non-empty string")
+                            self.send_response(200)
+                            self.send_header("Content-Type",
+                                             "text/event-stream")
+                            self.send_header("Cache-Control", "no-cache")
+                            self.end_headers()
+                            sse_started = True
+                            outer._stream_qa(body, self._sse)
+                        else:
+                            self._send(200, outer._handle_qa(body))
                     elif self.path == "/v1/embeddings":
                         self._send(200, outer._handle_embeddings(body))
                     elif self.path == "/documents":

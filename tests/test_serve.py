@@ -240,6 +240,60 @@ class TestHTTPServer:
         assert "限盐" in out["answer"]
         assert out["docs"]
 
+    def _sse_events(self, port, path, payload, timeout=120):
+        import json as js
+        import urllib.request
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=js.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        events, done = [], False
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            assert r.headers["Content-Type"].startswith("text/event-stream")
+            for line in r:
+                line = line.decode().strip()
+                if not line.startswith("data: "):
+                    continue
+                data = line[len("data: "):]
+                if data == "[DONE]":
+                    done = True
+                    break
+                events.append(js.loads(data))
+        return events, done
+
+    def test_qa_stream_sse(self, server):
+        """/qa with stream:true yields one node event per Self-RAG
+        super-step, then the final answer — the app.stream surface over
+        HTTP, and the answer matches the non-streaming /qa contract."""
+        srv, port = server
+        events, done = self._sse_events(
+            port, "/qa", {"question": "高血压饮食要注意什么 限盐",
+                          "stream": True})
+        assert done
+        nodes = [e["node"] for e in events if e.get("event") == "node"]
+        assert nodes[0] == "router" and "retrieve" in nodes
+        assert nodes[-1] == "summarizer"
+        retrieve_ev = events[nodes.index("retrieve")]
+        assert retrieve_ev["n_docs"] >= 1 and retrieve_ev["loop_step"] == 1
+        final = events[-1]
+        assert final["event"] == "answer" and "限盐" in final["answer"]
+        assert final["docs"] and final["thread_id"]
+
+    def test_qa_stream_bad_request_is_http_400(self, server):
+        import json as js
+        import urllib.error
+        import urllib.request
+        srv, port = server
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/qa",
+            data=js.dumps({"stream": True}).encode(),   # no question
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
     def test_healthz(self, server):
         import json as js
         import urllib.request
