@@ -46,7 +46,14 @@ class EngineConfig:
     # (Faiss/HAVEN "refine" tier, TPU-adapted: host RAM is the warm tier)
     rerank_factor: int = 0          # 0 = off; typical 4
     # sharding
-    mesh_axis: str = "shard"        # corpus-shard mesh axis name
+    mesh_axis: str = "shard"        # corpus-shard mesh axis name (ICI)
+    dcn_axis: str = ""              # multi-slice: outer mesh axis spanning
+                                    # slices (DCN links). "" = single-slice.
+                                    # When set, corpus rows shard over the
+                                    # (dcn, ici) product and the top-k merge
+                                    # is hierarchical: wide all-gather on
+                                    # ICI, k-finalist exchange on DCN
+                                    # (parallel/collectives.py)
 
 
 @dataclass(frozen=True)

@@ -18,7 +18,7 @@ import orbax.checkpoint as ocp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mediquery_rag_tpu.config import EngineConfig
-from mediquery_rag_tpu.engine.sharded import ShardedFlatIndex
+from mediquery_rag_tpu.engine.sharded import ShardedFlatIndex, _shard_axes
 
 
 def _arrays_dir(path: str) -> str:
@@ -51,8 +51,8 @@ def load_sharded_index(path: str, mesh: Mesh) -> ShardedFlatIndex:
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     cfg = EngineConfig(**{**EngineConfig().__dict__, **meta["cfg"]})
-    axis = cfg.mesh_axis
-    import jax.numpy as jnp
+    axis = _shard_axes(cfg, mesh)     # (ici,) or (dcn, ici): restores into
+    import jax.numpy as jnp           # the hierarchical layout when set
 
     # int4 corpora are row-pair packed in int8 bytes: meta's "n_pad" is the
     # stored PHYSICAL byte-row count, and scales are [2, n_pad] planes
@@ -115,7 +115,7 @@ def load_sharded_ivf(path: str, mesh: Mesh):
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     cfg = EngineConfig(**{**EngineConfig().__dict__, **meta["cfg"]})
-    axis = cfg.mesh_axis
+    axis = _shard_axes(cfg, mesh)
     dtype = jnp.int8 if cfg.dtype in ("int8", "int4") else jnp.dtype(cfg.dtype)
     sh_rows = NamedSharding(mesh, P(axis, None))
     repl = NamedSharding(mesh, P())

@@ -5,6 +5,12 @@ holds ``N/S`` rows in its HBM and scores only its shard with the fused Pallas
 kernel; the tiny per-shard top-k lists are merged via all-gather over ICI
 (parallel/collectives.py). This is the TP-of-the-database pattern from
 SURVEY §2c — the corpus axis is the sharded axis, queries are replicated.
+
+Multi-slice deployments (cfg.dcn_axis set, mesh from parallel.slice_mesh):
+rows shard over the ``(dcn, ici)`` axis product and the merge goes
+hierarchical — wide candidate all-gather stays on ICI within each slice,
+only the k per-slice finalists cross the slow DCN links
+(collectives.hierarchical_topk_merge).
 """
 
 from __future__ import annotations
@@ -27,7 +33,28 @@ from mediquery_rag_tpu.ops.scoring import flat_search
 from mediquery_rag_tpu.ops.quant import (
     int4_flat_search, int8_flat_search, quantize_rows, quantize_rows_int4,
 )
-from mediquery_rag_tpu.parallel.collectives import sharded_topk_merge
+from mediquery_rag_tpu.parallel.collectives import grouped_topk_merge
+
+
+def _shard_axes(cfg: EngineConfig, mesh: Mesh) -> tuple[str, ...]:
+    """Mesh axes the corpus rows shard over: ``(ici,)`` single-slice, or
+    ``(dcn, ici)`` when cfg.dcn_axis names an axis of the mesh (rows are
+    partitioned row-major over the product; the merge is hierarchical)."""
+    if cfg.dcn_axis:
+        if cfg.dcn_axis not in mesh.axis_names:
+            raise ValueError(
+                f"cfg.dcn_axis={cfg.dcn_axis!r} is not an axis of the mesh "
+                f"{tuple(mesh.axis_names)}")
+        return (cfg.dcn_axis, cfg.mesh_axis)
+    return (cfg.mesh_axis,)
+
+
+def _linear_shard_id(axes: tuple[str, ...], sizes: tuple[int, ...]):
+    """This device's row-major rank over ``axes`` (inside shard_map)."""
+    sid = jax.lax.axis_index(axes[0])
+    for a, sz in zip(axes[1:], sizes[1:]):
+        sid = sid * sz + jax.lax.axis_index(a)
+    return sid
 
 
 @dataclass
@@ -42,8 +69,8 @@ class ShardedFlatIndex:
     def build(cls, vectors, mesh: Mesh, cfg: EngineConfig = EngineConfig()):
         v = jnp.asarray(vectors)
         n, d = v.shape
-        axis = cfg.mesh_axis
-        s = mesh.shape[axis]
+        axes = _shard_axes(cfg, mesh)
+        s = int(np.prod([mesh.shape[a] for a in axes]))
         if cfg.metric == "cosine":
             v = l2_normalize(v.astype(jnp.float32))
         # pad so each shard holds a whole number of corpus tiles
@@ -56,18 +83,18 @@ class ShardedFlatIndex:
             if n_pad != n:
                 v = jnp.pad(v, ((0, n_pad - n), (0, 0)))
             v, scale = quantize_rows_int4(v)   # [n_pad/2, D], planes [2, n_pad/2]
-            scale = jax.device_put(scale, NamedSharding(mesh, P(None, axis)))
+            scale = jax.device_put(scale, NamedSharding(mesh, P(None, axes)))
         elif cfg.dtype == "int8":
             v, scale = quantize_rows(v)
             if n_pad != n:
                 scale = jnp.pad(scale, ((0, n_pad - n),))
                 v = jnp.pad(v, ((0, n_pad - n), (0, 0)))
-            scale = jax.device_put(scale, NamedSharding(mesh, P(axis)))
+            scale = jax.device_put(scale, NamedSharding(mesh, P(axes)))
         else:
             v = v.astype(jnp.dtype(cfg.dtype))
             if n_pad != n:
                 v = jnp.pad(v, ((0, n_pad - n), (0, 0)))
-        sharding = NamedSharding(mesh, P(axis, None))
+        sharding = NamedSharding(mesh, P(axes, None))
         v = jax.device_put(v, sharding)
         return cls(corpus=v, n=n, cfg=cfg, mesh=mesh, corpus_scale=scale)
 
@@ -81,10 +108,11 @@ class ShardedFlatIndex:
         queries, squeeze = as_query_batch(queries)
         q_pad, b = bucket_queries(queries)
         cosine = self.cfg.metric == "cosine"
+        axes = _shard_axes(self.cfg, self.mesh)
         if self.corpus_scale is not None:
             s, i = _sharded_search_quant(
                 q_pad, self.corpus, self.corpus_scale, jnp.int32(self.n),
-                mesh=self.mesh, axis=self.cfg.mesh_axis, k=k,
+                mesh=self.mesh, axes=axes, k=k,
                 query_tile=self.cfg.query_tile,
                 corpus_tile=self.cfg.corpus_tile, cosine=cosine,
                 kind=self.cfg.dtype,
@@ -92,7 +120,7 @@ class ShardedFlatIndex:
         else:
             s, i = _sharded_search(
                 q_pad, self.corpus, jnp.int32(self.n),
-                mesh=self.mesh, axis=self.cfg.mesh_axis, k=k,
+                mesh=self.mesh, axes=axes, k=k,
                 query_tile=self.cfg.query_tile,
                 corpus_tile=self.cfg.corpus_tile, cosine=cosine,
             )
@@ -111,19 +139,20 @@ class ShardedFlatIndex:
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "k", "query_tile", "corpus_tile",
+    static_argnames=("mesh", "axes", "k", "query_tile", "corpus_tile",
                      "cosine"),
 )
-def _sharded_search(q, corpus, n_valid, *, mesh, axis, k, query_tile,
+def _sharded_search(q, corpus, n_valid, *, mesh, axes, k, query_tile,
                     corpus_tile, cosine):
-    per_shard = corpus.shape[0] // mesh.shape[axis]
+    sizes = tuple(mesh.shape[a] for a in axes)
+    per_shard = corpus.shape[0] // int(np.prod(sizes))
     q = q.astype(jnp.float32)
     if cosine:
         q = l2_normalize(q)
     q = q.astype(corpus.dtype)
 
     def local(qb, shard, nv):
-        sid = jax.lax.axis_index(axis)
+        sid = _linear_shard_id(axes, sizes)
         offset = sid * per_shard
         # valid rows in this shard: clamp(n - offset, 0, per_shard)
         local_valid = jnp.clip(nv[0] - offset, 0, per_shard)
@@ -132,12 +161,12 @@ def _sharded_search(q, corpus, n_valid, *, mesh, axis, k, query_tile,
             n_valid=local_valid,
             query_tile=query_tile, corpus_tile=corpus_tile,
         )
-        return sharded_topk_merge(s, i + offset, k, axis)
+        return grouped_topk_merge(s, i + offset, k, axes)
 
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P()),
+        in_specs=(P(), P(axes, None), P()),
         out_specs=(P(), P()),
         check_vma=False,  # pallas_call inside doesn't annotate vma
     )(q, corpus, n_valid.reshape((1,)))
@@ -145,22 +174,23 @@ def _sharded_search(q, corpus, n_valid, *, mesh, axis, k, query_tile,
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "k", "query_tile", "corpus_tile",
+    static_argnames=("mesh", "axes", "k", "query_tile", "corpus_tile",
                      "cosine", "kind"),
 )
-def _sharded_search_quant(q, corpus, scale, n_valid, *, mesh, axis, k,
+def _sharded_search_quant(q, corpus, scale, n_valid, *, mesh, axes, k,
                           query_tile, corpus_tile, cosine, kind="int8"):
     # int4 shards are row-pair packed: corpus rows are PHYSICAL byte-rows,
     # each holding two logical rows — ids/offsets/valid counts are logical
+    sizes = tuple(mesh.shape[a] for a in axes)
     mult = 2 if kind == "int4" else 1
-    per_shard = (corpus.shape[0] // mesh.shape[axis]) * mult
+    per_shard = (corpus.shape[0] // int(np.prod(sizes))) * mult
     q = q.astype(jnp.float32)
     if cosine:
         q = l2_normalize(q)
     kernel = int8_flat_search if kind == "int8" else int4_flat_search
 
     def local(qb, shard, sh_scale, nv):
-        sid = jax.lax.axis_index(axis)
+        sid = _linear_shard_id(axes, sizes)
         offset = sid * per_shard
         local_valid = jnp.clip(nv[0] - offset, 0, per_shard)
         s, i = kernel(
@@ -168,13 +198,13 @@ def _sharded_search_quant(q, corpus, scale, n_valid, *, mesh, axis, k,
             n_valid=local_valid,
             query_tile=query_tile, corpus_tile=corpus_tile,
         )
-        return sharded_topk_merge(s, i + offset, k, axis)
+        return grouped_topk_merge(s, i + offset, k, axes)
 
-    scale_spec = P(None, axis) if kind == "int4" else P(axis)
+    scale_spec = P(None, axes) if kind == "int4" else P(axes)
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), scale_spec, P()),
+        in_specs=(P(), P(axes, None), scale_spec, P()),
         out_specs=(P(), P()),
         check_vma=False,
     )(q, corpus, scale, n_valid.reshape((1,)))

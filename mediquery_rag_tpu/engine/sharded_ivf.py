@@ -11,6 +11,11 @@ sharded flat index.
 
 Worst-case skew (all nprobe probes on one chip) degrades latency to the
 single-chip case, never correctness.
+
+Multi-slice (cfg.dcn_axis set): cluster ranges distribute over the
+``(dcn, ici)`` device product in row-major order and partial top-k lists
+merge hierarchically — ICI all-gather within the slice, k-finalist
+exchange over DCN (engine/sharded.py notes).
 """
 
 from __future__ import annotations
@@ -33,7 +38,8 @@ from mediquery_rag_tpu.ops.ivf_kernel import (
     ivf_batch_search, ivf_probe_search, ivf_probe_search_int4,
     ivf_probe_search_int8,
 )
-from mediquery_rag_tpu.parallel.collectives import sharded_topk_merge
+from mediquery_rag_tpu.engine.sharded import _linear_shard_id, _shard_axes
+from mediquery_rag_tpu.parallel.collectives import grouped_topk_merge
 
 
 @dataclass
@@ -62,8 +68,8 @@ class ShardedIVFIndex:
         ``IVFIndex.build_streaming`` at a scale where the in-memory build
         cannot run) across the mesh."""
         cfg = base.cfg
-        axis = cfg.mesh_axis
-        s = mesh.shape[axis]
+        axes = _shard_axes(cfg, mesh)
+        s = int(np.prod([mesh.shape[a] for a in axes]))
         nlist, cap = base.bucket_ids.shape
         d = base.buckets.shape[1]
         per = -(-nlist // s)                       # clusters per shard
@@ -89,7 +95,7 @@ class ShardedIVFIndex:
             if int8:
                 bscales[sh, : hi - lo] = src_scales[lo:hi]
 
-        sharding_b = NamedSharding(mesh, P(axis, None))
+        sharding_b = NamedSharding(mesh, P(axes, None))
         buckets = jax.device_put(
             jnp.asarray(bvecs.reshape(s * (per + 1) * rows, d)),
             sharding_b)
@@ -128,7 +134,8 @@ class ShardedIVFIndex:
         s, i = _sharded_ivf_search(
             q_pad, cents, self.buckets,
             self.bucket_ids, scales,
-            mesh=self.mesh, axis=self.cfg.mesh_axis, k=k, nprobe=nprobe,
+            mesh=self.mesh, axes=_shard_axes(self.cfg, self.mesh), k=k,
+            nprobe=nprobe,
             per_shard=self.per_shard, cap=self.cap, batched=bool(batched),
             quant=quant, cosine=self.cfg.metric == "cosine",
         )
@@ -143,16 +150,17 @@ class ShardedIVFIndex:
                 + self.bucket_ids.size * 4 + self.centroids.size * 4)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "k", "nprobe", "per_shard",
+@partial(jax.jit, static_argnames=("mesh", "axes", "k", "nprobe", "per_shard",
                                    "cap", "batched", "quant", "cosine"))
-def _sharded_ivf_search(q, cents, buckets, bucket_ids, scales, *, mesh, axis,
+def _sharded_ivf_search(q, cents, buckets, bucket_ids, scales, *, mesh, axes,
                         k, nprobe, per_shard, cap, batched, quant, cosine):
+    sizes = tuple(mesh.shape[a] for a in axes)
     q = q.astype(jnp.float32)
     if cosine:
         q = l2_normalize(q)
 
     def local(qb, cents_r, bk, bids, bsc):
-        sid = jax.lax.axis_index(axis)
+        sid = _linear_shard_id(axes, sizes)
         cs = jnp.dot(qb, cents_r.T, preferred_element_type=jnp.float32)
         _, pid = jax.lax.top_k(cs, nprobe)               # global cluster ids
         lo = sid * per_shard
@@ -171,12 +179,12 @@ def _sharded_ivf_search(q, cents, buckets, bucket_ids, scales, *, mesh, axis,
         else:
             s, i = ivf_probe_search(local_pid, qb.astype(bk.dtype), bk, bids,
                                     k=k)
-        return sharded_topk_merge(s, i, k, axis)
+        return grouped_topk_merge(s, i, k, axes)
 
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis, None), P(axis, None)),
+        in_specs=(P(), P(), P(axes, None), P(axes, None), P(axes, None)),
         out_specs=(P(), P()),
         check_vma=False,
     )(q, cents, buckets, bucket_ids, scales)

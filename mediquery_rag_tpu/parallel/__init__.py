@@ -6,5 +6,9 @@ component: mesh construction, corpus sharding, and the all-gather partial
 top-k merge that rides ICI.
 """
 
-from mediquery_rag_tpu.parallel.mesh import corpus_mesh, make_mesh  # noqa: F401
-from mediquery_rag_tpu.parallel.collectives import sharded_topk_merge  # noqa: F401
+from mediquery_rag_tpu.parallel.mesh import (  # noqa: F401
+    corpus_mesh, make_mesh, slice_mesh,
+)
+from mediquery_rag_tpu.parallel.collectives import (  # noqa: F401
+    grouped_topk_merge, hierarchical_topk_merge, sharded_topk_merge,
+)

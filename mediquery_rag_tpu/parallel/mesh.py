@@ -27,3 +27,25 @@ def corpus_mesh(n_shards: int | None = None, axis: str = "shard") -> Mesh:
     devices = jax.devices()
     n = len(devices) if n_shards is None else n_shards
     return make_mesh({axis: n}, devices)
+
+
+def slice_mesh(n_slices: int, per_slice: int | None = None, *,
+               dcn_axis: str = "dcn", ici_axis: str = "shard",
+               devices=None) -> Mesh:
+    """2-D mesh for multi-slice deployments: ``(dcn, ici)`` axes.
+
+    The outer axis spans slices (DCN links between them), the inner axis the
+    chips within a slice (ICI). On real multi-slice hardware pass the device
+    array from ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` so
+    the inner axis actually maps to intra-slice chips; on a single slice or
+    the virtual CPU mesh, the reshape below produces the same logical layout
+    (device order groups each slice's chips contiguously — jax.devices()
+    orders TPU devices by (slice, chip)).
+    """
+    devices = jax.devices() if devices is None else devices
+    if per_slice is None:
+        if len(devices) % n_slices:
+            raise ValueError(
+                f"{len(devices)} devices do not divide into {n_slices} slices")
+        per_slice = len(devices) // n_slices
+    return make_mesh({dcn_axis: n_slices, ici_axis: per_slice}, devices)

@@ -105,6 +105,103 @@ class TestShardedFlatIndex:
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
 
 
+class TestHierarchicalDCNMesh:
+    """Multi-slice layout: 8 virtual devices as 2 slices x 4 chips. The
+    corpus shards over the (dcn, ici) product; the top-k merge all-gathers
+    within the slice (ICI) and exchanges only the k finalists across slices
+    (DCN) — parallel/collectives.py:hierarchical_topk_merge. Results must be
+    IDENTICAL to the flat single-axis merge and the oracle."""
+
+    def _mesh(self):
+        from mediquery_rag_tpu.parallel import slice_mesh
+        return slice_mesh(2, 4)
+
+    def test_flat_f32_matches_oracle(self):
+        cfg = EngineConfig(dim=64, dtype="float32", corpus_tile=256,
+                           query_tile=32, dcn_axis="dcn")
+        c = _vecs(5000, 64)
+        q = _vecs(9, 64, seed=6)
+        idx = ShardedFlatIndex.build(c, self._mesh(), cfg)
+        s, i = idx.search(q, k=10)
+        s_ref, i_ref = flat_search_xla(q, c, 10)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                                   rtol=1e-5)
+
+    def test_flat_uneven_rows(self):
+        """n not divisible by 8 shards: trailing shards partially padded —
+        offsets/valid counts must use the row-major (dcn, ici) linear id."""
+        cfg = EngineConfig(dim=64, dtype="float32", corpus_tile=256,
+                           query_tile=32, dcn_axis="dcn")
+        c = _vecs(1000, 64, seed=7)
+        idx = ShardedFlatIndex.build(c, self._mesh(), cfg)
+        q = _vecs(3, 64, seed=8)
+        _, i = idx.search(q, k=5)
+        assert (np.asarray(i) < 1000).all()
+        _, i_ref = flat_search_xla(q, c, 5)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+    def test_int8_matches_single_axis_merge(self):
+        c = _vecs(4000, 64, seed=20)
+        q = _vecs(5, 64, seed=21)
+        cfg1 = EngineConfig(dim=64, dtype="int8", corpus_tile=256,
+                            query_tile=32)
+        cfg2 = EngineConfig(dim=64, dtype="int8", corpus_tile=256,
+                            query_tile=32, dcn_axis="dcn")
+        i1 = ShardedFlatIndex.build(c, corpus_mesh(8), cfg1).search(q, k=10)[1]
+        i2 = ShardedFlatIndex.build(c, self._mesh(), cfg2).search(q, k=10)[1]
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_int4_matches_single_axis_merge(self):
+        c = _vecs(4096, 64, seed=22)
+        q = _vecs(5, 64, seed=23)
+        cfg1 = EngineConfig(dim=64, dtype="int4", corpus_tile=256,
+                            query_tile=32)
+        cfg2 = EngineConfig(dim=64, dtype="int4", corpus_tile=256,
+                            query_tile=32, dcn_axis="dcn")
+        i1 = ShardedFlatIndex.build(c, corpus_mesh(8), cfg1).search(q, k=10)[1]
+        i2 = ShardedFlatIndex.build(c, self._mesh(), cfg2).search(q, k=10)[1]
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_ivf_matches_single_axis_merge(self):
+        from mediquery_rag_tpu.engine import ShardedIVFIndex
+        c = _vecs(2000, 64, seed=24)
+        q = _vecs(6, 64, seed=25)
+        cfg1 = EngineConfig(dim=64, dtype="int8", ivf_nlist=16,
+                            ivf_kmeans_iters=2)
+        cfg2 = EngineConfig(dim=64, dtype="int8", ivf_nlist=16,
+                            ivf_kmeans_iters=2, dcn_axis="dcn")
+        ivf1 = ShardedIVFIndex.build(c, corpus_mesh(8), cfg1)
+        ivf2 = ShardedIVFIndex.build(c, self._mesh(), cfg2)
+        for batched in (False, True):
+            _, j1 = ivf1.search(q, k=5, nprobe=4, batched=batched)
+            _, j2 = ivf2.search(q, k=5, nprobe=4, batched=batched)
+            np.testing.assert_array_equal(np.asarray(j1), np.asarray(j2))
+
+    def test_checkpoint_roundtrip_hierarchical(self, tmp_path):
+        from mediquery_rag_tpu.engine.checkpoint import (
+            load_sharded_index, save_sharded_index,
+        )
+        cfg = EngineConfig(dim=64, dtype="int8", corpus_tile=256,
+                           query_tile=32, dcn_axis="dcn")
+        mesh = self._mesh()
+        c = _vecs(2000, 64, seed=26)
+        idx = ShardedFlatIndex.build(c, mesh, cfg)
+        save_sharded_index(idx, str(tmp_path / "hx"))
+        idx2 = load_sharded_index(str(tmp_path / "hx"), mesh)
+        assert idx2.cfg.dcn_axis == "dcn"
+        q = _vecs(4, 64, seed=27)
+        _, i1 = idx.search(q, k=5)
+        _, i2 = idx2.search(q, k=5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_bad_dcn_axis_rejected(self):
+        cfg = EngineConfig(dim=64, dtype="float32", corpus_tile=256,
+                           query_tile=32, dcn_axis="nope")
+        with pytest.raises(ValueError, match="not an axis"):
+            ShardedFlatIndex.build(_vecs(512, 64), self._mesh(), cfg)
+
+
 class TestIVFIndex:
     def test_full_probe_is_exact(self):
         """nprobe == nlist degenerates to exact search."""
