@@ -126,6 +126,17 @@ class DecoderConfig:
 
 
 @dataclass(frozen=True)
+class LoraConfig:
+    """Low-rank adaptation of the decoder (models/lora.py): rank-r deltas
+    on the projection matrices, merged back into the base for serving."""
+
+    rank: int = 8
+    alpha: float = 16.0             # delta scale = alpha / rank
+    targets: Tuple[str, ...] = (    # stacked [L, in, out] block weights
+        "qkv", "attn_out", "w_gate", "w_up", "w_down")
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     """Contrastive trainer for the embedder."""
 

@@ -30,3 +30,6 @@ from mediquery_rag_tpu.models.hf_import import (  # noqa: F401
     BertTextEmbedder, load_bert, load_qwen2, load_qwen2_generator,
     read_safetensors,
 )
+from mediquery_rag_tpu.models.lora import (  # noqa: F401
+    LoraTrainer, load_adapters, lora_init, lora_merge, save_adapters,
+)
