@@ -249,6 +249,11 @@ def build_document_store(
     elif kind == "sharded":
         from mediquery_rag_tpu.engine import ShardedFlatIndex
         index = ShardedFlatIndex.build(vecs, mesh, cfg)
+    elif kind == "streaming":
+        # beyond-HBM capacity tier: searchable store, but immutable —
+        # add/delete need an HBM-resident index (engine/streaming.py)
+        from mediquery_rag_tpu.engine import StreamingFlatIndex
+        index = StreamingFlatIndex.build(vecs, cfg)
     else:
         index = FlatIndex.build(vecs, cfg)
     return DocumentStore(chunks, index, embedder)

@@ -240,6 +240,19 @@ class TestInt4Store:
         docs = store.similarity_search("睡眠不好怎么办", k=2)
         assert len(docs) == 2
 
+    def test_streaming_store_retrieves(self):
+        """kind='streaming' builds the beyond-HBM tier behind the same
+        DocumentStore search surface (engine/streaming.py)."""
+        cfg = EngineConfig(dim=256, dtype="int8", corpus_tile=256,
+                           query_tile=32)
+        store = build_document_store(CORPUS, HashingEmbedder(dim=256), cfg,
+                                     kind="streaming")
+        from mediquery_rag_tpu.engine import StreamingFlatIndex
+        assert isinstance(store.index, StreamingFlatIndex)
+        docs = store.similarity_search("高血压患者吃饭要注意什么 饮食 限盐", k=3)
+        assert len(docs) == 3
+        assert any("高血压" in d.text for d in docs)
+
 
 class TestAppContextIndexKind:
     """The app-level index-type knob (EngineConfig.index_kind / --index):
