@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=96)
     ap.add_argument("--weights", choices=("bf16", "int8", "int4"),
                     default="bf16")
+    ap.add_argument("--kv-dtype", choices=("", "int8"), default="",
+                    help="KV-cache storage dtype (DecoderConfig.kv_dtype); "
+                         "int8 halves the per-token attention cache reads "
+                         "vs bf16 — visible at long context x batch")
+    ap.add_argument("--max-len", type=int, default=512,
+                    help="cache capacity; raise for long-context runs "
+                         "(e.g. --prompt-len 3968 --max-len 4096)")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +58,8 @@ def main():
     for name in args.models.split(","):
         h, l_, heads, kvh, mlp = MODELS[name]
         cfg = DecoderConfig(hidden=h, layers=l_, heads=heads, kv_heads=kvh,
-                            mlp_dim=mlp, max_len=512, param_dtype="bfloat16")
+                            mlp_dim=mlp, max_len=args.max_len,
+                            param_dtype="bfloat16", kv_dtype=args.kv_dtype)
         if args.weights in ("int8", "int4"):
             # compose init+quantize under ONE jit so the bf16 tree never
             # coexists with the quantized one (14 GB + 7 GB would OOM at 7B)
@@ -86,9 +94,19 @@ def main():
                 lambda r, i_, m, pp: run(pp, i_, m, jnp.float32(1.0), r),
                 rngs, jnp.asarray(ids), jnp.asarray(mask), gen.params,
                 reps=3)
+            cache_len = min(_round_up(S + max_new, 128), cfg.max_len)
+            kvh_eff = kvh or heads
+            dh = h // heads
+            kv_bytes = (2 * l_ * b * kvh_eff * cache_len * dh
+                        * (1 if args.kv_dtype == "int8" else 2)
+                        + (2 * l_ * b * kvh_eff * cache_len * 4
+                           if args.kv_dtype == "int8" else 0))
             print(json.dumps({
                 "model": name,
                 "weights": args.weights,
+                "kv_dtype": args.kv_dtype or "bf16",
+                "cache_len": cache_len,
+                "kv_cache_gb": round(kv_bytes / 1e9, 3),
                 "params_m": round(n_params / 1e6, 1),
                 "weight_gb": round(bytes_ / 1e9, 2),
                 "batch": b,

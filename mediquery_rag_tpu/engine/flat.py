@@ -212,6 +212,36 @@ class FlatIndex:
         serving batch sizes reuse ~4 compiled shapes instead of tracing
         fresh eager ops per size (see ``bucket_queries``).
         """
+        return self._finish_stage(*self._scan_stage(queries, k))
+
+    def search_stream(self, batches, k: int | None = None, depth: int = 2):
+        """Pipelined two-stage search over an iterable of query batches.
+
+        Stage 1 is the device scan (async JAX dispatch); stage 2 is the
+        host-side exact f16 rerank (``rerank_factor``). Issuing batch
+        ``i+1``'s scan BEFORE pulling batch ``i``'s candidates overlaps the
+        OpenMP rerank with device compute, so steady-state throughput is
+        max(stage) instead of sum(stage) — at 1M x 768 int4 B=64 the two
+        stages are ~0.6 ms each, i.e. the rerank becomes ~free. ``depth``
+        bounds in-flight device work (2 = classic double buffering).
+
+        Yields one ``(scores, indices)`` pair per input batch, in order;
+        results are bit-identical to per-batch :meth:`search`.
+        """
+        from collections import deque
+
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        pending: deque = deque()
+        for qb in batches:
+            pending.append(self._scan_stage(qb, k))
+            if len(pending) > depth:
+                yield self._finish_stage(*pending.popleft())
+        while pending:
+            yield self._finish_stage(*pending.popleft())
+
+    def _scan_stage(self, queries, k: int | None):
+        """Dispatch the device scan (async); returns finalize-stage args."""
         k = self.cfg.top_k if k is None else k
         if k > 128:
             raise ValueError(f"k={k} > 128 not supported by the fused kernel")
@@ -237,7 +267,10 @@ class FlatIndex:
                 q_pad, self.corpus, n_valid,
                 k=kk, qt=self.cfg.query_tile, ct=self.cfg.corpus_tile,
                 cosine=cosine)
-        s, i = s[:b], i[:b]
+        return queries, s[:b], i[:b], squeeze, rerank, k, cosine
+
+    def _finish_stage(self, queries, s, i, squeeze, rerank, k, cosine):
+        """Pull candidates to host, exact-rerank, map stable ids."""
         if rerank:
             # even at kk == k (k at the kernel cap) the exact re-score
             # corrects the int8 ordering of the candidates

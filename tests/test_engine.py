@@ -58,6 +58,32 @@ class TestFlatIndex:
         _, i = idx.search(q, k=1)
         np.testing.assert_array_equal(np.asarray(i[:, 0]), [300, 301])
 
+    def test_search_stream_matches_search(self):
+        """Pipelined two-stage stream == per-batch search, bit-identical —
+        on the shipping int4+rerank config (both stages exercised) and on
+        plain bf16 (trivial stage 2)."""
+        import dataclasses
+
+        c = _vecs(1200, 64)
+        batches = [_vecs(5, 64, seed=10 + j) for j in range(4)]
+        for cfg in (dataclasses.replace(CFG, dtype="int4", rerank_factor=4),
+                    CFG):
+            idx = FlatIndex.build(c, cfg)
+            got = list(idx.search_stream(batches, k=5, depth=2))
+            assert len(got) == len(batches)
+            for qb, (s, i) in zip(batches, got):
+                s_ref, i_ref = idx.search(qb, k=5)
+                np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+                np.testing.assert_array_equal(np.asarray(s), np.asarray(s_ref))
+
+    def test_search_stream_depth_one_and_single_batch(self):
+        c = _vecs(400, 64)
+        idx = FlatIndex.build(c, CFG)
+        q = _vecs(3, 64, seed=21)
+        (pair,) = idx.search_stream([q], k=4, depth=1)
+        s_ref, i_ref = idx.search(q, k=4)
+        np.testing.assert_array_equal(np.asarray(pair[1]), np.asarray(i_ref))
+
     def test_save_load_roundtrip(self, tmp_path):
         c = _vecs(200, 64)
         idx = FlatIndex.build(c, CFG)
