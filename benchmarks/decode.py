@@ -45,6 +45,14 @@ def main():
     ap.add_argument("--max-len", type=int, default=512,
                     help="cache capacity; raise for long-context runs "
                          "(e.g. --prompt-len 3968 --max-len 4096)")
+    ap.add_argument("--attn-impl", choices=("einsum", "flash"),
+                    default="einsum",
+                    help="prefill attention (DecoderConfig.attn_impl); "
+                         "'flash' = Pallas online-softmax kernel, the "
+                         "long-context choice")
+    ap.add_argument("--prefill-only", action="store_true",
+                    help="time Decoder.prefill alone (TTFT proxy) instead "
+                         "of the full prefill+decode generation loop")
     args = ap.parse_args()
 
     import jax
@@ -59,7 +67,8 @@ def main():
         h, l_, heads, kvh, mlp = MODELS[name]
         cfg = DecoderConfig(hidden=h, layers=l_, heads=heads, kv_heads=kvh,
                             mlp_dim=mlp, max_len=args.max_len,
-                            param_dtype="bfloat16", kv_dtype=args.kv_dtype)
+                            param_dtype="bfloat16", kv_dtype=args.kv_dtype,
+                            attn_impl=args.attn_impl)
         if args.weights in ("int8", "int4"):
             # compose init+quantize under ONE jit so the bf16 tree never
             # coexists with the quantized one (14 GB + 7 GB would OOM at 7B)
@@ -80,6 +89,27 @@ def main():
             max_new = _round_up(args.max_new, 64)
             ids = np.full((b, S), 65, np.int32)        # 'A' bytes
             mask = np.ones((b, S), np.float32)
+            if args.prefill_only:
+                # TTFT proxy: time ONE prefill program (what --attn-impl
+                # changes); decode attends over the cache and is unaffected
+                import functools
+                cl = min(_round_up(S + max_new, 128), cfg.max_len)
+                pf = jax.jit(functools.partial(gen.model.prefill,
+                                               cache_len=cl))
+                rngs = jnp.stack([jax.random.PRNGKey(i) for i in range(4)])
+                t = device_time(
+                    lambda r, i_, m, pp: (pf(pp, i_, m)[0][0, 0]
+                                          + r[0].astype(jnp.float32)),
+                    rngs, jnp.asarray(ids), jnp.asarray(mask), gen.params,
+                    reps=3)
+                print(json.dumps({
+                    "model": name, "weights": args.weights,
+                    "attn_impl": args.attn_impl, "batch": b,
+                    "prompt_len": S, "cache_len": cl,
+                    "prefill_ms": round(t * 1e3, 2),
+                    "prefill_tokens_per_s": round(b * S / t, 1),
+                }), flush=True)
+                continue
             run = gen._compiled(b, S, max_new)
             out = run(gen.params, jnp.asarray(ids), jnp.asarray(mask),
                       jnp.float32(1.0), jax.random.PRNGKey(0))

@@ -123,6 +123,11 @@ class DecoderConfig:
                                     # quantization — halves cache HBM (2x the
                                     # lanes or context at a given budget) and
                                     # the attention read bytes at long context
+    attn_impl: str = "einsum"       # prefill/apply attention: "einsum"
+                                    # (XLA, materializes [B,H,S,S] logits) or
+                                    # "flash" (Pallas online-softmax kernel,
+                                    # ops/attention.py — never materializes
+                                    # [S,S]; the long-context prefill choice)
 
 
 @dataclass(frozen=True)

@@ -180,6 +180,9 @@ class Decoder:
             # cache would defeat the memory budget the operator planned for
             raise ValueError(
                 f"kv_dtype must be '' or 'int8', got {cfg.kv_dtype!r}")
+        if cfg.attn_impl not in ("einsum", "flash"):
+            raise ValueError(
+                f"attn_impl must be 'einsum' or 'flash', got {cfg.attn_impl!r}")
 
     # -- params ----------------------------------------------------------------
 
@@ -253,12 +256,17 @@ class Decoder:
 
         pos = jnp.clip(jnp.cumsum(mask, axis=1).astype(jnp.int32) - 1, 0)
         x = params["tok_embed"][ids].astype(adt)
-        causal = jnp.tril(jnp.ones((S, S), jnp.float32))
-        bias = (causal[None, None] * mask[:, None, None, :] - 1.0) * 1e9
+        if c.attn_impl == "flash":
+            bias, flash_mask = None, mask   # [B,1,S,S] bias never built
+        else:
+            causal = jnp.tril(jnp.ones((S, S), jnp.float32))
+            bias = (causal[None, None] * mask[:, None, None, :] - 1.0) * 1e9
+            flash_mask = None
 
         block_fn = functools.partial(
             _block_full, heads=c.heads, kv_heads=c.kv_heads or c.heads,
             adt=adt, bias=bias, pos=pos, theta=c.rope_theta, eps=c.rms_eps,
+            flash_mask=flash_mask,
         )
         if remat:
             block_fn = jax.checkpoint(block_fn)
@@ -289,8 +297,12 @@ class Decoder:
 
         pos = jnp.clip(jnp.cumsum(mask, axis=1).astype(jnp.int32) - 1, 0)
         x = params["tok_embed"][ids].astype(adt)
-        causal = jnp.tril(jnp.ones((S, S), jnp.float32))
-        bias = (causal[None, None] * mask[:, None, None, :] - 1.0) * 1e9
+        if c.attn_impl == "flash":
+            bias, flash_mask = None, mask
+        else:
+            causal = jnp.tril(jnp.ones((S, S), jnp.float32))
+            bias = (causal[None, None] * mask[:, None, None, :] - 1.0) * 1e9
+            flash_mask = None
 
         quant = c.kv_dtype == "int8"
 
@@ -299,7 +311,7 @@ class Decoder:
             x, k, v = _block_kv(x, lp, heads=c.heads,
                                 kv_heads=c.kv_heads or c.heads, adt=adt,
                                 bias=bias, pos=pos, theta=c.rope_theta,
-                                eps=c.rms_eps)
+                                eps=c.rms_eps, flash_mask=flash_mask)
             pad = [(0, 0), (0, 0), (0, cache_len - S), (0, 0)]
             if not quant:
                 return x, (jnp.pad(k, pad), jnp.pad(v, pad), None, None)
@@ -712,8 +724,13 @@ def _split_qkv(qkv, B, S, heads, kv_heads, dh):
     return q, k, v
 
 
-def _block_kv(x, lp, *, heads, kv_heads, adt, bias, pos, theta, eps=1e-6):
-    """Transformer block returning (x_out, k, v) — shared by apply/prefill."""
+def _block_kv(x, lp, *, heads, kv_heads, adt, bias, pos, theta, eps=1e-6,
+              flash_mask=None):
+    """Transformer block returning (x_out, k, v) — shared by apply/prefill.
+
+    ``flash_mask`` ([B, S] key validity) switches the attention to the
+    Pallas flash kernel (``DecoderConfig.attn_impl == "flash"``); ``bias``
+    is None in that mode — the [B,1,S,S] bias is never materialized."""
     B, S, D = x.shape
     dh = D // heads
 
@@ -726,7 +743,12 @@ def _block_kv(x, lp, *, heads, kv_heads, adt, bias, pos, theta, eps=1e-6):
     q = _rope(q, pos, theta)
     k = _rope(k, pos, theta)
 
-    ctx = _attend(q, k, v, bias, adt, dh)
+    if flash_mask is not None:
+        from mediquery_rag_tpu.ops.attention import flash_attention
+        ctx = flash_attention(q, k, v, flash_mask,
+                              scale=dh ** -0.5).astype(adt)
+    else:
+        ctx = _attend(q, k, v, bias, adt, dh)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, D)
     attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
     x = x + attn
@@ -739,7 +761,9 @@ def _block_kv(x, lp, *, heads, kv_heads, adt, bias, pos, theta, eps=1e-6):
     return x + ff.astype(adt), k, v
 
 
-def _block_full(x, lp, *, heads, kv_heads, adt, bias, pos, theta, eps=1e-6):
+def _block_full(x, lp, *, heads, kv_heads, adt, bias, pos, theta, eps=1e-6,
+                flash_mask=None):
     out, _, _ = _block_kv(x, lp, heads=heads, kv_heads=kv_heads, adt=adt,
-                          bias=bias, pos=pos, theta=theta, eps=eps)
+                          bias=bias, pos=pos, theta=theta, eps=eps,
+                          flash_mask=flash_mask)
     return out

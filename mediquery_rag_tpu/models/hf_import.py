@@ -80,7 +80,7 @@ def _load_all_tensors(model_dir: str) -> dict[str, np.ndarray]:
 
 def load_qwen2(model_dir: str, *, max_len: int = 4096,
                dtype: str = "bfloat16", param_dtype: str = "bfloat16",
-               kv_dtype: str = ""):
+               kv_dtype: str = "", attn_impl: str = "flash"):
     """Read an HF qwen2/qwen2.5 (or any llama-class) checkpoint directory.
 
     Returns ``(DecoderConfig, params)`` ready for ``Decoder``/``Generator``.
@@ -167,6 +167,10 @@ def load_qwen2(model_dir: str, *, max_len: int = 4096,
         qkv_bias=qkv_bias,
         rms_eps=float(hf.get("rms_norm_eps", 1e-6)),
         dtype=dtype, param_dtype=param_dtype, kv_dtype=kv_dtype,
+        # real checkpoints serve long admissions: default to the Pallas
+        # flash prefill (ops/attention.py) — measured faster from S=2048 up
+        # and never materializes the [B,H,S,S] logits the einsum path pays
+        attn_impl=attn_impl,
     )
     return cfg, params
 
@@ -312,7 +316,7 @@ class BertTextEmbedder:
 def load_qwen2_generator(model_dir: str, *, max_len: int = 4096,
                          dtype: str = "bfloat16",
                          param_dtype: str = "bfloat16",
-                         kv_dtype: str = ""):
+                         kv_dtype: str = "", attn_impl: str = "flash"):
     """Checkpoint dir -> ready ``Generator`` (weights + the checkpoint's own
     BPE tokenizer). The drop-in replacement for ``ChatOllama(qwen2.5:7b)``
     (reference medical_engine.py:46)."""
@@ -320,6 +324,7 @@ def load_qwen2_generator(model_dir: str, *, max_len: int = 4096,
     from mediquery_rag_tpu.models.generate import Generator
 
     cfg, params = load_qwen2(model_dir, max_len=max_len, dtype=dtype,
-                             param_dtype=param_dtype, kv_dtype=kv_dtype)
+                             param_dtype=param_dtype, kv_dtype=kv_dtype,
+                             attn_impl=attn_impl)
     tok = BPETokenizer.from_pretrained(model_dir, max_len=cfg.max_len)
     return Generator(cfg, params=params, tokenizer=tok)

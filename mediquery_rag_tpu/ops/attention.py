@@ -1,0 +1,235 @@
+"""Flash attention — fused online-softmax attention for prefill/training.
+
+The decoder's einsum attention (models/decoder.py:_attend) materializes the
+``[B, H, S, S]`` logits in f32 plus the ``[B, 1, S, S]`` mask bias. At the
+serving default S=512 that is noise; at long-context prefill (S=4096,
+7B-class: 28 heads) it is ~1.9 GB of HBM logits traffic per layer — the
+prefill becomes bandwidth-bound on a tensor that exists only to be softmaxed
+and immediately contracted away. (The reference outsourced this whole
+problem to llama.cpp's C++ attention, reference src/medical_engine.py:46.)
+
+This kernel computes the same attention without ever materializing the
+``[S, S]`` plane:
+
+- grid = (B, H, num_q_tiles, num_kv_tiles), KV minor: for a fixed query tile
+  the KV tiles stream through VMEM while the accumulator (ctx, running max,
+  running denominator) stays resident — the scoring-kernel pattern
+  (ops/scoring.py) applied to attention.
+- online softmax: per KV tile, rescale the accumulator by
+  ``exp(m_old - m_new)`` and add ``exp(s - m_new) @ V`` — the classic
+  flash-attention recurrence; both matmuls hit the MXU with f32 accumulation.
+- the causal+padding mask is *computed* from iota + the ``[B, S]`` key mask
+  inside the kernel (same ``(visible - 1) * 1e9`` bias formula as the einsum
+  path) — the ``[B, 1, S, S]`` bias tensor never exists either.
+- GQA: the K/V block index maps query head ``h`` to KV head ``h // group``,
+  so shared KV heads are read, not repeated, and the cache layout is
+  untouched.
+- causal skip: KV tiles strictly above the diagonal skip their compute under
+  ``pl.when`` — ~2x at long S (their DMA still runs; acceptable because the
+  skipped tiles are the cheap half of a bandwidth-bound loop).
+
+Training: ``flash_attention`` carries a custom VJP whose backward pass
+recomputes attention with the einsum reference and differentiates that —
+the forward (inference, prefill) is where the memory/bandwidth win lives;
+the backward transiently materializes per-layer ``[B, H, S, S]`` exactly
+like the einsum path it replaces (use ``remat`` + short S for training, as
+models/train_lm.py already does).
+
+Off-TPU the kernel auto-selects Pallas interpret mode (pure XLA ops — this
+is also what makes it partitionable on the virtual CPU mesh); on-chip it
+compiles via Mosaic. CLAUDE.md rule applies: interpret mode does not check
+Mosaic tiling, so any change here must be driven once on the real chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mediquery_rag_tpu.ops.scoring import _on_tpu, _round_up
+
+LANE = 128
+_NEG_BIG = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
+                  acc_ref, m_ref, l_ref, *, scale, causal, tq, tk):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_BIG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    def _tile():
+        q = q_ref[0, 0]                                   # [tq, dhp]
+        s = jax.lax.dot_general(
+            q, k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [tq, tk]
+        vis = mask_ref[0] > 0.0                           # [1, tk]
+        if causal:
+            rows = i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+            cols = j * tk + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+            vis = vis & (cols <= rows)
+        # same bias formula as the einsum path: -1e9, not -inf, so a row
+        # with no visible keys (left-pad query over left-pad keys) softmaxes
+        # to uniform garbage instead of NaN — callers ignore those rows
+        s = s + (vis.astype(jnp.float32) - 1.0) * 1e9
+
+        m_old = m_ref[:, :1]                              # [tq, 1]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        corr = jnp.exp(m_old - m_new)                     # [tq, 1]
+        p = jnp.exp(s - m_new)                            # [tq, tk]
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        # cast the (un-normalized, <=1) weights to the V dtype for the MXU —
+        # mirrors the einsum path's softmax(...).astype(adt) @ V
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [tq, dhp]
+        acc_ref[:] = acc_ref[:] * corr + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    if causal:
+        # tile fully above the diagonal -> nothing visible, skip the FLOPs
+        @pl.when(j * tk <= i * tq + tq - 1)
+        def _():
+            _tile()
+    else:
+        _tile()
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        o_ref[0, 0] = acc_ref[:] / l_ref[:, :1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "causal", "tq", "tk", "interpret"))
+def _flash_call(q, k, v, key_mask, *, scale, causal, tq, tk, interpret):
+    B, H, S, dh = q.shape
+    KH = k.shape[1]
+    group = H // KH
+
+    dhp = _round_up(dh, LANE)
+    tq = min(tq, _round_up(S, 16))
+    tk = min(tk, _round_up(S, LANE))
+    sq = _round_up(S, tq)
+    sk = _round_up(S, tk)
+    if dhp != dh or sq != S:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq - S), (0, dhp - dh)))
+    if dhp != dh or sk != S:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk - S), (0, dhp - dh)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk - S), (0, dhp - dh)))
+    # [B, 1, sk]: the unit sublane axis equals the full array dim, which is
+    # what Mosaic's block-tiling rule requires of a (1, 1, tk) block
+    mask = jnp.pad(key_mask.astype(jnp.float32),
+                   ((0, 0), (0, sk - S)))[:, None, :]
+
+    grid = (B, H, sq // tq, sk // tk)
+    kern = functools.partial(_flash_kernel, scale=scale, causal=causal,
+                             tq=tq, tk=tk)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, tq, dhp), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk, dhp),
+                         lambda b, h, i, j: (b, h // group, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk, dhp),
+                         lambda b, h, i, j: (b, h // group, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk), lambda b, h, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tq, dhp),
+                               lambda b, h, i, j: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, sq, dhp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tq, dhp), jnp.float32),    # ctx accumulator
+            pltpu.VMEM((tq, LANE), jnp.float32),   # running max (lane-bcast)
+            pltpu.VMEM((tq, LANE), jnp.float32),   # running denominator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * sq * sk * dhp,
+            bytes_accessed=(q.size + 2 * group * k.size) * q.dtype.itemsize
+            + B * H * sq * dhp * 4,
+            transcendentals=B * H * sq * sk,
+        ),
+        interpret=interpret,
+    )(q, k, v, mask)
+    return out[:, :, :S, :dh]
+
+
+def mha_reference(q, k, v, key_mask, scale, causal=True):
+    """Einsum oracle — the exact op sequence of models/decoder.py:_attend
+    with the prefill bias, in f32. Also the recompute target of the VJP."""
+    g = q.shape[1] // k.shape[1]
+    if g > 1:
+        k, v = jnp.repeat(k, g, axis=1), jnp.repeat(v, g, axis=1)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    vis = key_mask.astype(jnp.float32)[:, None, None, :]
+    if causal:
+        S = q.shape[2]
+        vis = vis * jnp.tril(jnp.ones((S, S), jnp.float32))[None, None]
+    logits = logits + (vis - 1.0) * 1e9
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v,
+                      preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_mha(q, k, v, key_mask, scale, causal):
+    interpret = not _on_tpu()
+    return _flash_call(q, k, v, key_mask, scale=scale, causal=causal,
+                       tq=256, tk=1024, interpret=interpret)
+
+
+def _flash_mha_fwd(q, k, v, key_mask, scale, causal):
+    return _flash_mha(q, k, v, key_mask, scale, causal), (q, k, v, key_mask)
+
+
+def _flash_mha_bwd(scale, causal, res, g):
+    q, k, v, key_mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: mha_reference(q_, k_, v_, key_mask, scale, causal),
+        q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(key_mask)
+
+
+_flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
+
+
+def flash_attention(
+    q: jax.Array,            # [B, H, S, dh]
+    k: jax.Array,            # [B, KH, S, dh] — KH divides H (GQA)
+    v: jax.Array,            # [B, KH, S, dh]
+    key_mask: jax.Array,     # [B, S], 1.0 = real token
+    *,
+    scale: float | None = None,
+    causal: bool = True,
+) -> jax.Array:
+    """Masked (causal) attention without materializing ``[S, S]``.
+
+    Query position ``r`` attends to key positions ``c`` with
+    ``key_mask[b, c] == 1`` and (if ``causal``) ``c <= r`` — exactly the
+    prefill/apply visibility of models/decoder.py. Returns f32
+    ``[B, H, S, dh]`` (callers cast to the activation dtype).
+    Differentiable: the VJP recomputes via :func:`mha_reference`.
+    """
+    if q.shape[1] % k.shape[1]:
+        raise ValueError(f"heads {q.shape[1]} % kv_heads {k.shape[1]} != 0")
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash_mha(q, k, v, key_mask, float(scale), causal)

@@ -1,0 +1,136 @@
+"""Flash-attention kernel (ops/attention.py) vs the einsum oracle, and the
+decoder's attn_impl="flash" mode vs "einsum" — run on the CPU mesh in
+interpret mode; CLAUDE.md rule: the kernel itself is also driven on the
+real chip whenever it changes."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mediquery_rag_tpu.config import DecoderConfig
+from mediquery_rag_tpu.models.decoder import Decoder
+from mediquery_rag_tpu.ops.attention import flash_attention, mha_reference
+
+
+def _mk(rng, shape):
+    return jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+
+
+def _left_pad_masks(rng, b, s):
+    m = np.ones((b, s), np.float32)
+    pads = []
+    for i in range(b):
+        p = int(rng.integers(0, s // 2))
+        m[i, :p] = 0.0
+        pads.append(p)
+    return jnp.asarray(m), pads
+
+
+class TestFlashKernel:
+    @pytest.mark.parametrize(
+        "b,h,kh,s,dh",
+        [(2, 4, 2, 100, 64),    # GQA, ragged S, dh below a lane
+         (1, 8, 8, 257, 128),   # MHA, prime S
+         (2, 6, 2, 33, 32),     # tiny everything
+         (1, 28, 4, 300, 128)]) # qwen2.5-7b's head geometry
+    def test_matches_einsum_on_valid_rows(self, b, h, kh, s, dh):
+        rng = np.random.default_rng(42)
+        q, k, v = _mk(rng, (b, h, s, dh)), _mk(rng, (b, kh, s, dh)), \
+            _mk(rng, (b, kh, s, dh))
+        mask, pads = _left_pad_masks(rng, b, s)
+        out = np.asarray(flash_attention(q, k, v, mask))
+        ref = np.asarray(mha_reference(q, k, v, mask, dh ** -0.5, True))
+        for i in range(b):
+            # rows < pad see zero visible keys: garbage under both impls
+            # (different garbage — the kernel's key padding participates);
+            # every consumer masks or slices those rows away
+            np.testing.assert_allclose(out[i, :, pads[i]:],
+                                       ref[i, :, pads[i]:],
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_non_causal(self):
+        rng = np.random.default_rng(7)
+        q, k, v = _mk(rng, (2, 4, 50, 64)), _mk(rng, (2, 4, 50, 64)), \
+            _mk(rng, (2, 4, 50, 64))
+        mask = jnp.ones((2, 50))
+        out = flash_attention(q, k, v, mask, causal=False)
+        ref = mha_reference(q, k, v, mask, 64 ** -0.5, False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_grad_matches_reference(self):
+        rng = np.random.default_rng(3)
+        q, k, v = _mk(rng, (1, 4, 64, 32)), _mk(rng, (1, 2, 64, 32)), \
+            _mk(rng, (1, 2, 64, 32))
+        mask = jnp.ones((1, 64))
+
+        def f(q_, k_, v_):
+            return flash_attention(q_, k_, v_, mask).sum()
+
+        def r(q_, k_, v_):
+            return mha_reference(q_, k_, v_, mask, 32 ** -0.5, True).sum()
+
+        g_f = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        g_r = jax.grad(r, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g_f, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_bad_gqa_ratio_raises(self):
+        rng = np.random.default_rng(0)
+        q = _mk(rng, (1, 5, 16, 32))
+        k = _mk(rng, (1, 2, 16, 32))
+        with pytest.raises(ValueError, match="kv_heads"):
+            flash_attention(q, k, k, jnp.ones((1, 16)))
+
+
+CFG = DecoderConfig(vocab_size=384, hidden=128, layers=2, heads=4,
+                    kv_heads=2, mlp_dim=256, max_len=256, dtype="float32",
+                    qkv_bias=True)
+
+
+class TestDecoderFlash:
+    def _models(self):
+        base = Decoder(CFG)
+        flash = Decoder(dataclasses.replace(CFG, attn_impl="flash"))
+        params = base.init(jax.random.PRNGKey(0))
+        return base, flash, params
+
+    def test_apply_parity(self):
+        base, flash, params = self._models()
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(3, 259, (2, 40)), jnp.int32)
+        mask = jnp.concatenate(
+            [jnp.zeros((2, 5)), jnp.ones((2, 35))], axis=1)  # left pad
+        lo_e = np.asarray(base.apply(params, ids, mask))
+        lo_f = np.asarray(flash.apply(params, ids, mask))
+        # only positions with >=1 visible key are meaningful
+        np.testing.assert_allclose(lo_f[:, 5:], lo_e[:, 5:],
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_prefill_parity_and_decode_handoff(self):
+        base, flash, params = self._models()
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(3, 259, (2, 24)), jnp.int32)
+        mask = jnp.concatenate(
+            [jnp.zeros((2, 4)), jnp.ones((2, 20))], axis=1)
+        lo_e, cache_e = base.prefill(params, ids, mask, cache_len=64)
+        lo_f, cache_f = flash.prefill(params, ids, mask, cache_len=64)
+        np.testing.assert_allclose(np.asarray(lo_f), np.asarray(lo_e),
+                                   rtol=2e-3, atol=2e-3)
+        # the cache a flash prefill builds must feed the (einsum) decode path
+        np.testing.assert_allclose(np.asarray(cache_f.k[:, :, :, 4:24]),
+                                   np.asarray(cache_e.k[:, :, :, 4:24]),
+                                   rtol=2e-3, atol=2e-3)
+        tok = jnp.argmax(lo_f, axis=-1).astype(jnp.int32)
+        lo2_f, _ = flash.decode_step(params, cache_f, tok)
+        lo2_e, _ = base.decode_step(params, cache_e, tok)
+        np.testing.assert_allclose(np.asarray(lo2_f), np.asarray(lo2_e),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_bad_attn_impl_raises(self):
+        with pytest.raises(ValueError, match="attn_impl"):
+            Decoder(dataclasses.replace(CFG, attn_impl="paged"))
