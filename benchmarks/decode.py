@@ -111,8 +111,12 @@ def main():
                 }), flush=True)
                 continue
             run = gen._compiled(b, S, max_new)
+            zero = jnp.zeros((1,), jnp.int32)
+            # unconstrained placeholders (same shape contract as
+            # Generator.generate's no-constraint branch)
+            tables = (zero, zero[:, None], zero, jnp.int32(0))
             out = run(gen.params, jnp.asarray(ids), jnp.asarray(mask),
-                      jnp.float32(1.0), jax.random.PRNGKey(0))
+                      jnp.float32(1.0), jax.random.PRNGKey(0), *tables)
             emitted = int((np.asarray(out) != PAD_ID).sum())
             if emitted == 0:
                 emitted = b * max_new        # degenerate; count loop length
@@ -121,7 +125,8 @@ def main():
             # params must be an explicit argument: a closure would
             # serialize the full weight tree into the remote-compile request
             t = device_time(
-                lambda r, i_, m, pp: run(pp, i_, m, jnp.float32(1.0), r),
+                lambda r, i_, m, pp: run(pp, i_, m, jnp.float32(1.0), r,
+                                         *tables),
                 rngs, jnp.asarray(ids), jnp.asarray(mask), gen.params,
                 reps=3)
             cache_len = min(_round_up(S + max_new, 128), cfg.max_len)

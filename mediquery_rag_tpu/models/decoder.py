@@ -462,10 +462,17 @@ class Decoder:
         ext_mask = jax.lax.dynamic_update_slice(ext_mask, mask, (col0,))
         key_mask_row = jnp.where(fresh, ext_mask, key_mask_row)
 
-        # query j sees: cached prefix + fresh tokens 0..j  (col <= col0+j)
-        vis = (cols[None, :] <= col0 + jnp.arange(S)[:, None]).astype(
-            jnp.float32) * key_mask_row[None, :]
-        bias = (vis[None, None] - 1.0) * 1e9               # [1, 1, S, C]
+        # flash path only for float caches: the int8 cache folds its scales
+        # into the attention einsums (_cached_attn), which the kernel does
+        # not reproduce
+        use_flash = c.attn_impl == "flash" and k_scale_row is None
+        if use_flash:
+            bias = None                                    # never built
+        else:
+            # query j sees: cached prefix + fresh tokens 0..j (col <= col0+j)
+            vis = (cols[None, :] <= col0 + jnp.arange(S)[:, None]).astype(
+                jnp.float32) * key_mask_row[None, :]
+            bias = (vis[None, None] - 1.0) * 1e9           # [1, 1, S, C]
 
         pos = (pos0 + jnp.clip(
             jnp.cumsum(mask).astype(jnp.int32) - 1, 0))[None, :]  # [1, S]
@@ -493,11 +500,18 @@ class Decoder:
             v_layer = jax.lax.dynamic_update_slice(
                 v_layer, v[0], (0, col0, 0))
 
-            ctx = _cached_attn(
-                q, k_layer[None], v_layer[None],
-                None if ksl is None else ksl[None],
-                None if vsl is None else vsl[None],
-                bias, adt, dh).astype(adt)
+            if use_flash:
+                from mediquery_rag_tpu.ops.attention import flash_attention_at
+                ctx = flash_attention_at(
+                    q, k_layer[None], v_layer[None], key_mask_row[None],
+                    jnp.asarray(col0, jnp.int32)[None],
+                    scale=dh ** -0.5).astype(adt)
+            else:
+                ctx = _cached_attn(
+                    q, k_layer[None], v_layer[None],
+                    None if ksl is None else ksl[None],
+                    None if vsl is None else vsl[None],
+                    bias, adt, dh).astype(adt)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(1, S, c.hidden)
             attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
             x = x + attn

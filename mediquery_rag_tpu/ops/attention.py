@@ -18,22 +18,30 @@ This kernel computes the same attention without ever materializing the
 - online softmax: per KV tile, rescale the accumulator by
   ``exp(m_old - m_new)`` and add ``exp(s - m_new) @ V`` — the classic
   flash-attention recurrence; both matmuls hit the MXU with f32 accumulation.
-- the causal+padding mask is *computed* from iota + the ``[B, S]`` key mask
+- the causal+padding mask is *computed* from iota + the ``[B, Sk]`` key mask
   inside the kernel (same ``(visible - 1) * 1e9`` bias formula as the einsum
   path) — the ``[B, 1, S, S]`` bias tensor never exists either.
 - GQA: the K/V block index maps query head ``h`` to KV head ``h // group``,
   so shared KV heads are read, not repeated, and the cache layout is
   untouched.
-- causal skip: KV tiles strictly above the diagonal skip their compute under
-  ``pl.when`` — ~2x at long S (their DMA still runs; acceptable because the
-  skipped tiles are the cheap half of a bandwidth-bound loop).
+- query offset (scalar-prefetch ``[B]`` i32): query row ``r`` of batch ``b``
+  sits at key column ``q_offset[b] + r`` — offset 0 is ordinary causal
+  prefill; ``col0`` is the chunked-prefill/prefix-cache continuation
+  (``Decoder.prefill_extend``), where a fresh suffix attends over the
+  lane's whole cache. Key length is independent of query length for the
+  same reason.
+- causal skip: KV tiles strictly above the (offset) diagonal skip their
+  compute under ``pl.when`` — ~2x at long S (their DMA still runs;
+  acceptable because the skipped tiles are the cheap half of a
+  bandwidth-bound loop).
 
 Training: ``flash_attention`` carries a custom VJP whose backward pass
 recomputes attention with the einsum reference and differentiates that —
 the forward (inference, prefill) is where the memory/bandwidth win lives;
 the backward transiently materializes per-layer ``[B, H, S, S]`` exactly
 like the einsum path it replaces (use ``remat`` + short S for training, as
-models/train_lm.py already does).
+models/train_lm.py already does). ``flash_attention_at`` (the offset
+variant) is serving-only and not differentiable.
 
 Off-TPU the kernel auto-selects Pallas interpret mode (pure XLA ops — this
 is also what makes it partitionable on the virtual CPU mesh); on-chip it
@@ -56,11 +64,13 @@ LANE = 128
 _NEG_BIG = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
+def _flash_kernel(off_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
                   acc_ref, m_ref, l_ref, *, scale, causal, tq, tk):
+    b = pl.program_id(0)
     i = pl.program_id(2)
     j = pl.program_id(3)
     nk = pl.num_programs(3)
+    off = off_ref[b]
 
     @pl.when(j == 0)
     def _init():
@@ -75,7 +85,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
             preferred_element_type=jnp.float32) * scale   # [tq, tk]
         vis = mask_ref[0] > 0.0                           # [1, tk]
         if causal:
-            rows = i * tq + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0)
+            rows = off + i * tq + jax.lax.broadcasted_iota(
+                jnp.int32, (tq, tk), 0)                   # key col of query r
             cols = j * tk + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
             vis = vis & (cols <= rows)
         # same bias formula as the einsum path: -1e9, not -inf, so a row
@@ -97,8 +108,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
     if causal:
-        # tile fully above the diagonal -> nothing visible, skip the FLOPs
-        @pl.when(j * tk <= i * tq + tq - 1)
+        # tile fully above the (offset) diagonal -> nothing visible, skip
+        @pl.when(j * tk <= off + i * tq + tq - 1)
         def _():
             _tile()
     else:
@@ -106,59 +117,66 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
 
     @pl.when(j == nk - 1)
     def _finish():
-        o_ref[0, 0] = acc_ref[:] / l_ref[:, :1]
+        # emit the input dtype: callers cast to the activation dtype anyway,
+        # and a f32 [B, H, S, dh] output doubles peak HBM at long S x batch
+        o_ref[0, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "causal", "tq", "tk", "interpret"))
-def _flash_call(q, k, v, key_mask, *, scale, causal, tq, tk, interpret):
+def _flash_call(q, k, v, key_mask, q_offset, *, scale, causal, tq, tk,
+                interpret):
     B, H, S, dh = q.shape
-    KH = k.shape[1]
+    KH, Sk = k.shape[1], k.shape[2]
     group = H // KH
 
     dhp = _round_up(dh, LANE)
     tq = min(tq, _round_up(S, 16))
-    tk = min(tk, _round_up(S, LANE))
+    tk = min(tk, _round_up(Sk, LANE))
     sq = _round_up(S, tq)
-    sk = _round_up(S, tk)
+    sk = _round_up(Sk, tk)
     if dhp != dh or sq != S:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sq - S), (0, dhp - dh)))
-    if dhp != dh or sk != S:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk - S), (0, dhp - dh)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk - S), (0, dhp - dh)))
+    if dhp != dh or sk != Sk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk - Sk), (0, dhp - dh)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk - Sk), (0, dhp - dh)))
     # [B, 1, sk]: the unit sublane axis equals the full array dim, which is
     # what Mosaic's block-tiling rule requires of a (1, 1, tk) block
     mask = jnp.pad(key_mask.astype(jnp.float32),
-                   ((0, 0), (0, sk - S)))[:, None, :]
+                   ((0, 0), (0, sk - Sk)))[:, None, :]
 
     grid = (B, H, sq // tq, sk // tk)
     kern = functools.partial(_flash_kernel, scale=scale, causal=causal,
                              tq=tq, tk=tk)
-    out = pl.pallas_call(
-        kern,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, tq, dhp), lambda b, h, i, j: (b, h, i, 0),
+            pl.BlockSpec((1, 1, tq, dhp), lambda b, h, i, j, off: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tk, dhp),
-                         lambda b, h, i, j: (b, h // group, j, 0),
+                         lambda b, h, i, j, off: (b, h // group, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tk, dhp),
-                         lambda b, h, i, j: (b, h // group, j, 0),
+                         lambda b, h, i, j, off: (b, h // group, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tk), lambda b, h, i, j: (b, 0, j),
+            pl.BlockSpec((1, 1, tk), lambda b, h, i, j, off: (b, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, tq, dhp),
-                               lambda b, h, i, j: (b, h, i, 0),
+                               lambda b, h, i, j, off: (b, h, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, sq, dhp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((tq, dhp), jnp.float32),    # ctx accumulator
             pltpu.VMEM((tq, LANE), jnp.float32),   # running max (lane-bcast)
             pltpu.VMEM((tq, LANE), jnp.float32),   # running denominator
         ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, sq, dhp), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * sq * sk * dhp,
             bytes_accessed=(q.size + 2 * group * k.size) * q.dtype.itemsize
@@ -166,7 +184,7 @@ def _flash_call(q, k, v, key_mask, *, scale, causal, tq, tk, interpret):
             transcendentals=B * H * sq * sk,
         ),
         interpret=interpret,
-    )(q, k, v, mask)
+    )(q_offset.astype(jnp.int32), q, k, v, mask)
     return out[:, :, :S, :dh]
 
 
@@ -191,7 +209,8 @@ def mha_reference(q, k, v, key_mask, scale, causal=True):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash_mha(q, k, v, key_mask, scale, causal):
     interpret = not _on_tpu()
-    return _flash_call(q, k, v, key_mask, scale=scale, causal=causal,
+    return _flash_call(q, k, v, key_mask, jnp.zeros((q.shape[0],), jnp.int32),
+                       scale=scale, causal=causal,
                        tq=256, tk=1024, interpret=interpret)
 
 
@@ -202,7 +221,8 @@ def _flash_mha_fwd(q, k, v, key_mask, scale, causal):
 def _flash_mha_bwd(scale, causal, res, g):
     q, k, v, key_mask = res
     _, vjp = jax.vjp(
-        lambda q_, k_, v_: mha_reference(q_, k_, v_, key_mask, scale, causal),
+        lambda q_, k_, v_: mha_reference(q_, k_, v_, key_mask, scale, causal)
+        .astype(q_.dtype),
         q, k, v)
     dq, dk, dv = vjp(g)
     return dq, dk, dv, jnp.zeros_like(key_mask)
@@ -233,3 +253,27 @@ def flash_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _flash_mha(q, k, v, key_mask, float(scale), causal)
+
+
+def flash_attention_at(
+    q: jax.Array,            # [B, H, S, dh] — a fresh suffix of S tokens
+    k: jax.Array,            # [B, KH, C, dh] — the full cache (fresh K/V
+    v: jax.Array,            #   already scattered at cols col0..col0+S-1)
+    key_mask: jax.Array,     # [B, C] — cache validity incl. fresh columns
+    col0: jax.Array,         # [B] i32 — cache column of each lane's query 0
+    *,
+    scale: float | None = None,
+) -> jax.Array:
+    """Continuation attention: query ``r`` sees cache columns
+    ``c <= col0[b] + r`` that are mask-live — the visibility of
+    ``Decoder.prefill_extend`` (chunked prefill / prefix-cache suffix) —
+    without materializing the ``[S, C]`` logits. Serving-only: NOT
+    differentiable (prefill_extend never trains). Returns
+    ``[B, H, S, dh]`` in q's dtype."""
+    if q.shape[1] % k.shape[1]:
+        raise ValueError(f"heads {q.shape[1]} % kv_heads {k.shape[1]} != 0")
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash_call(q, k, v, key_mask, col0, scale=float(scale),
+                       causal=True, tq=256, tk=1024,
+                       interpret=not _on_tpu())

@@ -12,7 +12,9 @@ import pytest
 
 from mediquery_rag_tpu.config import DecoderConfig
 from mediquery_rag_tpu.models.decoder import Decoder
-from mediquery_rag_tpu.ops.attention import flash_attention, mha_reference
+from mediquery_rag_tpu.ops.attention import (flash_attention,
+                                             flash_attention_at,
+                                             mha_reference)
 
 
 def _mk(rng, shape):
@@ -79,6 +81,34 @@ class TestFlashKernel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_offset_variant_matches_cache_reference(self):
+        """flash_attention_at: a fresh suffix at col0 over a [C] cache —
+        the prefill_extend visibility (cols <= col0 + r, mask-live)."""
+        rng = np.random.default_rng(11)
+        B, H, KH, S, C, dh = 2, 4, 2, 24, 96, 64
+        q = _mk(rng, (B, H, S, dh))
+        k = _mk(rng, (B, KH, C, dh))
+        v = _mk(rng, (B, KH, C, dh))
+        col0 = np.array([40, 17], np.int32)
+        mask = np.zeros((B, C), np.float32)
+        for b in range(B):
+            mask[b, :col0[b] + S] = 1.0       # live prefix + fresh suffix
+        out = np.asarray(flash_attention_at(
+            q, k, v, jnp.asarray(mask), jnp.asarray(col0)))
+        # oracle: einsum with the explicit [S, C] visibility
+        g = H // KH
+        kr, vr = np.repeat(np.asarray(k), g, 1), np.repeat(np.asarray(v), g, 1)
+        for b in range(B):
+            logits = np.einsum("hqd,hkd->hqk", np.asarray(q)[b], kr[b]) \
+                * dh ** -0.5
+            vis = (np.arange(C)[None, :] <= col0[b] + np.arange(S)[:, None]) \
+                & (mask[b] > 0)[None, :]
+            logits += (vis.astype(np.float32) - 1.0) * 1e9
+            w = np.exp(logits - logits.max(-1, keepdims=True))
+            w /= w.sum(-1, keepdims=True)
+            ref = np.einsum("hqk,hkd->hqd", w, vr[b])
+            np.testing.assert_allclose(out[b], ref, rtol=1e-4, atol=1e-5)
+
     def test_bad_gqa_ratio_raises(self):
         rng = np.random.default_rng(0)
         q = _mk(rng, (1, 5, 16, 32))
@@ -129,6 +159,23 @@ class TestDecoderFlash:
         lo2_f, _ = flash.decode_step(params, cache_f, tok)
         lo2_e, _ = base.decode_step(params, cache_e, tok)
         np.testing.assert_allclose(np.asarray(lo2_f), np.asarray(lo2_e),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_prefill_extend_parity(self):
+        """Flash chunked-prefill continuation == einsum continuation, on a
+        cache built by a (flash) batch prefill then extended per lane."""
+        base, flash, params = self._models()
+        rng = np.random.default_rng(5)
+        ids = jnp.asarray(rng.integers(3, 259, (1, 16)), jnp.int32)
+        mask = jnp.ones((1, 16))
+        _, cache = flash.prefill(params, ids, mask, cache_len=96)
+        ext = jnp.asarray(rng.integers(3, 259, (12,)), jnp.int32)
+        ext_mask = jnp.concatenate([jnp.ones((9,)), jnp.zeros((3,))])
+        args = (cache.k[:, 0], cache.v[:, 0], cache.key_mask[0],
+                ext, ext_mask, jnp.int32(16), jnp.int32(16))
+        lo_f = flash.prefill_extend(params, *args, all_logits=True)[0]
+        lo_e = base.prefill_extend(params, *args, all_logits=True)[0]
+        np.testing.assert_allclose(np.asarray(lo_f)[:9], np.asarray(lo_e)[:9],
                                    rtol=2e-3, atol=2e-3)
 
     def test_bad_attn_impl_raises(self):
