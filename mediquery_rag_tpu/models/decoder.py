@@ -119,13 +119,30 @@ def _rep_s(s, groups):
     return s if groups == 1 else jnp.repeat(s, groups, axis=1)
 
 
-def _cached_attn(q, k_layer, v_layer, ks, vs, bias, adt, dh):
+def _cached_attn(q, k_layer, v_layer, ks, vs, bias, adt, dh,
+                 flash_mask=None, flash_col0=None):
     """Attention of ``q`` over a cache layer, float or int8+scales.
     The float path is the exact op sequence the cache methods always
     used (bit-identical); the int8 path folds K scales into the logits
     per column and V scales into the softmax weights — no materialized
-    dequantized cache. Returns f32 ctx [B, H, S, dh]."""
+    dequantized cache. Returns f32 ctx [B, H, S, dh].
+
+    ``flash_mask`` ([B, C] key validity) routes the float path through the
+    GQA-folded Pallas kernel (ops/attention.py) — the cache is read at its
+    true KH-head size instead of ``jnp.repeat``-expanded to H, the dominant
+    HBM cost of long-context GQA decode. ``flash_col0`` ([B] i32) adds the
+    per-lane causal term ``col <= col0 + row`` (extend_slots' verify
+    window); without it visibility is the mask alone (decode steps)."""
     g = q.shape[1] // k_layer.shape[1]
+    if ks is None and flash_mask is not None:
+        from mediquery_rag_tpu.ops.attention import (
+            flash_attention_at, flash_attention_cached)
+        if flash_col0 is None:
+            ctx = flash_attention_cached(q, k_layer, v_layer, flash_mask)
+        else:
+            ctx = flash_attention_at(q, k_layer, v_layer, flash_mask,
+                                     flash_col0)
+        return ctx.astype(jnp.float32)
     if ks is None:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, _repeat_kv(k_layer, g),
                             preferred_element_type=jnp.float32)
@@ -352,7 +369,13 @@ class Decoder:
         key_mask = jax.lax.dynamic_update_slice(
             cache.key_mask, jnp.ones((B, 1), cache.key_mask.dtype),
             (0, cache.cursor))
-        bias = (key_mask[:, None, None, :] - 1.0) * 1e9       # [B,1,1,C]
+        # float cache + flash: GQA-folded kernel reads the cache at KH
+        # heads (no jnp.repeat expansion); int8 cache keeps the
+        # scale-folding einsum path
+        fmask = (key_mask if c.attn_impl == "flash"
+                 and cache.k_scale is None else None)
+        bias = (None if fmask is not None
+                else (key_mask[:, None, None, :] - 1.0) * 1e9)  # [B,1,1,C]
         pos = cache.next_pos[:, None]                          # [B, 1]
 
         x = params["tok_embed"][token[:, None]].astype(adt)    # [B, 1, D]
@@ -384,7 +407,7 @@ class Decoder:
                 v_layer, v, (0, 0, cache.cursor, 0))
 
             ctx = _cached_attn(q, k_layer, v_layer, ksl, vsl, bias, adt,
-                               dh).astype(adt)
+                               dh, flash_mask=fmask).astype(adt)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, c.hidden)
             attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
             x = x + attn
@@ -569,11 +592,18 @@ class Decoder:
         fresh = (cols >= cur) & (cols < cur + G)           # [B, C]
         key_mask = jnp.where(fresh & active[:, None],
                              1.0, cache.key_mask)
-        # query i of lane b sees: mask-live columns <= cursor[b] + i
-        vis = ((cols[:, None, :] <= cur[:, :, None] + jnp.arange(G)[None, :,
-                                                                   None])
-               .astype(jnp.float32) * key_mask[:, None, :])   # [B, G, C]
-        bias = (vis[:, None] - 1.0) * 1e9                  # [B, 1, G, C]
+        # query i of lane b sees: mask-live columns <= cursor[b] + i —
+        # exactly the flash kernel's per-lane offset-causal rule, so the
+        # float-cache flash route passes col0=cursor and no bias tensor
+        fmask = (key_mask if c.attn_impl == "flash"
+                 and cache.k_scale is None else None)
+        if fmask is None:
+            vis = ((cols[:, None, :]
+                    <= cur[:, :, None] + jnp.arange(G)[None, :, None])
+                   .astype(jnp.float32) * key_mask[:, None, :])  # [B, G, C]
+            bias = (vis[:, None] - 1.0) * 1e9              # [B, 1, G, C]
+        else:
+            bias = None
         pos = cache.next_pos[:, None] + jnp.arange(G)[None, :]   # [B, G]
         ccols = cur + jnp.arange(G)[None, :]               # [B, G]
 
@@ -605,7 +635,8 @@ class Decoder:
                 v.transpose(0, 2, 1, 3))
 
             ctx = _cached_attn(q, k_layer, v_layer, ksl, vsl, bias, adt,
-                               dh).astype(adt)
+                               dh, flash_mask=fmask,
+                               flash_col0=cache.cursor).astype(adt)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, G, c.hidden)
             attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
             x = x + attn
@@ -657,7 +688,10 @@ class Decoder:
 
         key_mask = cache.key_mask.at[rows, cache.cursor].max(
             active.astype(cache.key_mask.dtype))
-        bias = (key_mask[:, None, None, :] - 1.0) * 1e9       # [B,1,1,C]
+        fmask = (key_mask if c.attn_impl == "flash"
+                 and cache.k_scale is None else None)
+        bias = (None if fmask is not None
+                else (key_mask[:, None, None, :] - 1.0) * 1e9)  # [B,1,1,C]
         pos = cache.next_pos[:, None]                          # [B, 1]
 
         x = params["tok_embed"][token[:, None]].astype(adt)    # [B, 1, D]
@@ -684,7 +718,7 @@ class Decoder:
             v_layer = v_layer.at[rows, :, cache.cursor, :].set(v[:, :, 0, :])
 
             ctx = _cached_attn(q, k_layer, v_layer, ksl, vsl, bias, adt,
-                               dh).astype(adt)
+                               dh, flash_mask=fmask).astype(adt)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, c.hidden)
             attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
             x = x + attn

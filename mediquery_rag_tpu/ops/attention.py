@@ -21,9 +21,11 @@ This kernel computes the same attention without ever materializing the
 - the causal+padding mask is *computed* from iota + the ``[B, Sk]`` key mask
   inside the kernel (same ``(visible - 1) * 1e9`` bias formula as the einsum
   path) — the ``[B, 1, S, S]`` bias tensor never exists either.
-- GQA: the K/V block index maps query head ``h`` to KV head ``h // group``,
-  so shared KV heads are read, not repeated, and the cache layout is
-  untouched.
+- GQA fold: each KV group's ``g`` query heads are concatenated along the
+  row axis ([B, KH, g*S, dh]), so one K/V tile feeds the whole group — the
+  cache is read at its true KH-head size, never expanded (the einsum path's
+  ``jnp.repeat`` materializes ``g``x the cache, which dominates
+  long-context decode HBM traffic).
 - query offset (scalar-prefetch ``[B]`` i32): query row ``r`` of batch ``b``
   sits at key column ``q_offset[b] + r`` — offset 0 is ordinary causal
   prefill; ``col0`` is the chunked-prefill/prefix-cache continuation
@@ -65,7 +67,13 @@ _NEG_BIG = -1e30
 
 
 def _flash_kernel(off_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
-                  acc_ref, m_ref, l_ref, *, scale, causal, tq, tk):
+                  acc_ref, m_ref, l_ref, *, scale, causal, tq, tk, sq):
+    # GQA fold: the caller concatenates each KV group's g query heads along
+    # the row axis ([B, KH, g*sq, dhp]), so one grid visit per (b, kh, j)
+    # reads the K/V tile ONCE for the whole group — K/V are never expanded
+    # (jnp.repeat in the einsum path materializes g x the cache per step,
+    # the dominant HBM cost of long-context decode). Folded row r maps to
+    # sequence position r % sq (sq = padded per-head query length).
     b = pl.program_id(0)
     i = pl.program_id(2)
     j = pl.program_id(3)
@@ -85,8 +93,8 @@ def _flash_kernel(off_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
             preferred_element_type=jnp.float32) * scale   # [tq, tk]
         vis = mask_ref[0] > 0.0                           # [1, tk]
         if causal:
-            rows = off + i * tq + jax.lax.broadcasted_iota(
-                jnp.int32, (tq, tk), 0)                   # key col of query r
+            rows = off + (i * tq + jax.lax.broadcasted_iota(
+                jnp.int32, (tq, tk), 0)) % sq             # key col of query r
             cols = j * tk + jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
             vis = vis & (cols <= rows)
         # same bias formula as the einsum path: -1e9, not -inf, so a row
@@ -108,8 +116,12 @@ def _flash_kernel(off_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
     if causal:
-        # tile fully above the (offset) diagonal -> nothing visible, skip
-        @pl.when(j * tk <= off + i * tq + tq - 1)
+        # tile fully above the (offset) diagonal -> nothing visible, skip.
+        # max sequence position in this tile: tiles either sit inside one
+        # head's sq rows (sq % tq == 0) or span whole heads (tq >= sq) —
+        # both chosen by the caller, never a partial straddle
+        mx = sq - 1 if tq >= sq else (i * tq) % sq + tq - 1
+        @pl.when(j * tk <= off + mx)
         def _():
             _tile()
     else:
@@ -132,12 +144,25 @@ def _flash_call(q, k, v, key_mask, q_offset, *, scale, causal, tq, tk,
     group = H // KH
 
     dhp = _round_up(dh, LANE)
-    tq = min(tq, _round_up(S, 16))
     tk = min(tk, _round_up(Sk, LANE))
-    sq = _round_up(S, tq)
     sk = _round_up(Sk, tk)
+    # pick the query tile so tiles never straddle a head boundary partially:
+    # small per-head row counts fold the WHOLE group into one tile (decode:
+    # g*16 rows, one K/V pass per (b, kh)); large ones tile within a head
+    sq = _round_up(S, 16)
+    if group * sq <= tq:
+        tq = group * sq
+    else:
+        tq = min(tq, sq)
+        sq = _round_up(S, tq)
+    rq = group * sq
+
     if dhp != dh or sq != S:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, sq - S), (0, dhp - dh)))
+    # GQA fold: [B, H, sq, dhp] -> [B, KH, g*sq, dhp] — heads h in
+    # [kh*g, (kh+1)*g) are consecutive (models/decoder.py _split_qkv), so a
+    # plain reshape groups each KV head's queries contiguously
+    q = q.reshape(B, KH, rq, dhp)
     if dhp != dh or sk != Sk:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, sk - Sk), (0, dhp - dh)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, sk - Sk), (0, dhp - dh)))
@@ -146,26 +171,27 @@ def _flash_call(q, k, v, key_mask, q_offset, *, scale, causal, tq, tk,
     mask = jnp.pad(key_mask.astype(jnp.float32),
                    ((0, 0), (0, sk - Sk)))[:, None, :]
 
-    grid = (B, H, sq // tq, sk // tk)
+    grid = (B, KH, rq // tq, sk // tk)
     kern = functools.partial(_flash_kernel, scale=scale, causal=causal,
-                             tq=tq, tk=tk)
+                             tq=tq, tk=tk, sq=sq)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, tq, dhp), lambda b, h, i, j, off: (b, h, i, 0),
+            pl.BlockSpec((1, 1, tq, dhp),
+                         lambda b, kh, i, j, off: (b, kh, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tk, dhp),
-                         lambda b, h, i, j, off: (b, h // group, j, 0),
+                         lambda b, kh, i, j, off: (b, kh, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tk, dhp),
-                         lambda b, h, i, j, off: (b, h // group, j, 0),
+                         lambda b, kh, i, j, off: (b, kh, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tk), lambda b, h, i, j, off: (b, 0, j),
+            pl.BlockSpec((1, 1, tk), lambda b, kh, i, j, off: (b, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, tq, dhp),
-                               lambda b, h, i, j, off: (b, h, i, 0),
+                               lambda b, kh, i, j, off: (b, kh, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tq, dhp), jnp.float32),    # ctx accumulator
@@ -176,16 +202,16 @@ def _flash_call(q, k, v, key_mask, q_offset, *, scale, causal, tq, tk,
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, sq, dhp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, KH, rq, dhp), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * sq * sk * dhp,
-            bytes_accessed=(q.size + 2 * group * k.size) * q.dtype.itemsize
-            + B * H * sq * dhp * 4,
+            bytes_accessed=(q.size + 2 * k.size) * q.dtype.itemsize
+            + B * H * sq * dhp * q.dtype.itemsize,
             transcendentals=B * H * sq * sk,
         ),
         interpret=interpret,
     )(q_offset.astype(jnp.int32), q, k, v, mask)
-    return out[:, :, :S, :dh]
+    return out.reshape(B, H, sq, dhp)[:, :, :S, :dh]
 
 
 def mha_reference(q, k, v, key_mask, scale, causal=True):
@@ -276,4 +302,29 @@ def flash_attention_at(
         scale = q.shape[-1] ** -0.5
     return _flash_call(q, k, v, key_mask, col0, scale=float(scale),
                        causal=True, tq=256, tk=1024,
+                       interpret=not _on_tpu())
+
+
+def flash_attention_cached(
+    q: jax.Array,            # [B, H, S, dh] — decode-step queries (S small)
+    k: jax.Array,            # [B, KH, C, dh] — the full cache
+    v: jax.Array,            # [B, KH, C, dh]
+    key_mask: jax.Array,     # [B, C] — 1.0 = live cache column
+    *,
+    scale: float | None = None,
+) -> jax.Array:
+    """Mask-only cache attention — ``Decoder.decode_step``/
+    ``decode_step_slots`` visibility (the key mask alone encodes what each
+    lane may see; no causal term). The payoff vs the einsum path is the
+    GQA fold: the cache is read at KH heads instead of being
+    ``jnp.repeat``-expanded to H — at 7B GQA 28q/4kv and C=4096 that is
+    ~6.4 GB of avoided HBM traffic per decode step. Serving-only, not
+    differentiable. Returns ``[B, H, S, dh]`` in q's dtype."""
+    if q.shape[1] % k.shape[1]:
+        raise ValueError(f"heads {q.shape[1]} % kv_heads {k.shape[1]} != 0")
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash_call(q, k, v, key_mask,
+                       jnp.zeros((q.shape[0],), jnp.int32),
+                       scale=float(scale), causal=False, tq=256, tk=1024,
                        interpret=not _on_tpu())

@@ -178,6 +178,44 @@ class TestDecoderFlash:
         np.testing.assert_allclose(np.asarray(lo_f)[:9], np.asarray(lo_e)[:9],
                                    rtol=2e-3, atol=2e-3)
 
+    def test_slots_paths_parity(self):
+        """decode_step_slots + extend_slots under attn_impl="flash" (the
+        GQA-folded cached-attention kernel, mask-only / per-lane offset
+        visibility) == the einsum path, on a cache with DIVERGED per-lane
+        cursors."""
+        from mediquery_rag_tpu.models.decoder import KVCache
+        base, flash, params = self._models()
+        rng = np.random.default_rng(9)
+        ids = jnp.asarray(rng.integers(3, 259, (2, 20)), jnp.int32)
+        mask = jnp.concatenate(
+            [jnp.zeros((2, 3)), jnp.ones((2, 17))], axis=1)
+        _, cache = base.prefill(params, ids, mask, cache_len=64)
+        slot = KVCache(k=cache.k, v=cache.v, key_mask=cache.key_mask,
+                       cursor=jnp.full((2,), cache.cursor, jnp.int32),
+                       next_pos=cache.next_pos)
+        # advance lane 0 only -> cursors [21, 20]
+        _, slot = base.decode_step_slots(
+            params, slot, jnp.asarray([7, 9], jnp.int32),
+            jnp.asarray([True, False]))
+
+        act = jnp.ones((2,), bool)
+        tok = jnp.asarray([11, 42], jnp.int32)
+        l_e, c_e = base.decode_step_slots(params, slot, tok, act)
+        l_f, c_f = flash.decode_step_slots(params, slot, tok, act)
+        np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_e),
+                                   rtol=2e-3, atol=2e-3)
+        assert np.array_equal(np.asarray(c_f.key_mask),
+                              np.asarray(c_e.key_mask))
+
+        toks = jnp.asarray([[5, 9, 200], [77, 3, 150]], jnp.int32)
+        le, ce = base.extend_slots(params, slot, toks, act)
+        lf, cf = flash.extend_slots(params, slot, toks, act)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(le),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(cf.k), np.asarray(ce.k),
+                                   rtol=2e-3, atol=2e-3)
+        assert np.array_equal(np.asarray(cf.cursor), np.asarray(ce.cursor))
+
     def test_bad_attn_impl_raises(self):
         with pytest.raises(ValueError, match="attn_impl"):
             Decoder(dataclasses.replace(CFG, attn_impl="paged"))
