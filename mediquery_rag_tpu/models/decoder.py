@@ -127,21 +127,24 @@ def _cached_attn(q, k_layer, v_layer, ks, vs, bias, adt, dh,
     per column and V scales into the softmax weights — no materialized
     dequantized cache. Returns f32 ctx [B, H, S, dh].
 
-    ``flash_mask`` ([B, C] key validity) routes the float path through the
-    GQA-folded Pallas kernel (ops/attention.py) — the cache is read at its
-    true KH-head size instead of ``jnp.repeat``-expanded to H, the dominant
-    HBM cost of long-context GQA decode. ``flash_col0`` ([B] i32) adds the
-    per-lane causal term ``col <= col0 + row`` (extend_slots' verify
-    window); without it visibility is the mask alone (decode steps)."""
+    ``flash_mask`` ([B, C] key validity) routes BOTH cache dtypes through
+    the GQA-folded Pallas kernel (ops/attention.py) — the cache is read at
+    its true KH-head size instead of ``jnp.repeat``-expanded to H, the
+    dominant HBM cost of long-context GQA decode; the int8 cache
+    additionally streams codes at 1 byte/elt with the scales folded
+    in-kernel. ``flash_col0`` ([B] i32) adds the per-lane causal term
+    ``col <= col0 + row`` (extend_slots' verify window); without it
+    visibility is the mask alone (decode steps)."""
     g = q.shape[1] // k_layer.shape[1]
-    if ks is None and flash_mask is not None:
+    if flash_mask is not None:
         from mediquery_rag_tpu.ops.attention import (
             flash_attention_at, flash_attention_cached)
         if flash_col0 is None:
-            ctx = flash_attention_cached(q, k_layer, v_layer, flash_mask)
+            ctx = flash_attention_cached(q, k_layer, v_layer, flash_mask,
+                                         k_scale=ks, v_scale=vs)
         else:
             ctx = flash_attention_at(q, k_layer, v_layer, flash_mask,
-                                     flash_col0)
+                                     flash_col0, k_scale=ks, v_scale=vs)
         return ctx.astype(jnp.float32)
     if ks is None:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, _repeat_kv(k_layer, g),
@@ -369,11 +372,10 @@ class Decoder:
         key_mask = jax.lax.dynamic_update_slice(
             cache.key_mask, jnp.ones((B, 1), cache.key_mask.dtype),
             (0, cache.cursor))
-        # float cache + flash: GQA-folded kernel reads the cache at KH
-        # heads (no jnp.repeat expansion); int8 cache keeps the
-        # scale-folding einsum path
-        fmask = (key_mask if c.attn_impl == "flash"
-                 and cache.k_scale is None else None)
+        # flash: GQA-folded kernel reads the cache at KH heads (no
+        # jnp.repeat expansion), int8 codes at 1 byte/elt with scales
+        # folded in-kernel
+        fmask = key_mask if c.attn_impl == "flash" else None
         bias = (None if fmask is not None
                 else (key_mask[:, None, None, :] - 1.0) * 1e9)  # [B,1,1,C]
         pos = cache.next_pos[:, None]                          # [B, 1]
@@ -485,10 +487,9 @@ class Decoder:
         ext_mask = jax.lax.dynamic_update_slice(ext_mask, mask, (col0,))
         key_mask_row = jnp.where(fresh, ext_mask, key_mask_row)
 
-        # flash path only for float caches: the int8 cache folds its scales
-        # into the attention einsums (_cached_attn), which the kernel does
-        # not reproduce
-        use_flash = c.attn_impl == "flash" and k_scale_row is None
+        # flash for both cache dtypes: the int8 cache's per-column scales
+        # fold into the kernel's logits/weights (ops/attention.py quant mode)
+        use_flash = c.attn_impl == "flash"
         if use_flash:
             bias = None                                    # never built
         else:
@@ -528,7 +529,9 @@ class Decoder:
                 ctx = flash_attention_at(
                     q, k_layer[None], v_layer[None], key_mask_row[None],
                     jnp.asarray(col0, jnp.int32)[None],
-                    scale=dh ** -0.5).astype(adt)
+                    scale=dh ** -0.5,
+                    k_scale=None if ksl is None else ksl[None],
+                    v_scale=None if vsl is None else vsl[None]).astype(adt)
             else:
                 ctx = _cached_attn(
                     q, k_layer[None], v_layer[None],
@@ -594,9 +597,9 @@ class Decoder:
                              1.0, cache.key_mask)
         # query i of lane b sees: mask-live columns <= cursor[b] + i —
         # exactly the flash kernel's per-lane offset-causal rule, so the
-        # float-cache flash route passes col0=cursor and no bias tensor
-        fmask = (key_mask if c.attn_impl == "flash"
-                 and cache.k_scale is None else None)
+        # flash route passes col0=cursor and no bias tensor (both cache
+        # dtypes; int8 scales fold in-kernel)
+        fmask = key_mask if c.attn_impl == "flash" else None
         if fmask is None:
             vis = ((cols[:, None, :]
                     <= cur[:, :, None] + jnp.arange(G)[None, :, None])
@@ -688,8 +691,7 @@ class Decoder:
 
         key_mask = cache.key_mask.at[rows, cache.cursor].max(
             active.astype(cache.key_mask.dtype))
-        fmask = (key_mask if c.attn_impl == "flash"
-                 and cache.k_scale is None else None)
+        fmask = key_mask if c.attn_impl == "flash" else None
         bias = (None if fmask is not None
                 else (key_mask[:, None, None, :] - 1.0) * 1e9)  # [B,1,1,C]
         pos = cache.next_pos[:, None]                          # [B, 1]

@@ -66,8 +66,17 @@ LANE = 128
 _NEG_BIG = -1e30
 
 
-def _flash_kernel(off_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
-                  acc_ref, m_ref, l_ref, *, scale, causal, tq, tk, sq):
+def _flash_kernel(off_ref, q_ref, k_ref, v_ref, mask_ref, *rest,
+                  scale, causal, tq, tk, sq, quant):
+    if quant:
+        # int8 KV cache: k/v tiles are int8 codes; ks/vs are the per-column
+        # per-KV-head absmax scales (models/decoder.py:_kv_quantize). The
+        # codes stream from HBM at 1 byte/elt and are cast in VMEM; the
+        # scales fold into the logits (K) and softmax weights (V) exactly
+        # like the einsum path (_cached_attn int8 branch).
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
     # GQA fold: the caller concatenates each KV group's g query heads along
     # the row axis ([B, KH, g*sq, dhp]), so one grid visit per (b, kh, j)
     # reads the K/V tile ONCE for the whole group — K/V are never expanded
@@ -88,9 +97,14 @@ def _flash_kernel(off_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
 
     def _tile():
         q = q_ref[0, 0]                                   # [tq, dhp]
+        k_t = k_ref[0, 0]                                 # [tk, dhp]
+        if quant:
+            k_t = k_t.astype(q.dtype)     # codes <=127: exact even in bf16
         s = jax.lax.dot_general(
-            q, k_ref[0, 0], (((1,), (1,)), ((), ())),
+            q, k_t, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # [tq, tk]
+        if quant:
+            s = s * ks_ref[0, 0]                          # [1, tk] K scales
         vis = mask_ref[0] > 0.0                           # [1, tk]
         if causal:
             rows = off + (i * tq + jax.lax.broadcasted_iota(
@@ -108,9 +122,15 @@ def _flash_kernel(off_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
         p = jnp.exp(s - m_new)                            # [tq, tk]
         l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
         # cast the (un-normalized, <=1) weights to the V dtype for the MXU —
-        # mirrors the einsum path's softmax(...).astype(adt) @ V
+        # mirrors the einsum path's softmax(...).astype(adt) @ V; the int8
+        # path folds the V scales into the weights first (w * vs, then cast)
+        if quant:
+            pw = (p * vs_ref[0, 0]).astype(q.dtype)
+            v_t = v_ref[0, 0].astype(q.dtype)
+        else:
+            pw, v_t = p.astype(v_ref.dtype), v_ref[0, 0]
         pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            pw, v_t, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # [tq, dhp]
         acc_ref[:] = acc_ref[:] * corr + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -137,11 +157,12 @@ def _flash_kernel(off_ref, q_ref, k_ref, v_ref, mask_ref, o_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "causal", "tq", "tk", "interpret"))
-def _flash_call(q, k, v, key_mask, q_offset, *, scale, causal, tq, tk,
-                interpret):
+def _flash_call(q, k, v, key_mask, q_offset, k_scale=None, v_scale=None, *,
+                scale, causal, tq, tk, interpret):
     B, H, S, dh = q.shape
     KH, Sk = k.shape[1], k.shape[2]
     group = H // KH
+    quant = k_scale is not None
 
     dhp = _round_up(dh, LANE)
     tk = min(tk, _round_up(Sk, LANE))
@@ -173,23 +194,36 @@ def _flash_call(q, k, v, key_mask, q_offset, *, scale, causal, tq, tk,
 
     grid = (B, KH, rq // tq, sk // tk)
     kern = functools.partial(_flash_kernel, scale=scale, causal=causal,
-                             tq=tq, tk=tk, sq=sq)
+                             tq=tq, tk=tk, sq=sq, quant=quant)
+    in_specs = [
+        pl.BlockSpec((1, 1, tq, dhp),
+                     lambda b, kh, i, j, off: (b, kh, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tk, dhp),
+                     lambda b, kh, i, j, off: (b, kh, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tk, dhp),
+                     lambda b, kh, i, j, off: (b, kh, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tk), lambda b, kh, i, j, off: (b, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [q, k, v, mask]
+    if quant:
+        # per-column KV scales [B, KH, Sk] f32 -> [B, KH, 1, sk] (the unit
+        # sublane dim keeps the (1, 1, 1, tk) block Mosaic-legal, same trick
+        # as the mask). Padded columns scale to 0 — they are mask-dead anyway
+        for s_ in (k_scale, v_scale):
+            sp = jnp.pad(s_.astype(jnp.float32),
+                         ((0, 0), (0, 0), (0, sk - Sk)))[:, :, None, :]
+            operands.append(sp)
+            in_specs.append(pl.BlockSpec(
+                (1, 1, 1, tk), lambda b, kh, i, j, off: (b, kh, 0, j),
+                memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, tq, dhp),
-                         lambda b, kh, i, j, off: (b, kh, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tk, dhp),
-                         lambda b, kh, i, j, off: (b, kh, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tk, dhp),
-                         lambda b, kh, i, j, off: (b, kh, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tk), lambda b, kh, i, j, off: (b, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, tq, dhp),
                                lambda b, kh, i, j, off: (b, kh, i, 0),
                                memory_space=pltpu.VMEM),
@@ -205,12 +239,13 @@ def _flash_call(q, k, v, key_mask, q_offset, *, scale, causal, tq, tk,
         out_shape=jax.ShapeDtypeStruct((B, KH, rq, dhp), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * sq * sk * dhp,
-            bytes_accessed=(q.size + 2 * k.size) * q.dtype.itemsize
+            bytes_accessed=(q.size * q.dtype.itemsize
+                            + 2 * k.size * k.dtype.itemsize)
             + B * H * sq * dhp * q.dtype.itemsize,
             transcendentals=B * H * sq * sk,
         ),
         interpret=interpret,
-    )(q_offset.astype(jnp.int32), q, k, v, mask)
+    )(q_offset.astype(jnp.int32), *operands)
     return out.reshape(B, H, sq, dhp)[:, :, :S, :dh]
 
 
@@ -289,19 +324,26 @@ def flash_attention_at(
     col0: jax.Array,         # [B] i32 — cache column of each lane's query 0
     *,
     scale: float | None = None,
+    k_scale: jax.Array | None = None,   # [B, KH, C] — int8 cache scales
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Continuation attention: query ``r`` sees cache columns
     ``c <= col0[b] + r`` that are mask-live — the visibility of
     ``Decoder.prefill_extend`` (chunked prefill / prefix-cache suffix) —
-    without materializing the ``[S, C]`` logits. Serving-only: NOT
-    differentiable (prefill_extend never trains). Returns
+    without materializing the ``[S, C]`` logits. With ``k_scale``/
+    ``v_scale`` the cache holds int8 codes (kv_dtype="int8"): codes stream
+    at 1 byte/elt and the per-column scales fold into logits / softmax
+    weights in-kernel, same math as the einsum int8 branch. Serving-only:
+    NOT differentiable (prefill_extend never trains). Returns
     ``[B, H, S, dh]`` in q's dtype."""
     if q.shape[1] % k.shape[1]:
         raise ValueError(f"heads {q.shape[1]} % kv_heads {k.shape[1]} != 0")
+    if (k_scale is None) != (v_scale is None):
+        raise ValueError("k_scale and v_scale must be given together")
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash_call(q, k, v, key_mask, col0, scale=float(scale),
-                       causal=True, tq=256, tk=1024,
+    return _flash_call(q, k, v, key_mask, col0, k_scale, v_scale,
+                       scale=float(scale), causal=True, tq=256, tk=2048,
                        interpret=not _on_tpu())
 
 
@@ -312,19 +354,26 @@ def flash_attention_cached(
     key_mask: jax.Array,     # [B, C] — 1.0 = live cache column
     *,
     scale: float | None = None,
+    k_scale: jax.Array | None = None,   # [B, KH, C] — int8 cache scales
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Mask-only cache attention — ``Decoder.decode_step``/
     ``decode_step_slots`` visibility (the key mask alone encodes what each
     lane may see; no causal term). The payoff vs the einsum path is the
     GQA fold: the cache is read at KH heads instead of being
     ``jnp.repeat``-expanded to H — at 7B GQA 28q/4kv and C=4096 that is
-    ~6.4 GB of avoided HBM traffic per decode step. Serving-only, not
+    ~6.4 GB of avoided HBM traffic per decode step. With ``k_scale``/
+    ``v_scale`` the cache holds int8 codes (kv_dtype="int8"): codes stream
+    at 1 byte/elt and the scales fold in-kernel — the einsum int8 branch's
+    math without its g-fold repeat of codes AND scales. Serving-only, not
     differentiable. Returns ``[B, H, S, dh]`` in q's dtype."""
     if q.shape[1] % k.shape[1]:
         raise ValueError(f"heads {q.shape[1]} % kv_heads {k.shape[1]} != 0")
+    if (k_scale is None) != (v_scale is None):
+        raise ValueError("k_scale and v_scale must be given together")
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _flash_call(q, k, v, key_mask,
-                       jnp.zeros((q.shape[0],), jnp.int32),
-                       scale=float(scale), causal=False, tq=256, tk=1024,
+                       jnp.zeros((q.shape[0],), jnp.int32), k_scale, v_scale,
+                       scale=float(scale), causal=False, tq=256, tk=2048,
                        interpret=not _on_tpu())

@@ -216,6 +216,63 @@ class TestDecoderFlash:
                                    rtol=2e-3, atol=2e-3)
         assert np.array_equal(np.asarray(cf.cursor), np.asarray(ce.cursor))
 
+    def test_int8_cache_flash_parity(self):
+        """The quant kernel (int8 codes + per-column scales folded in-kernel)
+        == the einsum int8 branch, across every cached path: decode_step,
+        decode_step_slots, extend_slots (per-lane offset window), and the
+        chunked-prefill continuation prefill_extend."""
+        from mediquery_rag_tpu.models.decoder import KVCache
+        base = Decoder(dataclasses.replace(CFG, kv_dtype="int8"))
+        flash = Decoder(dataclasses.replace(CFG, kv_dtype="int8",
+                                            attn_impl="flash"))
+        params = base.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(11)
+        ids = jnp.asarray(rng.integers(3, 259, (2, 20)), jnp.int32)
+        mask = jnp.concatenate(
+            [jnp.zeros((2, 3)), jnp.ones((2, 17))], axis=1)
+        _, cache = base.prefill(params, ids, mask, cache_len=64)
+        assert cache.k_scale is not None
+
+        tok = jnp.asarray([11, 42], jnp.int32)
+        l_e, c_e = base.decode_step(params, cache, tok)
+        l_f, c_f = flash.decode_step(params, cache, tok)
+        np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_e),
+                                   rtol=2e-3, atol=2e-3)
+        assert np.array_equal(np.asarray(c_f.k), np.asarray(c_e.k))
+
+        slot = KVCache(k=cache.k, v=cache.v, key_mask=cache.key_mask,
+                       cursor=jnp.full((2,), cache.cursor, jnp.int32),
+                       next_pos=cache.next_pos,
+                       k_scale=cache.k_scale, v_scale=cache.v_scale)
+        # diverge lane cursors: [21, 20]
+        _, slot = base.decode_step_slots(
+            params, slot, jnp.asarray([7, 9], jnp.int32),
+            jnp.asarray([True, False]))
+        act = jnp.ones((2,), bool)
+        l_e, _ = base.decode_step_slots(params, slot, tok, act)
+        l_f, _ = flash.decode_step_slots(params, slot, tok, act)
+        np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_e),
+                                   rtol=2e-3, atol=2e-3)
+
+        toks = jnp.asarray([[5, 9, 200], [77, 3, 150]], jnp.int32)
+        le, ce = base.extend_slots(params, slot, toks, act)
+        lf, cf = flash.extend_slots(params, slot, toks, act)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(le),
+                                   rtol=2e-3, atol=2e-3)
+        assert np.array_equal(np.asarray(cf.k), np.asarray(ce.k))
+        assert np.array_equal(np.asarray(cf.cursor), np.asarray(ce.cursor))
+
+        ext = jnp.asarray(rng.integers(3, 259, (8,)), jnp.int32)
+        ext_mask = jnp.concatenate([jnp.ones((6,)), jnp.zeros((2,))])
+        args = (cache.k[:, 0], cache.v[:, 0], cache.key_mask[0],
+                ext, ext_mask, jnp.int32(20), jnp.int32(17))
+        kw = dict(all_logits=True, k_scale_row=cache.k_scale[:, 0],
+                  v_scale_row=cache.v_scale[:, 0])
+        lo_f = flash.prefill_extend(params, *args, **kw)[0]
+        lo_e = base.prefill_extend(params, *args, **kw)[0]
+        np.testing.assert_allclose(np.asarray(lo_f)[:6], np.asarray(lo_e)[:6],
+                                   rtol=2e-3, atol=2e-3)
+
     def test_bad_attn_impl_raises(self):
         with pytest.raises(ValueError, match="attn_impl"):
             Decoder(dataclasses.replace(CFG, attn_impl="paged"))
