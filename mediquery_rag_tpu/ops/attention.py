@@ -37,13 +37,16 @@ This kernel computes the same attention without ever materializing the
   acceptable because the skipped tiles are the cheap half of a
   bandwidth-bound loop).
 
-Training: ``flash_attention`` carries a custom VJP whose backward pass
-recomputes attention with the einsum reference and differentiates that —
-the forward (inference, prefill) is where the memory/bandwidth win lives;
-the backward transiently materializes per-layer ``[B, H, S, S]`` exactly
-like the einsum path it replaces (use ``remat`` + short S for training, as
-models/train_lm.py already does). ``flash_attention_at`` (the offset
-variant) is serving-only and not differentiable.
+Training: ``flash_attention`` carries a custom VJP whose backward is also
+Pallas (``_flash_bwd_call``): a KV-minor dQ pass that produces the
+logsumexp online, and a Q-minor dK/dV pass that reconstructs P from it —
+``[S, S]`` is never materialized in either direction, so long-context
+fine-tuning (LoRA/distill) fits where the einsum backward's per-layer
+``[B, H, S, S]`` would not. Both passes run in the transposed ``K @ Q^T``
+orientation so every per-query quantity (running max/denominator, D,
+logsumexp) lives on the lane axis — no sublane<->lane transposes.
+``flash_attention_at`` / ``flash_attention_cached`` (the serving variants)
+are not differentiable.
 
 Off-TPU the kernel auto-selects Pallas interpret mode (pure XLA ops — this
 is also what makes it partitionable on the virtual CPU mesh); on-chip it
@@ -249,6 +252,248 @@ def _flash_call(q, k, v, key_mask, q_offset, k_scale=None, v_scale=None, *,
     return out.reshape(B, H, sq, dhp)[:, :, :S, :dh]
 
 
+def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, maskt_ref, d_ref,
+                     dq_ref, lse_ref, acc_ref, m_ref, l_ref, *,
+                     scale, causal, tq, tk, sq):
+    """dQ pass + logsumexp, KV-minor. Everything is computed in the
+    TRANSPOSED orientation ``s_t = K @ Q^T`` [tk, tq]: query rows live on
+    the LANE axis, so the per-row running max/denominator/D broadcast as
+    ``[1, tq]`` lane vectors — no sublane<->lane transposes anywhere. The
+    dQ accumulator is [dhp, tq] for the same reason (the online-softmax
+    rescale multiplies per QUERY, i.e. per lane); the caller transposes
+    the assembled [B, KH, dhp, rq] result once with XLA. Key validity
+    must therefore sit on the SUBLANE axis — ``maskt_ref`` is the
+    lane-broadcast [sk, LANE] transposed mask."""
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_BIG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    def _tile():
+        q = q_ref[0, 0]                                   # [tq, dhp]
+        k = k_ref[0, 0]                                   # [tk, dhp]
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [tk, tq]
+        vis = maskt_ref[0][:, :1] > 0.0                   # [tk, 1]
+        if causal:
+            kcol = j * tk + jax.lax.broadcasted_iota(jnp.int32, (tk, tq), 0)
+            qrow = (i * tq + jax.lax.broadcasted_iota(
+                jnp.int32, (tk, tq), 1)) % sq
+            vis = vis & (kcol <= qrow)
+        st = st + (vis.astype(jnp.float32) - 1.0) * 1e9   # forward's bias
+
+        m_old = m_ref[:1]                                 # [1, tq]
+        m_new = jnp.maximum(m_old, jnp.max(st, axis=0, keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(st - m_new)                           # [tk, tq] unnorm.
+        l_ref[:1] = l_ref[:1] * corr + jnp.sum(p, axis=0, keepdims=True)
+        dp = jax.lax.dot_general(
+            v_ref[0, 0], do_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [tk, tq]
+        # dS = P (dP - D) * scale; P normalized — the 1/l and the running-max
+        # drift are linear in P, so accumulate unnormalized with the same
+        # corr rescale as the forward and divide by l once at the end
+        ds = (p * (dp - d_ref[0]) * scale).astype(k.dtype)
+        dqc = jax.lax.dot_general(
+            k, ds, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [dhp, tq]
+        acc_ref[:] = acc_ref[:] * corr + dqc
+        m_ref[:1] = m_new
+
+    if causal:
+        mx = sq - 1 if tq >= sq else (i * tq) % sq + tq - 1
+        @pl.when(j * tk <= mx)
+        def _():
+            _tile()
+    else:
+        _tile()
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        dq_ref[0, 0] = (acc_ref[:] / l_ref[:1]).astype(dq_ref.dtype)
+        # rows with zero visible keys have l ~ count * exp(0) (the -1e9 bias
+        # keeps m finite), so lse is finite garbage — their dO is 0 upstream
+        lse_ref[0] = m_ref[:1] + jnp.log(l_ref[:1])
+
+
+def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, maskt_ref, lse_ref, d_ref,
+                      dk_ref, dv_ref, dk_acc, dv_acc, *,
+                      scale, causal, tq, tk, sq):
+    """dK/dV pass, Q-minor: for a fixed KV tile the [tk, dhp] accumulators
+    stay resident while the (GQA-folded) query tiles stream — the fold sums
+    each KV head's gradient over its whole query group for free. Same
+    transposed orientation as the dQ pass; P is reconstructed exactly from
+    the dQ pass's logsumexp (softmax(s) == exp(s - lse))."""
+    j = pl.program_id(2)
+    i = pl.program_id(3)
+    ni = pl.num_programs(3)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    def _tile():
+        q = q_ref[0, 0]                                   # [tq, dhp]
+        k = k_ref[0, 0]                                   # [tk, dhp]
+        do = do_ref[0, 0]                                 # [tq, dhp]
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [tk, tq]
+        vis = maskt_ref[0][:, :1] > 0.0
+        if causal:
+            kcol = j * tk + jax.lax.broadcasted_iota(jnp.int32, (tk, tq), 0)
+            qrow = (i * tq + jax.lax.broadcasted_iota(
+                jnp.int32, (tk, tq), 1)) % sq
+            vis = vis & (kcol <= qrow)
+        st = st + (vis.astype(jnp.float32) - 1.0) * 1e9
+        p = jnp.exp(st - lse_ref[0])                      # [tk, tq], normed
+        dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [tk, dhp]
+        dp = jax.lax.dot_general(
+            v_ref[0, 0], do, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [tk, tq]
+        ds = (p * (dp - d_ref[0]) * scale).astype(q.dtype)
+        dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+            ds, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [tk, dhp]
+
+    if causal:
+        # q tiles whose every row sits left of this KV tile see nothing
+        mx = sq - 1 if tq >= sq else (i * tq) % sq + tq - 1
+        @pl.when(j * tk <= mx)
+        def _():
+            _tile()
+    else:
+        _tile()
+
+    @pl.when(i == ni - 1)
+    def _finish():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "causal", "tq", "tk", "interpret"))
+def _flash_bwd_call(q, k, v, key_mask, out, g, *, scale, causal, tq, tk,
+                    interpret):
+    """Flash backward: (dq, dk, dv) without materializing ``[S, S]``.
+
+    Two Pallas passes over the same GQA-folded layout as the forward:
+    a KV-minor dQ pass that also produces the logsumexp, and a Q-minor
+    dK/dV pass that reconstructs P from it. D = rowsum(dO * O) is one
+    cheap XLA reduction over tensors the VJP already holds."""
+    B, H, S, dh = q.shape
+    KH, Sk = k.shape[1], k.shape[2]
+    group = H // KH
+
+    dhp = _round_up(dh, LANE)
+    tk = min(tk, _round_up(Sk, LANE))
+    sk = _round_up(Sk, tk)
+    sq = _round_up(S, 16)
+    if group * sq <= tq:
+        tq = group * sq
+    else:
+        tq = min(tq, sq)
+        sq = _round_up(S, tq)
+    rq = group * sq
+
+    D = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    if sq != S:
+        D = jnp.pad(D, ((0, 0), (0, 0), (0, sq - S)))
+    D = D.reshape(B * KH, 1, rq)
+    if dhp != dh or sq != S:
+        pad4 = ((0, 0), (0, 0), (0, sq - S), (0, dhp - dh))
+        q, g = jnp.pad(q, pad4), jnp.pad(g, pad4)
+    q = q.reshape(B, KH, rq, dhp)
+    do = g.reshape(B, KH, rq, dhp)
+    if dhp != dh or sk != Sk:
+        pad4 = ((0, 0), (0, 0), (0, sk - Sk), (0, dhp - dh))
+        k, v = jnp.pad(k, pad4), jnp.pad(v, pad4)
+    # key validity on the SUBLANE axis (see _flash_dq_kernel): [B, sk, LANE]
+    maskt = jnp.broadcast_to(
+        jnp.pad(key_mask.astype(jnp.float32),
+                ((0, 0), (0, sk - Sk)))[:, :, None], (B, sk, LANE))
+
+    q_spec = pl.BlockSpec((1, 1, tq, dhp),
+                          lambda b, kh, x, y: (b, kh, x, 0))
+    q_spec_min = pl.BlockSpec((1, 1, tq, dhp),
+                              lambda b, kh, x, y: (b, kh, y, 0))
+    k_spec = pl.BlockSpec((1, 1, tk, dhp),
+                          lambda b, kh, x, y: (b, kh, y, 0))
+    k_spec_maj = pl.BlockSpec((1, 1, tk, dhp),
+                              lambda b, kh, x, y: (b, kh, x, 0))
+    mt_spec = pl.BlockSpec((1, tk, LANE), lambda b, kh, x, y: (b, y, 0))
+    mt_spec_maj = pl.BlockSpec((1, tk, LANE), lambda b, kh, x, y: (b, x, 0))
+    row_spec = pl.BlockSpec(
+        (1, 1, tq), lambda b, kh, x, y, KH=KH: (b * KH + kh, 0, x))
+    row_spec_min = pl.BlockSpec(
+        (1, 1, tq), lambda b, kh, x, y, KH=KH: (b * KH + kh, 0, y))
+
+    dq_t, lse = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, scale=scale, causal=causal,
+                          tq=tq, tk=tk, sq=sq),
+        grid=(B, KH, rq // tq, sk // tk),
+        in_specs=[q_spec, k_spec, k_spec, q_spec, mt_spec, row_spec],
+        out_specs=[
+            pl.BlockSpec((1, 1, dhp, tq), lambda b, kh, x, y: (b, kh, 0, x)),
+            row_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KH, dhp, rq), q.dtype),
+            jax.ShapeDtypeStruct((B * KH, 1, rq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((dhp, tq), jnp.float32),   # dq accumulator
+            pltpu.VMEM((8, tq), jnp.float32),     # running max (row 0)
+            pltpu.VMEM((8, tq), jnp.float32),     # running denominator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * H * sq * sk * dhp,
+            bytes_accessed=2 * (q.size + 2 * k.size) * q.dtype.itemsize,
+            transcendentals=B * H * sq * sk,
+        ),
+        interpret=interpret,
+    )(q, k, v, do, maskt, D)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, scale=scale, causal=causal,
+                          tq=tq, tk=tk, sq=sq),
+        grid=(B, KH, sk // tk, rq // tq),
+        in_specs=[q_spec_min, k_spec_maj, k_spec_maj, q_spec_min,
+                  mt_spec_maj, row_spec_min, row_spec_min],
+        out_specs=[
+            pl.BlockSpec((1, 1, tk, dhp), lambda b, kh, x, y: (b, kh, x, 0)),
+            pl.BlockSpec((1, 1, tk, dhp), lambda b, kh, x, y: (b, kh, x, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KH, sk, dhp), k.dtype),
+            jax.ShapeDtypeStruct((B, KH, sk, dhp), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tk, dhp), jnp.float32),   # dk accumulator
+            pltpu.VMEM((tk, dhp), jnp.float32),   # dv accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * B * H * sq * sk * dhp,
+            bytes_accessed=2 * (q.size + 2 * k.size) * q.dtype.itemsize,
+            transcendentals=B * H * sq * sk,
+        ),
+        interpret=interpret,
+    )(q, k, v, do, maskt, lse, D)
+
+    dq = dq_t.transpose(0, 1, 3, 2).reshape(B, H, sq, dhp)[:, :, :S, :dh]
+    return dq, dk[:, :, :Sk, :dh], dv[:, :, :Sk, :dh]
+
+
 def mha_reference(q, k, v, key_mask, scale, causal=True):
     """Einsum oracle — the exact op sequence of models/decoder.py:_attend
     with the prefill bias, in f32. Also the recompute target of the VJP."""
@@ -276,17 +521,17 @@ def _flash_mha(q, k, v, key_mask, scale, causal):
 
 
 def _flash_mha_fwd(q, k, v, key_mask, scale, causal):
-    return _flash_mha(q, k, v, key_mask, scale, causal), (q, k, v, key_mask)
+    out = _flash_mha(q, k, v, key_mask, scale, causal)
+    return out, (q, k, v, key_mask, out)
 
 
 def _flash_mha_bwd(scale, causal, res, g):
-    q, k, v, key_mask = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: mha_reference(q_, k_, v_, key_mask, scale, causal)
-        .astype(q_.dtype),
-        q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, jnp.zeros_like(key_mask)
+    q, k, v, key_mask, out = res
+    dq, dk, dv = _flash_bwd_call(q, k, v, key_mask, out, g, scale=scale,
+                                 causal=causal, tq=256, tk=512,
+                                 interpret=not _on_tpu())
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), \
+        jnp.zeros_like(key_mask)
 
 
 _flash_mha.defvjp(_flash_mha_fwd, _flash_mha_bwd)
@@ -305,9 +550,10 @@ def flash_attention(
 
     Query position ``r`` attends to key positions ``c`` with
     ``key_mask[b, c] == 1`` and (if ``causal``) ``c <= r`` — exactly the
-    prefill/apply visibility of models/decoder.py. Returns f32
-    ``[B, H, S, dh]`` (callers cast to the activation dtype).
-    Differentiable: the VJP recomputes via :func:`mha_reference`.
+    prefill/apply visibility of models/decoder.py. Returns
+    ``[B, H, S, dh]`` in q's dtype (callers cast to the activation dtype).
+    Differentiable: the VJP is the Pallas flash backward
+    (:func:`_flash_bwd_call`) — no ``[S, S]`` in either direction.
     """
     if q.shape[1] % k.shape[1]:
         raise ValueError(f"heads {q.shape[1]} % kv_heads {k.shape[1]} != 0")

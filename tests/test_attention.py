@@ -81,6 +81,35 @@ class TestFlashKernel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize(
+        "b,h,kh,s,dh,causal",
+        [(2, 4, 2, 70, 64, True),     # GQA, ragged S (padding rows), causal
+         (1, 6, 6, 33, 32, True),     # MHA, tiny prime S
+         (2, 4, 2, 48, 64, False)])   # non-causal GQA
+    def test_grad_padded_masked(self, b, h, kh, s, dh, causal):
+        """The Pallas backward (dq+lse / dkv passes) == the einsum VJP with
+        left-padded masks, pad rows, and a NON-uniform cotangent — pad and
+        fully-masked rows get zero upstream (loss-masked), which is where
+        the two implementations are defined to agree."""
+        rng = np.random.default_rng(21)
+        q, k, v = _mk(rng, (b, h, s, dh)), _mk(rng, (b, kh, s, dh)), \
+            _mk(rng, (b, kh, s, dh))
+        mask, pads = _left_pad_masks(rng, b, s)
+        w = _mk(rng, (b, h, s, dh)) * np.asarray(mask)[:, None, :, None]
+
+        def f(q_, k_, v_):
+            return (flash_attention(q_, k_, v_, mask, causal=causal) * w).sum()
+
+        def r(q_, k_, v_):
+            return (mha_reference(q_, k_, v_, mask, dh ** -0.5, causal)
+                    .astype(q_.dtype) * w).sum()
+
+        g_f = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        g_r = jax.grad(r, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g_f, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-4)
+
     def test_offset_variant_matches_cache_reference(self):
         """flash_attention_at: a fresh suffix at col0 over a [C] cache —
         the prefill_extend visibility (cols <= col0 + r, mask-live)."""
