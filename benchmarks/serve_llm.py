@@ -54,8 +54,14 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--weights", choices=("bf16", "int8", "int4"),
                     default="bf16")
-    ap.add_argument("--draft", choices=sorted(MODELS), default=None,
-                    help="speculative serving: draft model (e.g. base-60M)")
+    ap.add_argument("--draft", choices=sorted(MODELS) + ["self"],
+                    default=None,
+                    help="speculative serving: draft model (e.g. base-60M). "
+                         "Untrained drafts bracket the envelope the same way "
+                         "benchmarks/speculative.py does: a random small "
+                         "draft is the nothing-accepted worst case; 'self' "
+                         "(draft = the target's own weights) exercises the "
+                         "all-accepted round mechanics at full draft cost")
     ap.add_argument("--gamma", type=int, default=4)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon site hook pins "
@@ -79,7 +85,9 @@ def main() -> None:
         gen.quantize_weights(bits=8 if args.weights == "int8" else 4)
 
     draft = None
-    if args.draft:
+    if args.draft == "self":
+        draft = Generator(cfg, params=gen.params)
+    elif args.draft:
         dh, dl, dheads, dkvh, dmlp = MODELS[args.draft]
         draft = Generator(DecoderConfig(
             hidden=dh, layers=dl, heads=dheads, kv_heads=dkvh, mlp_dim=dmlp,
