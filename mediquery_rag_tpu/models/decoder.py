@@ -71,7 +71,29 @@ def _is_quant(w) -> bool:
     return isinstance(w, dict) and ("q" in w or "q4" in w)
 
 
-def _mm(x, w, adt):
+_STREAM_MATS = ("qkv", "attn_out", "w_gate", "w_up", "w_down")
+
+
+def _split_stream(blocks):
+    """Split stacked block params into (streamed big matrices, scan xs).
+
+    The big quantized matrices must NOT ride in ``lax.scan`` xs: scan
+    dynamic-slices its xs every iteration and XLA materializes each sliced
+    weight slab as an HBM copy — an extra write+read of ALL weight bytes
+    per decode step (measured ~2x the 7B step time; profiler showed
+    ~7.6 ms/step of dynamic-slice fusions). Instead they stay whole as
+    loop constants and the Pallas matvec selects the layer's tiles via
+    scalar prefetch (``quant_matvec(..., layer=li)``). Returns
+    ``(None, blocks)`` when any big mat is unquantized (training/bf16
+    path — the plain einsum keeps the scan layout)."""
+    if not all(_is_quant(blocks.get(k)) for k in _STREAM_MATS):
+        return None, blocks
+    mats = {k: blocks[k] for k in _STREAM_MATS}
+    rest = {k: v for k, v in blocks.items() if k not in _STREAM_MATS}
+    return mats, rest
+
+
+def _mm(x, w, adt, layer=None):
     """``x @ W`` for a weight that is a plain ``[in, out]`` float matrix,
     an int8-quantized ``{"q": [out, in] i8, "s": [out] f32}``, or an
     int4-packed ``{"q4": [out/2, in] i8, "s": [2, out/2], "t": [1, in]}``
@@ -80,7 +102,31 @@ def _mm(x, w, adt):
     through the Pallas matvec at quantized-byte HBM rate (ops/matvec.py)
     for small row counts (decode); larger row counts (prefill/scoring,
     which are MXU- not bandwidth-bound) dequantize into the normal dot.
+
+    ``layer`` selects one layer out of STACKED ``[L, ...]`` weights: the
+    quantized decode path passes the index through to the scalar-prefetch
+    kernels (zero-copy layer access — see :func:`_split_stream`); other
+    forms fall back to slicing the layer out.
     """
+    if layer is not None:
+        lead = x.shape[:-1]
+        rows = 1
+        for m in lead:
+            rows *= m
+        if _is_quant(w) and rows <= 128:
+            if "q4" in w:
+                from mediquery_rag_tpu.ops.matvec import quant_matvec_int4
+                out = quant_matvec_int4(x.reshape(rows, x.shape[-1]), w,
+                                        layer=layer)
+            else:
+                from mediquery_rag_tpu.ops.matvec import quant_matvec
+                out = quant_matvec(x.reshape(rows, x.shape[-1]),
+                                   w["q"], w["s"], layer=layer)
+            return out.reshape(*lead, out.shape[-1])
+        sel = functools.partial(jax.lax.dynamic_index_in_dim, index=layer,
+                                axis=0, keepdims=False)
+        return _mm(x, jax.tree_util.tree_map(sel, w) if _is_quant(w)
+                   else sel(w), adt)
     if not _is_quant(w):
         return jnp.einsum("...d,df->...f", x, w.astype(adt),
                           preferred_element_type=jnp.float32)
@@ -382,13 +428,19 @@ class Decoder:
 
         x = params["tok_embed"][token[:, None]].astype(adt)    # [B, 1, D]
 
+        mats, rest = _split_stream(params["blocks"])
+        li = jnp.arange(c.layers, dtype=jnp.int32)
+
         # decode attends over the cache, not the fresh S=1 K/V, so the layer
         # body differs from _block_kv in the attention span only
         def layer(carry, xs):
             x = carry                                          # [B, 1, D]
-            lp, k_layer, v_layer, ksl, vsl = xs
+            lp, li_, k_layer, v_layer, ksl, vsl = xs
+            mm = ((lambda h_, n: _mm(h_, mats[n], adt, layer=li_))
+                  if mats is not None
+                  else (lambda h_, n: _mm(h_, lp[n], adt)))
             h = _rmsnorm(x, lp["rms1"], c.rms_eps)
-            qkv = _mm(h, lp["qkv"], adt)
+            qkv = mm(h, "qkv")
             if "qkv_b" in lp:
                 qkv = qkv + lp["qkv_b"].astype(jnp.float32)
             qkv = qkv.astype(adt)
@@ -411,18 +463,18 @@ class Decoder:
             ctx = _cached_attn(q, k_layer, v_layer, ksl, vsl, bias, adt,
                                dh, flash_mask=fmask).astype(adt)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, c.hidden)
-            attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
+            attn = mm(ctx, "attn_out").astype(adt)
             x = x + attn
 
             h = _rmsnorm(x, lp["rms2"], c.rms_eps)
-            gate = _mm(h, lp["w_gate"], adt)
-            up = _mm(h, lp["w_up"], adt)
+            gate = mm(h, "w_gate")
+            up = mm(h, "w_up")
             ff = (jax.nn.silu(gate) * up).astype(adt)
-            ff = _mm(ff, lp["w_down"], adt)
+            ff = mm(ff, "w_down")
             return x + ff.astype(adt), (k_layer, v_layer, ksl, vsl)
 
         x, (ks, vs, kss, vss) = jax.lax.scan(
-            layer, x, (params["blocks"], cache.k, cache.v,
+            layer, x, (rest, li, cache.k, cache.v,
                        cache.k_scale, cache.v_scale))
         x = _rmsnorm(x, params["rms_f"], c.rms_eps)
         logits = _mm(x[:, 0], params["lm_head"], adt)
@@ -502,11 +554,17 @@ class Decoder:
             jnp.cumsum(mask).astype(jnp.int32) - 1, 0))[None, :]  # [1, S]
         x = params["tok_embed"][ids[None, :]].astype(adt)         # [1, S, D]
 
+        mats, rest = _split_stream(params["blocks"])
+        li = jnp.arange(c.layers, dtype=jnp.int32)
+
         def layer(carry, xs):
             x = carry
-            lp, k_layer, v_layer, ksl, vsl = xs          # [KH, C, dh]
+            lp, li_, k_layer, v_layer, ksl, vsl = xs     # [KH, C, dh]
+            mm = ((lambda h_, n: _mm(h_, mats[n], adt, layer=li_))
+                  if mats is not None
+                  else (lambda h_, n: _mm(h_, lp[n], adt)))
             h = _rmsnorm(x, lp["rms1"], c.rms_eps)
-            qkv = _mm(h, lp["qkv"], adt)
+            qkv = mm(h, "qkv")
             if "qkv_b" in lp:
                 qkv = qkv + lp["qkv_b"].astype(jnp.float32)
             qkv = qkv.astype(adt)
@@ -539,18 +597,18 @@ class Decoder:
                     None if vsl is None else vsl[None],
                     bias, adt, dh).astype(adt)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(1, S, c.hidden)
-            attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
+            attn = mm(ctx, "attn_out").astype(adt)
             x = x + attn
 
             h = _rmsnorm(x, lp["rms2"], c.rms_eps)
-            gate = _mm(h, lp["w_gate"], adt)
-            up = _mm(h, lp["w_up"], adt)
+            gate = mm(h, "w_gate")
+            up = mm(h, "w_up")
             ff = (jax.nn.silu(gate) * up).astype(adt)
-            ff = _mm(ff, lp["w_down"], adt)
+            ff = mm(ff, "w_down")
             return x + ff.astype(adt), (k_layer, v_layer, ksl, vsl)
 
         x, (ks, vs, kss, vss) = jax.lax.scan(
-            layer, x, (params["blocks"], k_row, v_row,
+            layer, x, (rest, li, k_row, v_row,
                        k_scale_row, v_scale_row))
         x = _rmsnorm(x, params["rms_f"], c.rms_eps)
         if all_logits:
@@ -612,11 +670,17 @@ class Decoder:
 
         x = params["tok_embed"][toks].astype(adt)          # [B, G, D]
 
+        mats, rest = _split_stream(params["blocks"])
+        li = jnp.arange(c.layers, dtype=jnp.int32)
+
         def layer(carry, xs):
             x = carry                                      # [B, G, D]
-            lp, k_layer, v_layer, ksl, vsl = xs
+            lp, li_, k_layer, v_layer, ksl, vsl = xs
+            mm = ((lambda h_, n: _mm(h_, mats[n], adt, layer=li_))
+                  if mats is not None
+                  else (lambda h_, n: _mm(h_, lp[n], adt)))
             h = _rmsnorm(x, lp["rms1"], c.rms_eps)
-            qkv = _mm(h, lp["qkv"], adt)
+            qkv = mm(h, "qkv")
             if "qkv_b" in lp:
                 qkv = qkv + lp["qkv_b"].astype(jnp.float32)
             qkv = qkv.astype(adt)
@@ -641,18 +705,18 @@ class Decoder:
                                dh, flash_mask=fmask,
                                flash_col0=cache.cursor).astype(adt)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, G, c.hidden)
-            attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
+            attn = mm(ctx, "attn_out").astype(adt)
             x = x + attn
 
             h = _rmsnorm(x, lp["rms2"], c.rms_eps)
-            gate = _mm(h, lp["w_gate"], adt)
-            up = _mm(h, lp["w_up"], adt)
+            gate = mm(h, "w_gate")
+            up = mm(h, "w_up")
             ff = (jax.nn.silu(gate) * up).astype(adt)
-            ff = _mm(ff, lp["w_down"], adt)
+            ff = mm(ff, "w_down")
             return x + ff.astype(adt), (k_layer, v_layer, ksl, vsl)
 
         x, (ks, vs, kss, vss) = jax.lax.scan(
-            layer, x, (params["blocks"], cache.k, cache.v,
+            layer, x, (rest, li, cache.k, cache.v,
                        cache.k_scale, cache.v_scale))
         x = _rmsnorm(x, params["rms_f"], c.rms_eps)
         logits = _mm(x, params["lm_head"], adt)            # [B, G, V]
@@ -698,11 +762,17 @@ class Decoder:
 
         x = params["tok_embed"][token[:, None]].astype(adt)    # [B, 1, D]
 
+        mats, rest = _split_stream(params["blocks"])
+        li = jnp.arange(c.layers, dtype=jnp.int32)
+
         def layer(carry, xs):
             x = carry                                          # [B, 1, D]
-            lp, k_layer, v_layer, ksl, vsl = xs
+            lp, li_, k_layer, v_layer, ksl, vsl = xs
+            mm = ((lambda h_, n: _mm(h_, mats[n], adt, layer=li_))
+                  if mats is not None
+                  else (lambda h_, n: _mm(h_, lp[n], adt)))
             h = _rmsnorm(x, lp["rms1"], c.rms_eps)
-            qkv = _mm(h, lp["qkv"], adt)
+            qkv = mm(h, "qkv")
             if "qkv_b" in lp:
                 qkv = qkv + lp["qkv_b"].astype(jnp.float32)
             qkv = qkv.astype(adt)
@@ -722,18 +792,18 @@ class Decoder:
             ctx = _cached_attn(q, k_layer, v_layer, ksl, vsl, bias, adt,
                                dh, flash_mask=fmask).astype(adt)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, 1, c.hidden)
-            attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
+            attn = mm(ctx, "attn_out").astype(adt)
             x = x + attn
 
             h = _rmsnorm(x, lp["rms2"], c.rms_eps)
-            gate = _mm(h, lp["w_gate"], adt)
-            up = _mm(h, lp["w_up"], adt)
+            gate = mm(h, "w_gate")
+            up = mm(h, "w_up")
             ff = (jax.nn.silu(gate) * up).astype(adt)
-            ff = _mm(ff, lp["w_down"], adt)
+            ff = mm(ff, "w_down")
             return x + ff.astype(adt), (k_layer, v_layer, ksl, vsl)
 
         x, (ks, vs, kss, vss) = jax.lax.scan(
-            layer, x, (params["blocks"], cache.k, cache.v,
+            layer, x, (rest, li, cache.k, cache.v,
                        cache.k_scale, cache.v_scale))
         x = _rmsnorm(x, params["rms_f"], c.rms_eps)
         logits = _mm(x[:, 0], params["lm_head"], adt)

@@ -66,11 +66,65 @@ def _matvec_padded(x8, w8, scales, *, out_tile, interpret):
     return out
 
 
+def _matvec_stacked_kernel(l_ref, x_ref, w_ref, s_ref, out_ref):
+    x = x_ref[:]                                        # [Bp, D] i8
+    w = w_ref[0]                                        # [tf, D] i8
+    raw = jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                   # [Bp, tf] i32
+    out_ref[:] = raw.astype(jnp.float32) * s_ref[0]     # [1, tf] broadcast
+
+
+@functools.partial(jax.jit, static_argnames=("out_tile", "interpret"))
+def _matvec_stacked_padded(layer, x8, w8, scales, *, out_tile, interpret):
+    """One layer's matvec out of STACKED ``[L, F, D]`` weights.
+
+    The layer index rides as a scalar-prefetch input and selects the
+    weight/scale blocks in the index map — the kernel DMAs exactly that
+    layer's tiles straight from the resident stacked array. This is what
+    lets the decoder's layer loop keep the whole weight tree as a loop
+    constant: putting stacked weights in ``lax.scan`` xs instead makes
+    XLA materialize every per-layer dynamic-slice as an HBM copy (an
+    extra write+read of all 6.5 GB per decode step at 7B — measured
+    ~2x the step time)."""
+    bp, d = x8.shape
+    L, f, _ = w8.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(f // out_tile,),
+        in_specs=[
+            pl.BlockSpec((bp, d), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_tile, d), lambda j, l: (l[0], j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, out_tile), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bp, out_tile), lambda j, l: (0, j),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _matvec_stacked_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bp, f), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * d * f,
+            bytes_accessed=bp * d + f * d + f * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(layer, x8, w8, scales.reshape(L, 1, f))
+
+
 def quant_matvec(
     x: jax.Array,          # [B, D] activations (any float dtype)
-    w8: jax.Array,         # [F, D] int8, TRANSPOSED (out, in)
-    scales: jax.Array,     # [F] f32 per-output-channel
+    w8: jax.Array,         # [F, D] int8, TRANSPOSED (out, in) — or
+                           # [L, F, D] stacked per-layer with ``layer``
+    scales: jax.Array,     # [F] f32 per-output-channel ([L, F] stacked)
     *,
+    layer: jax.Array | None = None,   # i32 scalar — selects the layer of
+                           # stacked weights via scalar prefetch
     out_tile: int = 256,
     interpret: bool | None = None,
 ) -> jax.Array:
@@ -78,7 +132,7 @@ def quant_matvec(
     if interpret is None:
         interpret = not _on_tpu()
     b, d = x.shape
-    f = w8.shape[0]
+    f = w8.shape[-2]
     out_tile = min(out_tile, f)
     if f % out_tile:                 # vocab- and head-sized dims: fall back
         out_tile = 128 if f % 128 == 0 else f
@@ -90,8 +144,13 @@ def quant_matvec(
     bp = _round_up(max(b, 32), 32)                      # i8 sublane tile
     if bp != b:
         x8 = jnp.pad(x8, ((0, bp - b), (0, 0)))
-    out = _matvec_padded(x8, w8, scales.reshape(1, f),
-                         out_tile=out_tile, interpret=interpret)
+    if layer is None:
+        out = _matvec_padded(x8, w8, scales.reshape(1, f),
+                             out_tile=out_tile, interpret=interpret)
+    else:
+        out = _matvec_stacked_padded(
+            jnp.asarray(layer, jnp.int32).reshape(1), x8, w8, scales,
+            out_tile=out_tile, interpret=interpret)
     return out[:b] * qs[:, None]
 
 
@@ -220,10 +279,68 @@ def _matvec4_padded(x8, corr, w4, s2, *, out_tile, interpret):
     return lo, hi
 
 
+def _matvec4_stacked_kernel(l_ref, x_ref, corr_ref, w_ref, s_ref,
+                            lo_ref, hi_ref):
+    p = w_ref[0]                                        # [tf2, D] i8 packed
+    ulo = p & 15
+    x = x_ref[:]                                        # [Bp, D] i8
+    dims = (((1,), (1,)), ((), ()))
+    dotU = jax.lax.dot_general(x, ulo, dimension_numbers=dims,
+                               preferred_element_type=jnp.int32)
+    dotP = jax.lax.dot_general(x, p, dimension_numbers=dims,
+                               preferred_element_type=jnp.int32)
+    s = s_ref[0]                                        # [2, tf2]
+    lo_ref[:] = ((dotU.astype(jnp.float32) - corr_ref[:]) * s[0:1, :])
+    hi_ref[:] = ((dotP - dotU).astype(jnp.float32) * 0.0625 * s[1:2, :])
+
+
+@functools.partial(jax.jit, static_argnames=("out_tile", "interpret"))
+def _matvec4_stacked_padded(layer, x8, corr, w4, s2, *, out_tile, interpret):
+    """int4 analogue of :func:`_matvec_stacked_padded` — one layer out of
+    ``[L, F/2, D]`` packed weights, selected via scalar prefetch."""
+    bp, d = x8.shape
+    L, f2, _ = w4.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(f2 // out_tile,),
+        in_specs=[
+            pl.BlockSpec((bp, d), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 1), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_tile, d), lambda j, l: (l[0], j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, out_tile), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bp, out_tile), lambda j, l: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, out_tile), lambda j, l: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    lo, hi = pl.pallas_call(
+        _matvec4_stacked_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((bp, f2), jnp.float32),
+                   jax.ShapeDtypeStruct((bp, f2), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bp * d * f2,
+            bytes_accessed=bp * d + f2 * d + f2 * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(layer, x8, corr, w4, s2)
+    return lo, hi
+
+
 def quant_matvec_int4(
     x: jax.Array,          # [B, D] activations (any float dtype)
-    wq: dict,              # quantize_weight_int4 output
+    wq: dict,              # quantize_weight_int4 output (stacked [L, ...]
+                           # leaves with ``layer``)
     *,
+    layer: jax.Array | None = None,
     out_tile: int = 256,
     interpret: bool | None = None,
 ) -> jax.Array:
@@ -231,12 +348,14 @@ def quant_matvec_int4(
     if interpret is None:
         interpret = not _on_tpu()
     b, d = x.shape
-    f2 = wq["q4"].shape[0]
+    f2 = wq["q4"].shape[-2]
     out_tile = min(out_tile, f2)
     if f2 % out_tile:   # small/odd-sized projections: one full-array block
         out_tile = 128 if f2 % 128 == 0 else f2
 
-    xf = x.astype(jnp.float32) * wq["t"]                # equalizer
+    t = wq["t"] if layer is None else jax.lax.dynamic_index_in_dim(
+        wq["t"], layer, 0, keepdims=False)              # [1, D] equalizer
+    xf = x.astype(jnp.float32) * t
     amax = jnp.max(jnp.abs(xf), axis=-1)
     qs = jnp.maximum(amax, 1e-12) / 127.0
     x8 = jnp.clip(jnp.round(xf / qs[:, None]), -127, 127).astype(jnp.int8)
@@ -245,8 +364,13 @@ def quant_matvec_int4(
         x8 = jnp.pad(x8, ((0, bp - b), (0, 0)))
     corr = 8.0 * jnp.sum(x8.astype(jnp.int32), axis=-1,
                          keepdims=True).astype(jnp.float32)   # [Bp, 1]
-    lo, hi = _matvec4_padded(x8, corr, wq["q4"], wq["s"],
-                             out_tile=out_tile, interpret=interpret)
+    if layer is None:
+        lo, hi = _matvec4_padded(x8, corr, wq["q4"], wq["s"],
+                                 out_tile=out_tile, interpret=interpret)
+    else:
+        lo, hi = _matvec4_stacked_padded(
+            jnp.asarray(layer, jnp.int32).reshape(1), x8, corr,
+            wq["q4"], wq["s"], out_tile=out_tile, interpret=interpret)
     out = jnp.concatenate([lo[:b], hi[:b]], axis=-1)    # split-half order
     return out * qs[:b, None]
 

@@ -308,6 +308,31 @@ class TestInt8WeightServing:
         # and close to the float matmul (int8 weight + activation error)
         np.testing.assert_allclose(out, x @ w, rtol=0.05, atol=0.35)
 
+    def test_stacked_layer_matvec_matches_sliced(self):
+        """quant_matvec/quant_matvec_int4 with stacked [L, ...] weights +
+        a scalar-prefetch layer index == the 2-d kernel on that layer's
+        slice, bit-exactly (the decode scan relies on this equivalence —
+        models/decoder._split_stream keeps weights as loop constants
+        instead of scan xs, whose per-layer dynamic-slices XLA
+        materializes as full HBM copies)."""
+        from mediquery_rag_tpu.ops.matvec import (quant_matvec,
+                                                  quant_matvec_int4,
+                                                  quantize_weight,
+                                                  quantize_weight_int4)
+        rng = np.random.default_rng(5)
+        L, D, F, B = 3, 256, 512, 4
+        w = jnp.asarray(rng.standard_normal((L, D, F)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((B, D)), jnp.bfloat16)
+        q, s = jax.lax.map(quantize_weight, w)
+        wq4 = jax.lax.map(quantize_weight_int4, w)
+        for li in range(L):
+            a8 = quant_matvec(x, q[li], s[li])
+            b8 = quant_matvec(x, q, s, layer=jnp.int32(li))
+            np.testing.assert_array_equal(np.asarray(a8), np.asarray(b8))
+            a4 = quant_matvec_int4(x, {k: v[li] for k, v in wq4.items()})
+            b4 = quant_matvec_int4(x, wq4, layer=jnp.int32(li))
+            np.testing.assert_array_equal(np.asarray(a4), np.asarray(b4))
+
     def test_quantized_generation_runs_and_matches_shapes(self):
         from mediquery_rag_tpu.models.generate import Generator
         gen = Generator(TINY)
