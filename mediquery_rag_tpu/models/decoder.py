@@ -166,7 +166,7 @@ def _rep_s(s, groups):
 
 
 def _cached_attn(q, k_layer, v_layer, ks, vs, bias, adt, dh,
-                 flash_mask=None, flash_col0=None):
+                 flash_mask=None, flash_col0=None, layer=None):
     """Attention of ``q`` over a cache layer, float or int8+scales.
     The float path is the exact op sequence the cache methods always
     used (bit-identical); the int8 path folds K scales into the logits
@@ -180,18 +180,29 @@ def _cached_attn(q, k_layer, v_layer, ks, vs, bias, adt, dh,
     additionally streams codes at 1 byte/elt with the scales folded
     in-kernel. ``flash_col0`` ([B] i32) adds the per-lane causal term
     ``col <= col0 + row`` (extend_slots' verify window); without it
-    visibility is the mask alone (decode steps)."""
-    g = q.shape[1] // k_layer.shape[1]
+    visibility is the mask alone (decode steps). ``layer`` marks
+    k/v (and scales) as the whole STACKED [L, ...] cache: the flash route
+    reads the layer's tiles zero-copy via scalar prefetch; the einsum
+    route slices the layer out first (a copy — the cost the flash route
+    exists to avoid)."""
     if flash_mask is not None:
         from mediquery_rag_tpu.ops.attention import (
             flash_attention_at, flash_attention_cached)
         if flash_col0 is None:
             ctx = flash_attention_cached(q, k_layer, v_layer, flash_mask,
-                                         k_scale=ks, v_scale=vs)
+                                         k_scale=ks, v_scale=vs, layer=layer)
         else:
             ctx = flash_attention_at(q, k_layer, v_layer, flash_mask,
-                                     flash_col0, k_scale=ks, v_scale=vs)
+                                     flash_col0, k_scale=ks, v_scale=vs,
+                                     layer=layer)
         return ctx.astype(jnp.float32)
+    if layer is not None:
+        sel = functools.partial(jax.lax.dynamic_index_in_dim, index=layer,
+                                axis=0, keepdims=False)
+        k_layer, v_layer = sel(k_layer), sel(v_layer)
+        if ks is not None:
+            ks, vs = sel(ks), sel(vs)
+    g = q.shape[1] // k_layer.shape[1]
     if ks is None:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, _repeat_kv(k_layer, g),
                             preferred_element_type=jnp.float32)
@@ -432,7 +443,14 @@ class Decoder:
         li = jnp.arange(c.layers, dtype=jnp.int32)
 
         # decode attends over the cache, not the fresh S=1 K/V, so the layer
-        # body differs from _block_kv in the attention span only
+        # body differs from _block_kv in the attention span only.
+        # NOTE the cache stays in scan xs/ys even though xs slices
+        # materialize as HBM copies: carrying the whole cache and updating
+        # it in place was tried and measured WORSE — the pallas read blocks
+        # carry aliasing (a defensive copy per step) and the while_loop
+        # double-buffers the carry (OOM at B=8 C=4096). The zero-copy
+        # design needs the column write inside the attention kernel
+        # (input_output_aliases), not a scan-layout change.
         def layer(carry, xs):
             x = carry                                          # [B, 1, D]
             lp, li_, k_layer, v_layer, ksl, vsl = xs

@@ -69,8 +69,11 @@ LANE = 128
 _NEG_BIG = -1e30
 
 
-def _flash_kernel(off_ref, q_ref, k_ref, v_ref, mask_ref, *rest,
+def _flash_kernel(off_ref, li_ref, q_ref, k_ref, v_ref, mask_ref, *rest,
                   scale, causal, tq, tk, sq, quant):
+    # li_ref: [1] i32 layer index — consumed entirely by the BlockSpec
+    # index maps (selects the layer's K/V tiles out of a stacked cache);
+    # the kernel body never reads it.
     if quant:
         # int8 KV cache: k/v tiles are int8 codes; ks/vs are the per-column
         # per-KV-head absmax scales (models/decoder.py:_kv_quantize). The
@@ -160,10 +163,23 @@ def _flash_kernel(off_ref, q_ref, k_ref, v_ref, mask_ref, *rest,
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "causal", "tq", "tk", "interpret"))
-def _flash_call(q, k, v, key_mask, q_offset, k_scale=None, v_scale=None, *,
+def _flash_call(q, k, v, key_mask, q_offset, layer=None,
+                k_scale=None, v_scale=None, *,
                 scale, causal, tq, tk, interpret):
     B, H, S, dh = q.shape
-    KH, Sk = k.shape[1], k.shape[2]
+    # K/V may be ONE layer [B, KH, C, dh] or a whole STACKED cache
+    # [L, B, KH, C, dh] + ``layer`` ([1] i32): the layer index rides as a
+    # second scalar-prefetch input and selects the layer's tiles in the
+    # index maps — the decoder's layer loop keeps the multi-GB cache as a
+    # loop constant instead of scan xs (whose per-layer dynamic-slices XLA
+    # materializes as full HBM copies). Internally everything is the
+    # stacked form; the unstacked case is L=1 + layer 0 (free reshape).
+    if k.ndim == 4:
+        k, v = k[None], v[None]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[None], v_scale[None]
+        layer = jnp.zeros((1,), jnp.int32)
+    L, _, KH, Sk = k.shape[0], k.shape[1], k.shape[2], k.shape[3]
     group = H // KH
     quant = k_scale is not None
 
@@ -188,8 +204,15 @@ def _flash_call(q, k, v, key_mask, q_offset, k_scale=None, v_scale=None, *,
     # plain reshape groups each KV head's queries contiguously
     q = q.reshape(B, KH, rq, dhp)
     if dhp != dh or sk != Sk:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk - Sk), (0, dhp - dh)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk - Sk), (0, dhp - dh)))
+        # NOTE: this pad copies the whole (stacked) cache — serving caches
+        # are allocated at tile-multiple C and 128-multiple dh so it never
+        # fires there
+        pad5 = ((0, 0), (0, 0), (0, 0), (0, sk - Sk), (0, dhp - dh))
+        k, v = jnp.pad(k, pad5), jnp.pad(v, pad5)
+    # merge [L, B, ...] -> [L*B, ...]: a free reshape that lets one set of
+    # 4-d BlockSpecs serve both forms (row li*B + b)
+    k = k.reshape(L * B, KH, sk, dhp)
+    v = v.reshape(L * B, KH, sk, dhp)
     # [B, 1, sk]: the unit sublane axis equals the full array dim, which is
     # what Mosaic's block-tiling rule requires of a (1, 1, tk) block
     mask = jnp.pad(key_mask.astype(jnp.float32),
@@ -200,35 +223,38 @@ def _flash_call(q, k, v, key_mask, q_offset, k_scale=None, v_scale=None, *,
                              tq=tq, tk=tk, sq=sq, quant=quant)
     in_specs = [
         pl.BlockSpec((1, 1, tq, dhp),
-                     lambda b, kh, i, j, off: (b, kh, i, 0),
+                     lambda b, kh, i, j, off, li: (b, kh, i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, tk, dhp),
-                     lambda b, kh, i, j, off: (b, kh, j, 0),
+                     lambda b, kh, i, j, off, li, B=B: (li[0] * B + b,
+                                                        kh, j, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, tk, dhp),
-                     lambda b, kh, i, j, off: (b, kh, j, 0),
+                     lambda b, kh, i, j, off, li, B=B: (li[0] * B + b,
+                                                        kh, j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, tk), lambda b, kh, i, j, off: (b, 0, j),
+        pl.BlockSpec((1, 1, tk), lambda b, kh, i, j, off, li: (b, 0, j),
                      memory_space=pltpu.VMEM),
     ]
     operands = [q, k, v, mask]
     if quant:
-        # per-column KV scales [B, KH, Sk] f32 -> [B, KH, 1, sk] (the unit
-        # sublane dim keeps the (1, 1, 1, tk) block Mosaic-legal, same trick
-        # as the mask). Padded columns scale to 0 — they are mask-dead anyway
+        # per-column KV scales [L, B, KH, Sk] f32 -> [L*B, KH, 1, sk] (the
+        # unit sublane dim keeps the (1, 1, 1, tk) block Mosaic-legal, same
+        # trick as the mask). Padded columns scale to 0 — mask-dead anyway
         for s_ in (k_scale, v_scale):
             sp = jnp.pad(s_.astype(jnp.float32),
-                         ((0, 0), (0, 0), (0, sk - Sk)))[:, :, None, :]
-            operands.append(sp)
+                         ((0, 0), (0, 0), (0, 0), (0, sk - Sk)))
+            operands.append(sp.reshape(L * B, KH, 1, sk))
             in_specs.append(pl.BlockSpec(
-                (1, 1, 1, tk), lambda b, kh, i, j, off: (b, kh, 0, j),
+                (1, 1, 1, tk),
+                lambda b, kh, i, j, off, li, B=B: (li[0] * B + b, kh, 0, j),
                 memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, tq, dhp),
-                               lambda b, kh, i, j, off: (b, kh, i, 0),
+                               lambda b, kh, i, j, off, li: (b, kh, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((tq, dhp), jnp.float32),    # ctx accumulator
@@ -243,12 +269,13 @@ def _flash_call(q, k, v, key_mask, q_offset, k_scale=None, v_scale=None, *,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * sq * sk * dhp,
             bytes_accessed=(q.size * q.dtype.itemsize
-                            + 2 * k.size * k.dtype.itemsize)
+                            + 2 * B * KH * sk * dhp * k.dtype.itemsize)
             + B * H * sq * dhp * q.dtype.itemsize,
             transcendentals=B * H * sq * sk,
         ),
         interpret=interpret,
-    )(q_offset.astype(jnp.int32), *operands)
+    )(q_offset.astype(jnp.int32),
+      jnp.asarray(layer, jnp.int32).reshape(1), *operands)
     return out.reshape(B, H, sq, dhp)[:, :, :S, :dh]
 
 
@@ -572,6 +599,8 @@ def flash_attention_at(
     scale: float | None = None,
     k_scale: jax.Array | None = None,   # [B, KH, C] — int8 cache scales
     v_scale: jax.Array | None = None,
+    layer: jax.Array | None = None,     # i32 — with a STACKED [L, B, KH,
+                                        # C, dh] cache, the layer to read
 ) -> jax.Array:
     """Continuation attention: query ``r`` sees cache columns
     ``c <= col0[b] + r`` that are mask-live — the visibility of
@@ -579,16 +608,24 @@ def flash_attention_at(
     without materializing the ``[S, C]`` logits. With ``k_scale``/
     ``v_scale`` the cache holds int8 codes (kv_dtype="int8"): codes stream
     at 1 byte/elt and the per-column scales fold into logits / softmax
-    weights in-kernel, same math as the einsum int8 branch. Serving-only:
-    NOT differentiable (prefill_extend never trains). Returns
-    ``[B, H, S, dh]`` in q's dtype."""
-    if q.shape[1] % k.shape[1]:
-        raise ValueError(f"heads {q.shape[1]} % kv_heads {k.shape[1]} != 0")
+    weights in-kernel, same math as the einsum int8 branch. With ``layer``
+    the cache is the whole stacked [L, ...] tree and the index selects the
+    layer's tiles via scalar prefetch (zero-copy — the decoder's layer
+    loop never slices the cache). Serving-only: NOT differentiable
+    (prefill_extend never trains). Returns ``[B, H, S, dh]`` in q's
+    dtype."""
+    kh_ax = 2 if layer is not None else 1
+    if q.shape[1] % k.shape[kh_ax]:
+        raise ValueError(
+            f"heads {q.shape[1]} % kv_heads {k.shape[kh_ax]} != 0")
     if (k_scale is None) != (v_scale is None):
         raise ValueError("k_scale and v_scale must be given together")
+    if (layer is not None) != (k.ndim == 5):
+        raise ValueError("stacked [L, B, KH, C, dh] cache iff layer given")
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash_call(q, k, v, key_mask, col0, k_scale, v_scale,
+    return _flash_call(q, k, v, key_mask, col0, layer,
+                       k_scale=k_scale, v_scale=v_scale,
                        scale=float(scale), causal=True, tq=256, tk=2048,
                        interpret=not _on_tpu())
 
@@ -602,6 +639,8 @@ def flash_attention_cached(
     scale: float | None = None,
     k_scale: jax.Array | None = None,   # [B, KH, C] — int8 cache scales
     v_scale: jax.Array | None = None,
+    layer: jax.Array | None = None,     # i32 — with a STACKED [L, B, KH,
+                                        # C, dh] cache, the layer to read
 ) -> jax.Array:
     """Mask-only cache attention — ``Decoder.decode_step``/
     ``decode_step_slots`` visibility (the key mask alone encodes what each
@@ -611,15 +650,22 @@ def flash_attention_cached(
     ~6.4 GB of avoided HBM traffic per decode step. With ``k_scale``/
     ``v_scale`` the cache holds int8 codes (kv_dtype="int8"): codes stream
     at 1 byte/elt and the scales fold in-kernel — the einsum int8 branch's
-    math without its g-fold repeat of codes AND scales. Serving-only, not
-    differentiable. Returns ``[B, H, S, dh]`` in q's dtype."""
-    if q.shape[1] % k.shape[1]:
-        raise ValueError(f"heads {q.shape[1]} % kv_heads {k.shape[1]} != 0")
+    math without its g-fold repeat of codes AND scales. With ``layer`` the
+    cache is the whole stacked [L, ...] tree, read zero-copy via scalar
+    prefetch. Serving-only, not differentiable. Returns ``[B, H, S, dh]``
+    in q's dtype."""
+    kh_ax = 2 if layer is not None else 1
+    if q.shape[1] % k.shape[kh_ax]:
+        raise ValueError(
+            f"heads {q.shape[1]} % kv_heads {k.shape[kh_ax]} != 0")
     if (k_scale is None) != (v_scale is None):
         raise ValueError("k_scale and v_scale must be given together")
+    if (layer is not None) != (k.ndim == 5):
+        raise ValueError("stacked [L, B, KH, C, dh] cache iff layer given")
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _flash_call(q, k, v, key_mask,
-                       jnp.zeros((q.shape[0],), jnp.int32), k_scale, v_scale,
+                       jnp.zeros((q.shape[0],), jnp.int32), layer,
+                       k_scale=k_scale, v_scale=v_scale,
                        scale=float(scale), causal=False, tq=256, tk=2048,
                        interpret=not _on_tpu())
