@@ -614,14 +614,14 @@ def flash_attention_at(
     loop never slices the cache). Serving-only: NOT differentiable
     (prefill_extend never trains). Returns ``[B, H, S, dh]`` in q's
     dtype."""
+    if (layer is not None) != (k.ndim == 5):
+        raise ValueError("stacked [L, B, KH, C, dh] cache iff layer given")
     kh_ax = 2 if layer is not None else 1
     if q.shape[1] % k.shape[kh_ax]:
         raise ValueError(
             f"heads {q.shape[1]} % kv_heads {k.shape[kh_ax]} != 0")
     if (k_scale is None) != (v_scale is None):
         raise ValueError("k_scale and v_scale must be given together")
-    if (layer is not None) != (k.ndim == 5):
-        raise ValueError("stacked [L, B, KH, C, dh] cache iff layer given")
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _flash_call(q, k, v, key_mask, col0, layer,
@@ -654,14 +654,14 @@ def flash_attention_cached(
     cache is the whole stacked [L, ...] tree, read zero-copy via scalar
     prefetch. Serving-only, not differentiable. Returns ``[B, H, S, dh]``
     in q's dtype."""
+    if (layer is not None) != (k.ndim == 5):
+        raise ValueError("stacked [L, B, KH, C, dh] cache iff layer given")
     kh_ax = 2 if layer is not None else 1
     if q.shape[1] % k.shape[kh_ax]:
         raise ValueError(
             f"heads {q.shape[1]} % kv_heads {k.shape[kh_ax]} != 0")
     if (k_scale is None) != (v_scale is None):
         raise ValueError("k_scale and v_scale must be given together")
-    if (layer is not None) != (k.ndim == 5):
-        raise ValueError("stacked [L, B, KH, C, dh] cache iff layer given")
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _flash_call(q, k, v, key_mask,

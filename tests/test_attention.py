@@ -138,6 +138,59 @@ class TestFlashKernel:
             ref = np.einsum("hqk,hkd->hqd", w, vr[b])
             np.testing.assert_allclose(out[b], ref, rtol=1e-4, atol=1e-5)
 
+    def test_stacked_cache_layer_select(self):
+        """flash_attention_cached/_at over a STACKED [L, B, KH, C, dh]
+        cache + scalar-prefetch layer index == the same call on the
+        unstacked per-layer slice, for EVERY layer (incl. layer > 0,
+        which the index maps must offset into) and with int8 per-column
+        scales riding along."""
+        from mediquery_rag_tpu.ops.attention import flash_attention_cached
+        rng = np.random.default_rng(17)
+        L, B, H, KH, S, C, dh = 3, 2, 4, 2, 8, 96, 64
+        q = _mk(rng, (B, H, S, dh))
+        ks = _mk(rng, (L, B, KH, C, dh))
+        vs = _mk(rng, (L, B, KH, C, dh))
+        mask = np.zeros((B, C), np.float32)
+        mask[0, :50] = 1.0
+        mask[1, :30] = 1.0
+        mask = jnp.asarray(mask)
+        col0 = jnp.asarray([40, 17], jnp.int32)
+
+        # int8 codes + per-column scales (the kv_dtype="int8" layout)
+        k8 = jnp.asarray(rng.integers(-127, 128, (L, B, KH, C, dh)), jnp.int8)
+        v8 = jnp.asarray(rng.integers(-127, 128, (L, B, KH, C, dh)), jnp.int8)
+        ksc = jnp.abs(_mk(rng, (L, B, KH, C))) * 0.02 + 1e-3
+        vsc = jnp.abs(_mk(rng, (L, B, KH, C))) * 0.02 + 1e-3
+
+        for l in range(L):
+            li = jnp.asarray([l], jnp.int32)
+            got = flash_attention_cached(q, ks, vs, mask, layer=li)
+            ref = flash_attention_cached(q, ks[l], vs[l], mask)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-6)
+            got = flash_attention_at(q, ks, vs, mask, col0, layer=li)
+            ref = flash_attention_at(q, ks[l], vs[l], mask, col0)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-6)
+            got = flash_attention_cached(q, k8, v8, mask, layer=li,
+                                         k_scale=ksc, v_scale=vsc)
+            ref = flash_attention_cached(q, k8[l], v8[l], mask,
+                                         k_scale=ksc[l], v_scale=vsc[l])
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_stacked_cache_requires_layer_consistency(self):
+        from mediquery_rag_tpu.ops.attention import flash_attention_cached
+        rng = np.random.default_rng(0)
+        q = _mk(rng, (1, 4, 4, 32))
+        k5 = _mk(rng, (2, 1, 2, 32, 32))
+        with pytest.raises(ValueError, match="stacked"):
+            flash_attention_cached(q, k5, k5, jnp.ones((1, 32)))
+        k4 = _mk(rng, (1, 2, 32, 32))
+        with pytest.raises(ValueError, match="stacked"):
+            flash_attention_cached(q, k4, k4, jnp.ones((1, 32)),
+                                   layer=jnp.asarray([0], jnp.int32))
+
     def test_bad_gqa_ratio_raises(self):
         rng = np.random.default_rng(0)
         q = _mk(rng, (1, 5, 16, 32))
