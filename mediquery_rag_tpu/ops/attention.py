@@ -589,6 +589,22 @@ def flash_attention(
     return _flash_mha(q, k, v, key_mask, float(scale), causal)
 
 
+def _check_cache_scale_ndim(k_scale, v_scale, *, stacked: bool) -> None:
+    """int8-cache scales must match the cache's stacking: a stacked
+    [L, B, KH, C, dh] cache needs [L, B, KH, C] scales, an unstacked one
+    [B, KH, C] — catch the mismatch here with a clear error instead of an
+    opaque pallas_call shape failure deep in _flash_call."""
+    if k_scale is None:
+        return
+    want = 4 if stacked else 3
+    shape_txt = "[L, B, KH, C]" if stacked else "[B, KH, C]"
+    if k_scale.ndim != want or v_scale.ndim != want:
+        raise ValueError(
+            f"{'stacked' if stacked else 'unstacked'} cache needs "
+            f"{shape_txt} scales, got k_scale.ndim={k_scale.ndim} "
+            f"v_scale.ndim={v_scale.ndim}")
+
+
 def flash_attention_at(
     q: jax.Array,            # [B, H, S, dh] — a fresh suffix of S tokens
     k: jax.Array,            # [B, KH, C, dh] — the full cache (fresh K/V
@@ -622,6 +638,7 @@ def flash_attention_at(
             f"heads {q.shape[1]} % kv_heads {k.shape[kh_ax]} != 0")
     if (k_scale is None) != (v_scale is None):
         raise ValueError("k_scale and v_scale must be given together")
+    _check_cache_scale_ndim(k_scale, v_scale, stacked=layer is not None)
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _flash_call(q, k, v, key_mask, col0, layer,
@@ -662,6 +679,7 @@ def flash_attention_cached(
             f"heads {q.shape[1]} % kv_heads {k.shape[kh_ax]} != 0")
     if (k_scale is None) != (v_scale is None):
         raise ValueError("k_scale and v_scale must be given together")
+    _check_cache_scale_ndim(k_scale, v_scale, stacked=layer is not None)
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _flash_call(q, k, v, key_mask,

@@ -178,6 +178,15 @@ class TestFlashKernel:
                                          k_scale=ksc[l], v_scale=vsc[l])
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        rtol=1e-5, atol=1e-6)
+            # stacked int8 + col0 offsets: the chunked-prefill-over-
+            # quantized-stacked-cache combination (Decoder.prefill_extend
+            # with kv_dtype="int8" stacked caches)
+            got = flash_attention_at(q, k8, v8, mask, col0, layer=li,
+                                     k_scale=ksc, v_scale=vsc)
+            ref = flash_attention_at(q, k8[l], v8[l], mask, col0,
+                                     k_scale=ksc[l], v_scale=vsc[l])
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-6)
 
     def test_stacked_cache_requires_layer_consistency(self):
         from mediquery_rag_tpu.ops.attention import flash_attention_cached
@@ -190,6 +199,29 @@ class TestFlashKernel:
         with pytest.raises(ValueError, match="stacked"):
             flash_attention_cached(q, k4, k4, jnp.ones((1, 32)),
                                    layer=jnp.asarray([0], jnp.int32))
+
+    def test_cache_scale_ndim_mismatch_raises(self):
+        """A stacked 5-D cache with unstacked [B,KH,C] scales (and the
+        reverse) must fail fast with a clear error, not an opaque
+        pallas_call shape failure."""
+        from mediquery_rag_tpu.ops.attention import flash_attention_cached
+        rng = np.random.default_rng(3)
+        q = _mk(rng, (1, 4, 4, 32))
+        k5 = jnp.asarray(rng.integers(-127, 128, (2, 1, 2, 32, 32)), jnp.int8)
+        sc3 = jnp.ones((1, 2, 32), jnp.float32)        # unstacked scales
+        li = jnp.asarray([0], jnp.int32)
+        with pytest.raises(ValueError, match="scales"):
+            flash_attention_cached(q, k5, k5, jnp.ones((1, 32)), layer=li,
+                                   k_scale=sc3, v_scale=sc3)
+        with pytest.raises(ValueError, match="scales"):
+            flash_attention_at(q, k5, k5, jnp.ones((1, 32)),
+                               jnp.zeros((1,), jnp.int32), layer=li,
+                               k_scale=sc3, v_scale=sc3)
+        k4 = jnp.asarray(rng.integers(-127, 128, (1, 2, 32, 32)), jnp.int8)
+        sc4 = jnp.ones((2, 1, 2, 32), jnp.float32)     # stacked scales
+        with pytest.raises(ValueError, match="scales"):
+            flash_attention_cached(q, k4, k4, jnp.ones((1, 32)),
+                                   k_scale=sc4, v_scale=sc4)
 
     def test_bad_gqa_ratio_raises(self):
         rng = np.random.default_rng(0)
