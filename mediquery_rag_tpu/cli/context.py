@@ -36,6 +36,32 @@ class AppContext:
     graph_app: object
     web_search: Callable | None = None
 
+    @staticmethod
+    def _lexical_embedder(root: str, cfg: Config):
+        """The lexical retrieval channel: a corpus-fitted IDF n-gram
+        embedder (models/lexical.py), persisted to checkpoints/ so
+        reloads keep the embedder fingerprint (and therefore the saved
+        index) stable. Falls back to the dependency-free flat hasher only
+        when there is no corpus to fit on."""
+        from mediquery_rag_tpu.models import IDFHashingEmbedder
+        state = os.path.join(root, "checkpoints", "lexical_idf.json")
+        if os.path.exists(state):
+            try:
+                return IDFHashingEmbedder.load(state)
+            except (ValueError, KeyError, OSError) as e:
+                print(f"（词面 IDF 状态损坏，重新拟合：{e}）")
+        if os.path.exists(cfg.paths.corpus_file):
+            from mediquery_rag_tpu.ingest.parser import parse_corpus_file
+            emb = IDFHashingEmbedder.fit_chunks(
+                parse_corpus_file(cfg.paths.corpus_file))
+            try:
+                emb.save(state)
+            except OSError:
+                pass
+            return emb
+        from mediquery_rag_tpu.models import HashingEmbedder
+        return HashingEmbedder(cfg.embedder.hidden)
+
     @classmethod
     def build(
         cls,
@@ -55,10 +81,15 @@ class AppContext:
             raise ValueError(f"unknown index_kind {index_kind!r}")
 
         # embedder selection: a pretrained HF zh encoder (dmeta-class BERT,
-        # MEDIQUERY_HF_EMBEDDER=<dir>) beats everything > hybrid
-        # lexical+trained-encoder fusion when a trained checkpoint exists
-        # (held-out recall@10 0.886 vs hashing 0.757 vs trained-alone 0.714,
-        # benchmarks/retrieval_eval.py) > the lexical hash embedder.
+        # MEDIQUERY_HF_EMBEDDER=<dir>) beats everything > the corpus-fitted
+        # IDF lexical embedder — the measured-best zero-egress default
+        # (held-out recall@1 0.857 / recall@5 1.0 / recall@10 1.0; every
+        # hybrid fusion with the from-scratch encoder scores lower because
+        # the encoder memorizes at 160-chunk scale — train recall@1 0.994
+        # vs held-out 0.50, benchmarks/retrieval_eval.py). The hybrid
+        # fusion stays available behind MEDIQUERY_HYBRID=1 (+ trained
+        # checkpoint) for corpora large enough to train on; flat hashing
+        # only if there is no corpus to fit IDF on.
         hf_emb = os.environ.get("MEDIQUERY_HF_EMBEDDER", "")
         ckpt = os.path.join(root, "checkpoints", "embedder")
         if use_tpu_embedder is None:
@@ -69,19 +100,21 @@ class AppContext:
                                         os.path.join(ckpt, "params.npz")))
             except Exception:
                 use_tpu_embedder = False
+        want_hybrid = os.environ.get("MEDIQUERY_HYBRID", "") == "1"
+        lexical = cls._lexical_embedder(root, cfg)
         if hf_emb and os.path.isdir(hf_emb):
             from mediquery_rag_tpu.models import BertTextEmbedder
             embedder = BertTextEmbedder.from_hf(hf_emb)
             print("  预训练 HF 嵌入模型已加载（TPU 本地推理）")
-        elif use_tpu_embedder and os.path.exists(
+        elif want_hybrid and use_tpu_embedder and os.path.exists(
                 os.path.join(ckpt, "config.json")):
             from mediquery_rag_tpu.models import HybridEmbedder
             embedder = HybridEmbedder.from_checkpoint(
-                ckpt, lex_dim=cfg.embedder.hidden)
-            print("  混合嵌入已启用（字符哈希 + 训练编码器，TPU 推理）")
+                ckpt, lex_dim=cfg.embedder.hidden, lexical=lexical,
+                w_lex=0.9)
+            print("  混合嵌入已启用（IDF 词面通道 + 训练编码器，TPU 推理）")
         else:
-            from mediquery_rag_tpu.models import HashingEmbedder
-            embedder = HashingEmbedder(cfg.embedder.hidden)
+            embedder = lexical
 
         # document store: load checkpoint or (re)build from corpus; a saved
         # index whose chunk ids no longer match the corpus file (content
@@ -187,12 +220,21 @@ class AppContext:
                 # semantic embedder present: bi-encoder similarity grade is
                 # the measured-best default at small training scale
                 # (benchmarks/grader_eval.py: AUC 0.93 vs cross-encoder 0.52)
-                from mediquery_rag_tpu.models import HybridEmbedder
+                from mediquery_rag_tpu.models import (
+                    HybridEmbedder, IDFHashingEmbedder)
                 from mediquery_rag_tpu.models.cross_encoder import (
                     SimilarityGrader)
-                # hybrid cosines (0.8*lex + 0.2*sem) sit lower than pure
-                # semantic ones: measured best acc 0.91 @ 0.2 vs 0.83 @ 0.3
-                thr = 0.2 if isinstance(embedder, HybridEmbedder) else 0.3
+                # per-embedder thresholds, measured on held-out
+                # (query, gold) vs (query, random) cosines: IDF lexical
+                # pairs peak low (pos mean .29, neg mean .03 → best
+                # balanced acc .95 @ 0.1), hybrid at 0.2, pure semantic
+                # at 0.3 (benchmarks/grader_eval.py)
+                if isinstance(embedder, IDFHashingEmbedder):
+                    thr = 0.1
+                elif isinstance(embedder, HybridEmbedder):
+                    thr = 0.2
+                else:
+                    thr = 0.3
                 grade_fn = SimilarityGrader(embedder, threshold=thr)
                 print("  嵌入相似度评分器已启用（替代 LLM grade）")
 

@@ -143,11 +143,7 @@ class DocumentStore:
         """Embed and insert chunks; returns their stable doc ids."""
         if not new_chunks:
             return []
-        embs = []
-        for i in range(0, len(new_chunks), batch_size):
-            embs.append(np.asarray(self.embedder(
-                [c.text for c in new_chunks[i:i + batch_size]])))
-        vecs = np.concatenate(embs, axis=0)
+        vecs = _embed_chunks(self.embedder, new_chunks, batch_size)
         start = self.index.next_id
         # keep position == doc id (holes between next_id and len are
         # impossible: ids are handed out consecutively)
@@ -223,6 +219,21 @@ class DocumentStore:
         return cls(chunks, index, embedder)
 
 
+def _embed_chunks(embedder: Callable, chunks: Sequence[Chunk],
+                  batch_size: int) -> np.ndarray:
+    """Batched document embedding. Embedders exposing ``embed_docs``
+    (field-weighted lexical channels, models/lexical.py) get the
+    structured chunks — title/tags/content weighting needs more than the
+    rendered text; everything else gets ``chunk.text`` as before."""
+    fn = getattr(embedder, "embed_docs", None)
+    embs = []
+    for i in range(0, len(chunks), batch_size):
+        part = chunks[i:i + batch_size]
+        embs.append(np.asarray(fn(part) if fn is not None
+                               else embedder([c.text for c in part])))
+    return np.concatenate(embs, axis=0)
+
+
 def build_document_store(
     source: str | list[Chunk],
     embedder: Callable,
@@ -236,10 +247,7 @@ def build_document_store(
     chunks = parse_corpus_file(source) if isinstance(source, str) else source
     if not chunks:
         raise ValueError("empty corpus")
-    embs = []
-    for i in range(0, len(chunks), batch_size):
-        embs.append(np.asarray(embedder([c.text for c in chunks[i : i + batch_size]])))
-    vecs = np.concatenate(embs, axis=0)
+    vecs = _embed_chunks(embedder, chunks, batch_size)
     if cfg is None:
         cfg = EngineConfig(dim=vecs.shape[1])
     if cfg.dim != vecs.shape[1]:

@@ -13,6 +13,10 @@ runs (and is tested) without trained weights or network access.
 from mediquery_rag_tpu.models.tokenizer import HashCharTokenizer  # noqa: F401
 from mediquery_rag_tpu.models.embedder import Embedder, EmbedderParams  # noqa: F401
 from mediquery_rag_tpu.models.hash_embedder import HashingEmbedder  # noqa: F401
+from mediquery_rag_tpu.models.lexical import IDFHashingEmbedder  # noqa: F401
+from mediquery_rag_tpu.models.lexicon import (  # noqa: F401
+    ZH_MEDICAL_SYNONYMS, expand_query,
+)
 from mediquery_rag_tpu.models.hybrid_embedder import HybridEmbedder  # noqa: F401
 from mediquery_rag_tpu.models.text_embedder import TextEmbedder  # noqa: F401
 from mediquery_rag_tpu.models.cross_encoder import (  # noqa: F401

@@ -103,8 +103,14 @@ class Embedder:
         mask: jax.Array,     # [B, S] f32
         *,
         remat: bool = False,
+        dropout_rng: jax.Array | None = None,
     ) -> jax.Array:
-        """Returns L2-normalized embeddings [B, hidden] f32."""
+        """Returns L2-normalized embeddings [B, hidden] f32.
+
+        With ``dropout_rng`` and ``cfg.dropout > 0``, residual-branch
+        dropout is active (training mode) — two passes over the same text
+        with different rngs give the SimCSE positive pair. Inference
+        (``dropout_rng=None``) is deterministic."""
         c = self.cfg
         adt = jnp.dtype(c.dtype)
         B, S = ids.shape
@@ -114,15 +120,25 @@ class Embedder:
         # additive attention bias from padding mask
         attn_bias = (mask[:, None, None, :] - 1.0) * 1e9   # [B,1,1,S] f32
 
+        drop = c.dropout if dropout_rng is not None else 0.0
         block_fn = functools.partial(
-            _block, heads=c.heads, hidden=c.hidden, adt=adt, attn_bias=attn_bias
+            _block, heads=c.heads, hidden=c.hidden, adt=adt,
+            attn_bias=attn_bias, drop=drop
         )
         if remat:
             block_fn = jax.checkpoint(block_fn)
 
-        x, _ = jax.lax.scan(
-            lambda carry, lp: (block_fn(carry, lp), None), x, params["blocks"]
-        )
+        if drop > 0.0:
+            layer_keys = jax.random.split(dropout_rng, c.layers)
+            x, _ = jax.lax.scan(
+                lambda carry, xs: (block_fn(carry, xs[0], key=xs[1]), None),
+                x, (params["blocks"], layer_keys),
+            )
+        else:
+            x, _ = jax.lax.scan(
+                lambda carry, lp: (block_fn(carry, lp), None), x,
+                params["blocks"]
+            )
 
         x = _layernorm(x, params["ln_f_scale"], params["ln_f_bias"])
         m = mask[:, :, None]
@@ -139,9 +155,17 @@ def _layernorm(x, scale, bias, eps=1e-6):
     return (y * scale + bias).astype(x.dtype)
 
 
-def _block(x, lp, *, heads, hidden, adt, attn_bias):
+def _dropout(x, key, rate):
+    keep = 1.0 - rate
+    m = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(m, x / keep, jnp.zeros_like(x))
+
+
+def _block(x, lp, *, heads, hidden, adt, attn_bias, drop=0.0, key=None):
     B, S, D = x.shape
     dh = hidden // heads
+    if drop > 0.0:
+        k_attn, k_ff = jax.random.split(key)
 
     h = _layernorm(x, lp["ln1_scale"], lp["ln1_bias"])
     qkv = jnp.einsum("bsd,de->bse", h, lp["qkv"].astype(adt),
@@ -161,6 +185,8 @@ def _block(x, lp, *, heads, hidden, adt, attn_bias):
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, D)
     attn = jnp.einsum("bsd,de->bse", ctx, lp["attn_out"].astype(adt),
                       preferred_element_type=jnp.float32).astype(adt)
+    if drop > 0.0:
+        attn = _dropout(attn, k_attn, drop)
     x = x + attn
 
     h = _layernorm(x, lp["ln2_scale"], lp["ln2_bias"])
@@ -169,4 +195,7 @@ def _block(x, lp, *, heads, hidden, adt, attn_bias):
     ff = jax.nn.gelu(ff + lp["bi"]).astype(adt)
     ff = jnp.einsum("bsf,fd->bsd", ff, lp["wo"].astype(adt),
                     preferred_element_type=jnp.float32) + lp["bo"]
-    return x + ff.astype(adt)
+    ff = ff.astype(adt)
+    if drop > 0.0:
+        ff = _dropout(ff, k_ff, drop)
+    return x + ff

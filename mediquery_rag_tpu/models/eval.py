@@ -36,12 +36,13 @@ def load_heldout(path: str = HELDOUT_PATH) -> list[tuple[str, str]]:
 
 def retrieval_recall(
     embed: Callable[[Sequence[str]], np.ndarray],
-    docs: Sequence[str],
+    docs: Sequence,
     doc_ids: Sequence[str],
     queries: Sequence[str],
     gold_ids: Sequence[str],
     ks: Sequence[int] = (1, 5, 10),
     batch: int = 32,
+    doc_embed: Callable | None = None,
 ) -> dict[str, float]:
     """recall@k of query -> gold chunk over a cosine scan of doc embeddings.
 
@@ -49,17 +50,20 @@ def retrieval_recall(
     ``texts -> [n, d]`` callable returning L2-normalized rows, e.g.
     ``TextEmbedder.embed`` — the same function the ingest pipeline and the
     serving engine use, so this measures the shipping path end to end.
+    ``doc_embed`` overrides document-side embedding (pass
+    ``embedder.embed_docs`` with the structured chunks as ``docs`` to
+    measure the field-weighted ingest path, ingest/pipeline.py).
     """
     id_row = {cid: r for r, cid in enumerate(doc_ids)}
     gold_rows = np.array([id_row[g] for g in gold_ids])
 
-    def embed_all(texts):
-        parts = [np.asarray(embed(list(texts[i:i + batch])))
+    def embed_all(texts, fn):
+        parts = [np.asarray(fn(list(texts[i:i + batch])))
                  for i in range(0, len(texts), batch)]
         return np.concatenate(parts, axis=0)
 
-    d_emb = embed_all(list(docs))
-    q_emb = embed_all(list(queries))
+    d_emb = embed_all(list(docs), doc_embed if doc_embed is not None else embed)
+    q_emb = embed_all(list(queries), embed)
     scores = q_emb @ d_emb.T                       # [Q, N]
     order = np.argsort(-scores, axis=1)
     out = {}

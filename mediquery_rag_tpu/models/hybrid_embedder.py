@@ -1,14 +1,19 @@
-"""Hybrid lexical+semantic embedder — measured-best retrieval at small scale.
+"""Hybrid lexical+semantic embedder — opt-in fusion for trainable corpora.
 
 The reference ships a pretrained zh encoder (dmeta-embedding-zh,
 /root/reference/src/medical_engine.py:43); with zero-egress no pretrained
-weights exist here, so the from-scratch encoder is trained on the 160-chunk
-corpus only. Measured on the 70-query held-out paraphrase set
-(benchmarks/retrieval_eval.py):
+weights exist here. Measured on the 70-query held-out paraphrase set
+(benchmarks/retrieval_eval.py, r3 recipe):
 
-    recall@10   hashing 0.757 | trained 0.714 | hybrid w_lex=0.8 0.886
+    recall@1/@10   IDF lexical alone 0.857/1.0 | trained encoder 0.50/0.77
+                   | hybrid w_lex=0.9 0.857/0.986
 
-The fusion is shipped as ONE embedder whose output is the weighted concat
+At 160-chunk scale the from-scratch encoder memorizes (train recall@1
+0.994) and fusion only subtracts, so the CLI ships the IDF lexical channel
+alone and enables this fusion behind MEDIQUERY_HYBRID=1 — the right
+config once the corpus is large enough for the encoder to generalize.
+
+The fusion is ONE embedder whose output is the weighted concat
 
     [ sqrt(w) * norm(lex(x)) , sqrt(1-w) * norm(sem(x)) ]
 
@@ -28,8 +33,9 @@ import numpy as np
 class HybridEmbedder:
     """Weighted concat of a lexical and a semantic embedder.
 
-    ``w_lex=0.8`` is the held-out-measured optimum at 160-chunk training
-    scale (benchmarks/retrieval_eval.py --hybrid sweeps it).
+    ``w_lex=0.9`` is the held-out-measured best fusion weight with the
+    IDF lexical channel at 160-chunk training scale
+    (benchmarks/retrieval_eval.py sweeps it).
     """
 
     def __init__(self, lexical: Callable, semantic: Callable,
@@ -52,14 +58,33 @@ class HybridEmbedder:
             [np.sqrt(self.w_lex) * lex, np.sqrt(1.0 - self.w_lex) * sem],
             axis=1)
 
+    def embed_docs(self, chunks) -> np.ndarray:
+        """Structured-document path (ingest pipeline hook): the lexical
+        channel gets the chunks when it is field-weighted
+        (IDFHashingEmbedder.embed_docs), the semantic channel always
+        embeds the rendered text."""
+        lex_fn = getattr(self.lexical, "embed_docs", None)
+        texts = [c.text for c in chunks]
+        lex = self._norm(lex_fn(chunks) if lex_fn is not None
+                         else self.lexical(texts))
+        sem = self._norm(self.semantic(texts))
+        return np.concatenate(
+            [np.sqrt(self.w_lex) * lex, np.sqrt(1.0 - self.w_lex) * sem],
+            axis=1)
+
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
         return self.embed(texts)
 
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str, *, w_lex: float = 0.8,
-                        lex_dim: int = 768) -> "HybridEmbedder":
-        """Trained-encoder checkpoint + the deterministic hashing embedder."""
-        from mediquery_rag_tpu.models.hash_embedder import HashingEmbedder
+                        lex_dim: int = 768,
+                        lexical: Callable | None = None) -> "HybridEmbedder":
+        """Trained-encoder checkpoint + a lexical channel (defaults to the
+        dependency-free hashing embedder; pass a fitted
+        ``IDFHashingEmbedder`` for the shipping config)."""
         from mediquery_rag_tpu.models.text_embedder import TextEmbedder
-        return cls(HashingEmbedder(lex_dim), TextEmbedder.from_checkpoint(
-            ckpt_dir), w_lex=w_lex)
+        if lexical is None:
+            from mediquery_rag_tpu.models.hash_embedder import HashingEmbedder
+            lexical = HashingEmbedder(lex_dim)
+        return cls(lexical, TextEmbedder.from_checkpoint(ckpt_dir),
+                   w_lex=w_lex)

@@ -43,15 +43,23 @@ class Batch(NamedTuple):
     q_mask: jax.Array
     d_ids: jax.Array    # [B, S]
     d_mask: jax.Array
+    n_ids: jax.Array | None = None    # [B, S] mined hard negatives
+    n_mask: jax.Array | None = None
 
 
-def info_nce_loss(q_emb, d_emb, temperature):
-    """Bidirectional in-batch-negative InfoNCE. Embeddings L2-normalized."""
+def info_nce_loss(q_emb, d_emb, temperature, n_emb=None):
+    """Bidirectional in-batch-negative InfoNCE. Embeddings L2-normalized.
+    ``n_emb`` ([B, D] mined hard negatives) extends the q->d direction's
+    candidate set to [d; n] — every negative is shared across the batch."""
     logits = jnp.dot(q_emb, d_emb.T, preferred_element_type=jnp.float32)
-    logits = logits / temperature
     labels = jnp.arange(logits.shape[0])
-    l_qd = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
-    l_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+    l_dq = optax.softmax_cross_entropy_with_integer_labels(
+        logits.T / temperature, labels).mean()
+    if n_emb is not None:
+        neg = jnp.dot(q_emb, n_emb.T, preferred_element_type=jnp.float32)
+        logits = jnp.concatenate([logits, neg], axis=1)
+    l_qd = optax.softmax_cross_entropy_with_integer_labels(
+        logits / temperature, labels).mean()
     return 0.5 * (l_qd + l_dq)
 
 
@@ -89,16 +97,31 @@ class ContrastiveTrainer:
 
     # -- the step ------------------------------------------------------------
 
-    def _loss_fn(self, params, batch: Batch):
-        q = self.model.apply(params, batch.q_ids, batch.q_mask, remat=self.cfg.remat)
-        d = self.model.apply(params, batch.d_ids, batch.d_mask, remat=self.cfg.remat)
-        return info_nce_loss(q, d, self.cfg.temperature)
+    def _loss_fn(self, params, batch: Batch, rng):
+        # the two towers see different dropout masks (SimCSE-style views)
+        # when cfg.dropout > 0; rng=None disables dropout entirely
+        rq = rd = rn = None
+        if rng is not None and self.model.cfg.dropout > 0.0:
+            rq, rd, rn = jax.random.split(rng, 3)
+        q = self.model.apply(params, batch.q_ids, batch.q_mask,
+                             remat=self.cfg.remat, dropout_rng=rq)
+        d = self.model.apply(params, batch.d_ids, batch.d_mask,
+                             remat=self.cfg.remat, dropout_rng=rd)
+        n = None
+        if batch.n_ids is not None:
+            n = self.model.apply(params, batch.n_ids, batch.n_mask,
+                                 remat=self.cfg.remat, dropout_rng=rn)
+        return info_nce_loss(q, d, self.cfg.temperature, n_emb=n)
 
     def train_step(self, state: TrainState, batch: Batch):
         """One update. Returns (new_state, metrics). Jitted + cached."""
         if self._jit_step is None:
+            base_rng = jax.random.PRNGKey(42)
+
             def step(state, batch):
-                loss, grads = jax.value_and_grad(self._loss_fn)(state.params, batch)
+                rng = jax.random.fold_in(base_rng, state.step)
+                loss, grads = jax.value_and_grad(self._loss_fn)(
+                    state.params, batch, rng)
                 updates, opt_state = self.tx.update(
                     grads, state.opt_state, state.params
                 )
@@ -110,10 +133,14 @@ class ContrastiveTrainer:
                 )
 
             if self.mesh is not None:
-                batch_sh = NamedSharding(self.mesh, P("data", None))
+                sh = NamedSharding(self.mesh, P("data", None))
+                has_neg = batch.n_ids is not None
                 self._jit_step = jax.jit(
                     step,
-                    in_shardings=(None, Batch(batch_sh, batch_sh, batch_sh, batch_sh)),
+                    in_shardings=(None, Batch(
+                        sh, sh, sh, sh,
+                        sh if has_neg else None,
+                        sh if has_neg else None)),
                 )
             else:
                 self._jit_step = jax.jit(step)
