@@ -29,8 +29,11 @@ from mediquery_rag_tpu.ops.scoring import flat_search, flat_search_xla
 
 N, D, B, K = 1_000_000, 768, 64, 10
 TC, QT = 2048, 64
-TC8 = 6144   # int8 tile: 89.7% of HBM floor measured (2048: 84%)
-TC4 = 10240  # int4 row-pair tile (logical rows): 75.2% of floor measured
+TC8 = 4096   # int8 tile: r3 sweep 1.033 ms = 91% of floor (2048: 64%,
+             # 6144: 75% — power-of-two tiles DMA best; 8192 VMEM-OOMs)
+TC4 = 4096   # int4 row-pair tile (logical rows): r3 sweep 0.558 ms = 85%
+             # of floor (4096/8192 ~equal; 6144/10240 were 20% slower —
+             # non-power-of-two tiles hit a slow DMA path)
 RERANK = 4   # int4 ships with rerank_factor=4 (engine/flat.py) — candidate
              # generation at 1/4 the bytes, exact f32 re-score of the top 4k
 ITERS = 32   # two-point timing differences 32 vs 16 iterations; a larger

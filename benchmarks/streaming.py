@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--chunk-rows", type=int, default=2_000_000)
     ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--sync", action="store_true",
+                    help="also time prefetch=False (synchronous copies) — "
+                         "reports what the double-buffer overlap buys")
     args = ap.parse_args()
     n, d, b, k = args.n, args.d, args.b, args.k
 
@@ -79,6 +82,15 @@ def main():
 
     hit = float(np.mean([plant[r] in ids[r] for r in range(b)]))
     streamed_gb = idx.nbytes_host / 1e9
+
+    t_sync = None
+    if args.sync:
+        t0 = time.perf_counter()
+        for _ in range(args.passes):
+            s2, ids2 = idx.search(q, k=k, prefetch=False)
+            np.asarray(jax.block_until_ready(ids2))
+        t_sync = (time.perf_counter() - t0) / args.passes
+
     print(json.dumps({
         "metric": "streaming_exact_search",
         "n": n, "d": d, "b": b, "k": k,
@@ -89,6 +101,9 @@ def main():
         "streamed_gb_per_s": round(streamed_gb / t_pass, 2),
         "qps": round(b / t_pass, 1),
         "planted_hit_rate": hit,
+        **({"sync_ms_per_pass": round(t_sync * 1e3, 1),
+            "overlap_speedup": round(t_sync / t_pass, 2)}
+           if t_sync is not None else {}),
         "backend": jax.default_backend(),
     }))
 

@@ -142,9 +142,13 @@ class StreamingFlatIndex:
         return cls(chunks=chunks, scales=scales, n=n, cfg=cfg,
                    chunk_rows=chunk_rows)
 
-    def search(self, queries, k: int | None = None):
+    def search(self, queries, k: int | None = None, *,
+               prefetch: bool = True):
         """Exact global top-k, streaming every chunk through the device.
-        Double-buffered H2D; the running top-k never leaves the chip."""
+        Double-buffered H2D; the running top-k never leaves the chip.
+        ``prefetch=False`` forces fully synchronous copies (each chunk
+        lands before its fold dispatches) — the benchmark ablation that
+        measures what the overlap buys (benchmarks/streaming.py --sync)."""
         k = self.cfg.top_k if k is None else k
         queries, squeeze = as_query_batch(queries)
         q_pad, b = bucket_queries(queries)
@@ -160,7 +164,9 @@ class StreamingFlatIndex:
         zero_s = (jnp.zeros((0,), jnp.float32) if kind != "int8" else None)
         for ci in range(len(self.chunks)):
             dev_c, dev_s = dev_next, dev_next_s
-            if ci + 1 < len(self.chunks):      # prefetch next chunk (async)
+            if not prefetch:
+                jax.block_until_ready(dev_c)   # kill the copy/fold overlap
+            elif ci + 1 < len(self.chunks):    # prefetch next chunk (async)
                 dev_next = jax.device_put(self.chunks[ci + 1])
                 if kind == "int8":
                     dev_next_s = jax.device_put(self.scales[ci + 1])
@@ -171,6 +177,12 @@ class StreamingFlatIndex:
                 jnp.int32(n_valid), jnp.int32(offset), run_s, run_i,
                 k=k, query_tile=self.cfg.query_tile,
                 corpus_tile=self.cfg.corpus_tile, kind=kind)
+            if not prefetch:
+                jax.block_until_ready((run_s, run_i))  # fold before next copy
+                if ci + 1 < len(self.chunks):
+                    dev_next = jax.device_put(self.chunks[ci + 1])
+                    if kind == "int8":
+                        dev_next_s = jax.device_put(self.scales[ci + 1])
         run_s, run_i = run_s[:b], run_i[:b]
         if squeeze:
             return run_s[0], run_i[0]

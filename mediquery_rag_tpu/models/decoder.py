@@ -71,7 +71,15 @@ def _is_quant(w) -> bool:
     return isinstance(w, dict) and ("q" in w or "q4" in w)
 
 
-_STREAM_MATS = ("qkv", "attn_out", "w_gate", "w_up", "w_down")
+def _stream_mats(blocks):
+    """The big per-layer matrices that stream through the Pallas matvec.
+    ``w_gateup`` (the fused gate‖up matrix quantize_decoder_params emits,
+    ops/matvec.py) replaces the separate pair when present — one weight
+    stream and one activation quantization instead of two, which is the
+    decode-step dispatch fusion of VERDICT r2 item 3."""
+    if "w_gateup" in blocks:
+        return ("qkv", "attn_out", "w_gateup", "w_down")
+    return ("qkv", "attn_out", "w_gate", "w_up", "w_down")
 
 
 def _split_stream(blocks):
@@ -86,11 +94,25 @@ def _split_stream(blocks):
     scalar prefetch (``quant_matvec(..., layer=li)``). Returns
     ``(None, blocks)`` when any big mat is unquantized (training/bf16
     path — the plain einsum keeps the scan layout)."""
-    if not all(_is_quant(blocks.get(k)) for k in _STREAM_MATS):
+    names = _stream_mats(blocks)
+    if not all(_is_quant(blocks.get(k)) for k in names):
         return None, blocks
-    mats = {k: blocks[k] for k in _STREAM_MATS}
-    rest = {k: v for k, v in blocks.items() if k not in _STREAM_MATS}
+    mats = {k: blocks[k] for k in names}
+    rest = {k: v for k, v in blocks.items() if k not in names}
     return mats, rest
+
+
+def _mlp_ff(mm, h, blocks, adt):
+    """SwiGLU first stage: ``silu(h @ Wg) * (h @ Wu)``. With a fused
+    ``w_gateup`` tree the two projections ride ONE weight stream and
+    split after (channel order [gate | up] — quantize_decoder_params
+    concatenates along the out axis before quantizing)."""
+    if "w_gateup" in blocks:
+        gate, up = jnp.split(mm(h, "w_gateup"), 2, axis=-1)
+    else:
+        gate = mm(h, "w_gate")
+        up = mm(h, "w_up")
+    return (jax.nn.silu(gate) * up).astype(adt)
 
 
 def _mm(x, w, adt, layer=None):
@@ -485,9 +507,7 @@ class Decoder:
             x = x + attn
 
             h = _rmsnorm(x, lp["rms2"], c.rms_eps)
-            gate = mm(h, "w_gate")
-            up = mm(h, "w_up")
-            ff = (jax.nn.silu(gate) * up).astype(adt)
+            ff = _mlp_ff(mm, h, params["blocks"], adt)
             ff = mm(ff, "w_down")
             return x + ff.astype(adt), (k_layer, v_layer, ksl, vsl)
 
@@ -619,9 +639,7 @@ class Decoder:
             x = x + attn
 
             h = _rmsnorm(x, lp["rms2"], c.rms_eps)
-            gate = mm(h, "w_gate")
-            up = mm(h, "w_up")
-            ff = (jax.nn.silu(gate) * up).astype(adt)
+            ff = _mlp_ff(mm, h, params["blocks"], adt)
             ff = mm(ff, "w_down")
             return x + ff.astype(adt), (k_layer, v_layer, ksl, vsl)
 
@@ -727,9 +745,7 @@ class Decoder:
             x = x + attn
 
             h = _rmsnorm(x, lp["rms2"], c.rms_eps)
-            gate = mm(h, "w_gate")
-            up = mm(h, "w_up")
-            ff = (jax.nn.silu(gate) * up).astype(adt)
+            ff = _mlp_ff(mm, h, params["blocks"], adt)
             ff = mm(ff, "w_down")
             return x + ff.astype(adt), (k_layer, v_layer, ksl, vsl)
 
@@ -814,9 +830,7 @@ class Decoder:
             x = x + attn
 
             h = _rmsnorm(x, lp["rms2"], c.rms_eps)
-            gate = mm(h, "w_gate")
-            up = mm(h, "w_up")
-            ff = (jax.nn.silu(gate) * up).astype(adt)
+            ff = _mlp_ff(mm, h, params["blocks"], adt)
             ff = mm(ff, "w_down")
             return x + ff.astype(adt), (k_layer, v_layer, ksl, vsl)
 
@@ -892,8 +906,11 @@ def _block_kv(x, lp, *, heads, kv_heads, adt, bias, pos, theta, eps=1e-6,
     x = x + attn
 
     h = _rmsnorm(x, lp["rms2"], eps)
-    gate = _mm(h, lp["w_gate"], adt)
-    up = _mm(h, lp["w_up"], adt)
+    if "w_gateup" in lp:                 # fused quantized tree (prefill path)
+        gate, up = jnp.split(_mm(h, lp["w_gateup"], adt), 2, axis=-1)
+    else:
+        gate = _mm(h, lp["w_gate"], adt)
+        up = _mm(h, lp["w_up"], adt)
     ff = (jax.nn.silu(gate) * up).astype(adt)
     ff = _mm(ff, lp["w_down"], adt)
     return x + ff.astype(adt), k, v

@@ -104,8 +104,25 @@ class Generator:
         else:
             raise ValueError(f"bits must be 4 or 8, got {bits}")
         blocks = self.params["blocks"]
-        for k in ("qkv", "attn_out", "w_gate", "w_up", "w_down"):
+        for k in ("qkv", "attn_out", "w_down"):
             blocks[k] = q3(blocks[k])                   # old leaf freed here
+        if bits == 8:
+            # gate‖up fuse into one streamed matrix (one decode dispatch +
+            # one activation quantization for both; lossless at int8 —
+            # see quantize_decoder_params)
+            def pair_fn(p):
+                q, s = quantize_weight(jnp.concatenate(p, axis=-1))
+                return {"q": q, "s": s}
+
+            blocks["w_gateup"] = jax.jit(
+                lambda wg, wu: jax.lax.map(pair_fn, (wg, wu)))(
+                blocks["w_gate"], blocks["w_up"])
+            del blocks["w_gate"], blocks["w_up"]
+        else:
+            # int4 keeps the pair separate: fusing would share one
+            # per-input-dim equalizer across both (measured quality cost)
+            for k in ("w_gate", "w_up"):
+                blocks[k] = q3(blocks[k])
         self.params["lm_head"] = q2(self.params["lm_head"])
         self._jit_cache.clear()
         return self

@@ -375,7 +375,8 @@ def quant_matvec_int4(
     return out * qs[:b, None]
 
 
-def quantize_decoder_params(params, bits: int = 8):
+def quantize_decoder_params(params, bits: int = 8,
+                            fuse_gateup: bool | None = None):
     """Weight-only quantization for LM serving: every big matmul weight
     becomes ``{"q": [.., out, in] i8, "s": [.., out] f32}`` (``bits=8``) or
     the int4 form ``{"q4", "s", "t"}`` (``bits=4`` — quantize_weight_int4;
@@ -383,7 +384,20 @@ def quantize_decoder_params(params, bits: int = 8):
     under one jit at 7B+ scale so the float tree never coexists with the
     quantized one. Stacked per-layer weights convert layer-by-layer
     (``lax.map``) to keep the f32 transient at one layer, not L layers.
+
+    ``fuse_gateup`` concatenates gate‖up along the out axis into ONE
+    ``w_gateup`` matrix before quantizing (channel order [gate | up]) —
+    the decode step then streams both projections in one Pallas dispatch
+    with one activation quantization instead of two (VERDICT r2 item 3;
+    models/decoder._mlp_ff splits the output). Default: on at int8 —
+    per-output-channel scales make it mathematically lossless — and OFF
+    at int4, where the two matrices would have to share one per-input-dim
+    equalizer ``t`` (measured top-1-vs-float agreement dropped 0.81→0.69
+    on the tiny test model; pass ``fuse_gateup=True`` explicitly to trade
+    that quality for the dispatch fusion).
     """
+    if fuse_gateup is None:
+        fuse_gateup = bits == 8
     if bits == 4:
         q2 = quantize_weight_int4
         q3 = lambda w: jax.lax.map(quantize_weight_int4, w)  # noqa: E731
@@ -400,7 +414,22 @@ def quantize_decoder_params(params, bits: int = 8):
 
     out = dict(params)
     out["blocks"] = dict(params["blocks"])
-    for k in ("qkv", "attn_out", "w_gate", "w_up", "w_down"):
+    mats = ["qkv", "attn_out", "w_down"]
+    if fuse_gateup:
+        def q3_pair(pair):                              # per-layer concat
+            wg, wu = pair                               # [in, F] each
+            if bits == 4:
+                return quantize_weight_int4(
+                    jnp.concatenate([wg, wu], axis=-1))
+            q, s = quantize_weight(jnp.concatenate([wg, wu], axis=-1))
+            return {"q": q, "s": s}
+
+        out["blocks"]["w_gateup"] = jax.lax.map(
+            q3_pair, (params["blocks"]["w_gate"], params["blocks"]["w_up"]))
+        del out["blocks"]["w_gate"], out["blocks"]["w_up"]
+    else:
+        mats += ["w_gate", "w_up"]
+    for k in mats:
         out["blocks"][k] = q3(params["blocks"][k])
     out["lm_head"] = q2(params["lm_head"])
     return out

@@ -358,6 +358,43 @@ class TestInt8WeightServing:
         agree = np.mean(np.asarray(jnp.argmax(lf, -1) == jnp.argmax(lq, -1)))
         assert agree >= 0.9, f"top-1 agreement {agree}"
 
+    def test_gateup_fusion_matches_unfused(self):
+        """The fused gate‖up stream (w_gateup, one decode dispatch) must
+        produce the same program outputs as the unfused pair — int8
+        per-output-channel scales make the fusion mathematically lossless
+        (prefill + decode_step checked); int4's shared equalizer only has
+        to stay close."""
+        from mediquery_rag_tpu.models.decoder import Decoder
+        from mediquery_rag_tpu.ops.matvec import quantize_decoder_params
+        model = Decoder(TINY)
+        params = model.init(jax.random.PRNGKey(2))
+        fused = jax.jit(lambda p: quantize_decoder_params(p, 8))(params)
+        plain = jax.jit(
+            lambda p: quantize_decoder_params(p, 8, fuse_gateup=False)
+        )(params)
+        assert "w_gateup" in fused["blocks"]
+        ids = jnp.asarray([[65, 66, 67, 68] * 4, [70, 71, 3, 3] * 4])
+        mask = jnp.ones_like(ids, jnp.float32)
+        lo_f, cache_f = model.prefill(fused, ids, mask, cache_len=32)
+        lo_p, cache_p = model.prefill(plain, ids, mask, cache_len=32)
+        np.testing.assert_allclose(np.asarray(lo_f), np.asarray(lo_p),
+                                   rtol=1e-5, atol=1e-5)
+        tok = jnp.asarray([65, 70], jnp.int32)
+        s_f, _ = model.decode_step(fused, cache_f, tok)
+        s_p, _ = model.decode_step(plain, cache_p, tok)
+        np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_p),
+                                   rtol=1e-5, atol=1e-5)
+        # int4 defaults to UNFUSED (a shared equalizer measurably hurts);
+        # the explicit opt-in still produces a runnable fused tree
+        f4 = jax.jit(lambda p: quantize_decoder_params(p, 4))(params)
+        assert "w_gateup" not in f4["blocks"]
+        f4x = jax.jit(
+            lambda p: quantize_decoder_params(p, 4, fuse_gateup=True)
+        )(params)
+        assert "w_gateup" in f4x["blocks"]
+        lo4 = model.apply(f4x, ids, mask)
+        assert np.isfinite(np.asarray(lo4)).all()
+
 
 class TestInt4WeightServing:
     """4-bit weight-only serving — the tier the reference's Ollama GGUF
@@ -466,10 +503,13 @@ class TestInt4WeightServing:
         nbytes_q4 = sum(x.nbytes
                         for x in jax.tree_util.tree_leaves(gen.params))
         # each matmul weight packs to 1/8 its f32 bytes (+ small scales);
-        # embeddings/norms stay float, so check the weight leaf exactly
+        # embeddings/norms stay float, so check the weight leaf exactly.
+        # int4 keeps gate/up UNFUSED (per-matrix equalizers — see
+        # quantize_decoder_params).
         wu = gen.params["blocks"]["w_up"]
         L, H, M = TINY.layers, TINY.hidden, TINY.mlp_dim
         assert wu["q4"].nbytes == L * (M // 2) * H
+        assert "w_gateup" not in gen.params["blocks"]
         assert nbytes_q4 < nbytes_f32 / 2
         out = gen.generate(["血压高怎么办", "hi"], max_new_tokens=8)
         assert len(out) == 2 and all(isinstance(t, str) for t in out)
