@@ -139,7 +139,8 @@ def main():
                        ivf_kmeans_iters=8, ivf_cap_factor=1.25,
                        ivf_balance=0.05)
     t0 = time.perf_counter()
-    iv = IVFIndex.build_streaming(make_chunks, n, cfg, chunk_rows=rows)
+    iv = IVFIndex.build_streaming(make_chunks, n, cfg, chunk_rows=rows,
+                                  transfer_dtype="bfloat16")
     t_build = time.perf_counter() - t0
     print(json.dumps({
         "stage": "ivf_build_streaming", "n": n, "nlist": args.nlist,

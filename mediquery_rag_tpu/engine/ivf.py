@@ -119,6 +119,47 @@ def _scatter_scalars(buf, pos, vals):
     return buf.at[pos].set(vals)
 
 
+def _h2d_chunks(chunks, chunk_rows: int, transfer_dtype: str = "float32"):
+    """Double-buffered host→device chunk feed for ``build_streaming``.
+
+    Yields ``(device_chunk [chunk_rows, D], valid_rows)``. Chunk i+1's
+    ``jax.device_put`` (async) is dispatched BEFORE chunk i is yielded, so
+    its transfer overlaps chunk i's compute + result pull — through the
+    axon relay the per-chunk synchronous round trip was the dominant cost
+    of the 10M build (VERDICT r2 item 6). ``transfer_dtype="bfloat16"``
+    halves the bytes on the wire (cast on host via ml_dtypes; device math
+    stays f32)."""
+    if transfer_dtype == "bfloat16":
+        import ml_dtypes
+        np_dt = ml_dtypes.bfloat16
+    elif transfer_dtype == "float32":
+        np_dt = np.float32
+    else:
+        raise ValueError(f"transfer_dtype must be float32|bfloat16, "
+                         f"got {transfer_dtype!r}")
+
+    def put(c):
+        if isinstance(c, jax.Array):       # already device-resident (e.g.
+            m = c.shape[0]                 # scale10m's on-device generator):
+            if m != chunk_rows:            # no host hop, pad on device
+                c = jnp.pad(c, ((0, chunk_rows - m), (0, 0)))
+            return c, m
+        c_np = np.asarray(c)
+        m = c_np.shape[0]
+        if m != chunk_rows:                          # pad the short tail
+            c_np = np.pad(c_np, ((0, chunk_rows - m), (0, 0)))
+        return jax.device_put(c_np.astype(np_dt, copy=False)), m
+
+    prev = None
+    for c in chunks:
+        cur = put(c)
+        if prev is not None:
+            yield prev
+        prev = cur
+    if prev is not None:
+        yield prev
+
+
 @functools.partial(jax.jit, static_argnames=("cosine", "quant", "storage"))
 def _prep_chunk(x, *, cosine, quant, storage="float32"):
     """Normalize (+quantize/cast) one corpus chunk for scattering.
@@ -281,6 +322,7 @@ class IVFIndex:
         *,
         key: jax.Array | None = None,
         chunk_rows: int = 65536,
+        transfer_dtype: str = "float32",
     ) -> "IVFIndex":
         """Build WITHOUT materializing the f32 corpus on device.
 
@@ -296,6 +338,16 @@ class IVFIndex:
         generator with an on-disk cache (np.memmap) — regenerating
         embeddings three times is the caller's trade to make.
 
+        Passes 2 and 3 double-buffer the H2D copy (chunk i+1's transfer is
+        dispatched before chunk i's compute/pull blocks).
+        ``transfer_dtype="bfloat16"`` additionally halves the transferred
+        bytes — the large-scale build knob (benchmarks/scale10m.py): the
+        host chunk is cast to bf16 before upload, everything downstream
+        still normalizes/quantizes in f32 on device. Assignment ties and
+        int8 codes can shift by a bf16 rounding (~0.4%% relative, well
+        under the quantization step); the default stays exact so
+        streaming == in-memory equality holds bit-for-bit.
+
         ``refine`` is not built here (a 10M f16 copy is 15 GB host RAM);
         set it explicitly afterwards if the host has room.
         """
@@ -306,17 +358,22 @@ class IVFIndex:
         cosine = cfg.metric == "cosine"
         storage = jnp.int8 if quant != "none" else jnp.dtype(cfg.dtype)
 
-        # pass 1: stride-sample for k-means (cheap host slicing)
+        # pass 1: stride-sample for k-means. The slice happens WHERE the
+        # chunk lives (host numpy slicing, or a device gather for
+        # device-resident chunks — never a full-chunk D2H pull), and all
+        # sample parts are fetched in one deferred device_get.
         target = min(cfg.ivf_sample, n)
         stride = max(1, n // target)
         parts = []
         seen = 0
         for chunk in make_chunks():
-            c_np = np.asarray(chunk)
             first = (-seen) % stride
-            parts.append(c_np[first::stride])
-            seen += len(c_np)
+            parts.append(chunk[first::stride])
+            seen += chunk.shape[0]
+            if len(parts) % 16 == 0 and isinstance(parts[-1], jax.Array):
+                jax.block_until_ready(parts[-1])     # back-pressure (below)
         assert seen == n, f"make_chunks yielded {seen} rows, expected {n}"
+        parts = [np.asarray(p) for p in jax.device_get(parts)]
         sample = jnp.asarray(np.concatenate(parts, axis=0)[:target])
         sample = l2_normalize(sample.astype(jnp.float32)) if cosine \
             else sample.astype(jnp.float32)
@@ -324,22 +381,33 @@ class IVFIndex:
                        balance=cfg.ivf_balance)
         del sample, parts
 
-        # pass 2: top-r assignment, chunk by chunk
+        # pass 2: top-r assignment, chunk by chunk (prefetched H2D). The
+        # per-chunk results stay ON DEVICE — through the axon relay a
+        # synchronous np.asarray pull per chunk serialized the whole pass
+        # (~2 s x 153 chunks at 10M, the bulk of VERDICT r2 item 6's
+        # 17-minute build); deferring to ONE pull lets the device queue
+        # pipeline every chunk's dispatches. Assignment buffers are small
+        # ([chunk_rows, 8] i32+f32 per chunk — ~0.6 GB total at 10M).
         r_alt = min(8, nlist)
-        ids_parts, score_parts = [], []
-        for chunk in make_chunks():
-            x = jnp.asarray(chunk)
-            m = x.shape[0]
-            if m != chunk_rows:                      # pad the short tail
-                x = jnp.pad(x, ((0, chunk_rows - m), (0, 0)))
+        ids_parts, score_parts, valid = [], [], []
+        for x, m in _h2d_chunks(make_chunks(), chunk_rows, transfer_dtype):
             v, _ = _prep_chunk(x, cosine=cosine, quant="none",
                                storage="float32")
             ti, ts = assign_clusters_topr(v, cents, r=r_alt)
-            ids_parts.append(np.asarray(ti[:m]))
-            score_parts.append(np.asarray(ts[:m]))
-        top_ids = np.concatenate(ids_parts, axis=0)
-        top_scores = np.concatenate(score_parts, axis=0)
-        del ids_parts, score_parts
+            ids_parts.append(ti)
+            score_parts.append(ts)
+            valid.append(m)
+            if len(ids_parts) % 16 == 0:
+                # back-pressure: without an occasional sync the host can
+                # enqueue chunks far ahead of execution and pile up live
+                # chunk buffers (200 MB each at 10M scale)
+                jax.block_until_ready(ti)
+        ids_np, scores_np = jax.device_get((ids_parts, score_parts))
+        top_ids = np.concatenate(
+            [a[:m] for a, m in zip(ids_np, valid)], axis=0)
+        top_scores = np.concatenate(
+            [a[:m] for a, m in zip(scores_np, valid)], axis=0)
+        del ids_parts, score_parts, ids_np, scores_np
 
         cap_limit = 0
         if cfg.ivf_cap_factor:
@@ -359,11 +427,8 @@ class IVFIndex:
         buckets = jnp.zeros((total, d), storage)
         scales = jnp.zeros((total,), jnp.float32) if quant != "none" else None
         row0 = 0
-        for chunk in make_chunks():
-            x = jnp.asarray(chunk)
-            m = x.shape[0]
-            if m != chunk_rows:
-                x = jnp.pad(x, ((0, chunk_rows - m), (0, 0)))
+        nchunk = 0
+        for x, m in _h2d_chunks(make_chunks(), chunk_rows, transfer_dtype):
             rows, sc = _prep_chunk(x, cosine=cosine, quant=quant,
                                    storage=cfg.dtype)
             pos = np.full(chunk_rows, dummy, dtype=np.int64)
@@ -373,6 +438,9 @@ class IVFIndex:
             if quant != "none":
                 scales = _scatter_scalars(scales, pos_j, sc)
             row0 += m
+            nchunk += 1
+            if nchunk % 8 == 0:                      # back-pressure (above)
+                jax.block_until_ready(buckets)
         if quant == "int4":
             # (donating the code buffer is futile: the packed output has a
             # different shape, so XLA cannot alias it — peak HBM here is

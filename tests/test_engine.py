@@ -692,6 +692,63 @@ class TestStreamingIVFBuild:
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_bf16_transfer_preserves_recall(self):
+        """transfer_dtype='bfloat16' (the large-scale build knob: half the
+        H2D bytes) may flip boundary assignments but must keep retrieval
+        recall vs the exact f32 build."""
+        c = np.asarray(_vecs(2000, 64, seed=155), np.float32)
+        cfg = EngineConfig(dim=64, dtype="int8", ivf_nlist=8,
+                           ivf_kmeans_iters=3)
+        mem = IVFIndex.build(c, cfg, key=jax.random.PRNGKey(0))
+
+        def gen():
+            for i in range(0, len(c), 500):
+                yield c[i:i + 500]
+
+        st = IVFIndex.build_streaming(gen, 2000, cfg,
+                                      key=jax.random.PRNGKey(0),
+                                      chunk_rows=500,
+                                      transfer_dtype="bfloat16")
+        q = _vecs(16, 64, seed=156)
+        _, i1 = mem.search(q, k=10, nprobe=8)
+        _, i2 = st.search(q, k=10, nprobe=8)
+        overlap = np.mean([
+            len(set(np.asarray(i1)[r].tolist())
+                & set(np.asarray(i2)[r].tolist())) / 10
+            for r in range(16)])
+        assert overlap >= 0.9, f"bf16-transfer recall overlap {overlap}"
+
+    def test_bad_transfer_dtype_rejected(self):
+        c = np.asarray(_vecs(500, 64, seed=157), np.float32)
+        cfg = EngineConfig(dim=64, dtype="float32", ivf_nlist=8,
+                           ivf_kmeans_iters=2)
+        with pytest.raises(ValueError, match="transfer_dtype"):
+            IVFIndex.build_streaming(lambda: iter([c]), 500, cfg,
+                                     chunk_rows=500,
+                                     transfer_dtype="int8")
+
+    def test_device_chunks_stay_on_device(self):
+        """A device-resident chunk generator (the scale10m pattern) must
+        build without a host round trip of the full chunks and match the
+        in-memory build."""
+        import jax.numpy as jnp
+        c = np.asarray(_vecs(1500, 64, seed=158), np.float32)
+        cfg = EngineConfig(dim=64, dtype="float32", ivf_nlist=8,
+                           ivf_kmeans_iters=3)
+        mem = IVFIndex.build(c, cfg, key=jax.random.PRNGKey(0))
+
+        def gen():
+            for i in range(0, len(c), 500):
+                yield jnp.asarray(c[i:i + 500])      # device chunks
+
+        st = IVFIndex.build_streaming(gen, 1500, cfg,
+                                      key=jax.random.PRNGKey(0),
+                                      chunk_rows=500)
+        q = _vecs(7, 64, seed=159)
+        s1, i1 = mem.search(q, k=5, nprobe=8)
+        s2, i2 = st.search(q, k=5, nprobe=8)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
     def test_row_count_mismatch_rejected(self):
         c = np.asarray(_vecs(500, 64, seed=154), np.float32)
         cfg = EngineConfig(dim=64, dtype="float32", ivf_nlist=8,
