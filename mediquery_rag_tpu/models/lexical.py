@@ -69,6 +69,8 @@ class IDFHashingEmbedder:
         self.head_weight = float(head_weight)
         self.expand = bool(expand)
         self._idf: dict[str, float] = {}
+        self._native_keys: np.ndarray | None = None
+        self._native_weights: np.ndarray | None = None
 
     # -- fitting ---------------------------------------------------------------
 
@@ -88,7 +90,43 @@ class IDFHashingEmbedder:
             g: math.log(1.0 + (n - d + 0.5) / (d + 0.5)) ** a
             for g, d in df.items()
         }
+        self._build_native_table()
         return self
+
+    def _build_native_table(self) -> None:
+        """Sorted (fnv64 key, weight) arrays for the C++ fast path
+        (native/lexical.cpp). Only the default (1,2) gram orders have a
+        native kernel, and a 64-bit key collision between distinct grams
+        (p ~ 1e-11 at 18K grams) disables it — the Python loop is always
+        the semantic reference."""
+        self._native_keys = None
+        self._native_weights = None
+        if self.orders != (1, 2) or not self._idf:
+            return
+        from mediquery_rag_tpu.native.lexical import fnv1a64
+        keys = np.fromiter(
+            (fnv1a64(g.encode("utf-8")) for g in self._idf),
+            dtype=np.uint64, count=len(self._idf))
+        if len(np.unique(keys)) != len(keys):
+            return                                    # collision: Python path
+        order = np.argsort(keys)
+        self._native_keys = keys[order]
+        self._native_weights = np.fromiter(
+            self._idf.values(), dtype=np.float64,
+            count=len(self._idf))[order]
+
+    def _vecs(self, texts: Sequence[str]) -> np.ndarray:
+        """Batch of raw (single-field) vectors — C++ fast path when
+        available (bit-identical to the Python loop, tests/test_native.py),
+        else the per-text Python loop."""
+        if self._native_keys is not None:
+            from mediquery_rag_tpu.native.lexical import (
+                lex_vec_batch, native_available)
+            if native_available():
+                return lex_vec_batch(list(texts), self._native_keys,
+                                     self._native_weights, self.dim)
+        return np.stack([self._vec(t) for t in texts]) if texts else \
+            np.zeros((0, self.dim), np.float32)
 
     @classmethod
     def fit_chunks(cls, chunks, **kwargs) -> "IDFHashingEmbedder":
@@ -116,8 +154,12 @@ class IDFHashingEmbedder:
             h = _mix(hash_str(g))
             sign = 1.0 if (h >> 16) & 1 else -1.0
             v[h % self.dim] += sign * math.log1p(c) * w
-        n = float(np.linalg.norm(v))
-        return v / n if n > 0 else v
+        # f64-accumulated norm, f32 divisor: the exact float recipe the
+        # C++ fast path uses (native/lexical.cpp) — keeps the two paths
+        # bit-identical so the embedder fingerprint never depends on
+        # which one ran
+        n = float(np.linalg.norm(v.astype(np.float64)))
+        return v / np.float32(n) if n > 0 else v
 
     def embed(self, texts: Sequence[str]) -> np.ndarray:
         """Query-style embedding (lexicon-expanded). Rendered chunk text
@@ -127,20 +169,31 @@ class IDFHashingEmbedder:
         doesn't carry)."""
         if not self.fitted:
             raise RuntimeError("IDFHashingEmbedder used before fit()")
-        out = np.zeros((len(texts), self.dim), np.float32)
-        for r, t in enumerate(texts):
+        raw: list[str] = []
+        plan: list[tuple[str, int]] = []
+        for t in texts:
             if t.startswith(_HEAD_RE_TITLE) and _HEAD_RE_BODY in t:
                 head, body = t.split(_HEAD_RE_BODY, 1)
-                out[r] = self._doc_vec(head[len(_HEAD_RE_TITLE):], body)
+                plan.append(("d", len(raw)))
+                raw += [head[len(_HEAD_RE_TITLE):], body]
             else:
-                out[r] = self._vec(expand_query(t) if self.expand else t)
+                plan.append(("q", len(raw)))
+                raw.append(expand_query(t) if self.expand else t)
+        vecs = self._vecs(raw)
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for r, (kind, i) in enumerate(plan):
+            out[r] = (vecs[i] if kind == "q"
+                      else self._combine(vecs[i], vecs[i + 1]))
         return out
 
-    def _doc_vec(self, head: str, body: str) -> np.ndarray:
+    def _combine(self, hv: np.ndarray, bv: np.ndarray) -> np.ndarray:
         w = self.head_weight
-        v = w * self._vec(head) + (1.0 - w) * self._vec(body)
-        n = float(np.linalg.norm(v))
-        return v / n if n > 0 else v
+        v = w * hv + (1.0 - w) * bv
+        n = float(np.linalg.norm(v.astype(np.float64)))
+        return v / np.float32(n) if n > 0 else v
+
+    def _doc_vec(self, head: str, body: str) -> np.ndarray:
+        return self._combine(self._vec(head), self._vec(body))
 
     def embed_docs(self, chunks) -> np.ndarray:
         """Field-weighted document vectors: head = title + tags, body =
@@ -148,11 +201,14 @@ class IDFHashingEmbedder:
         over ``embed`` (tags aren't in the rendered text)."""
         if not self.fitted:
             raise RuntimeError("IDFHashingEmbedder used before fit()")
-        out = np.zeros((len(chunks), self.dim), np.float32)
-        for r, c in enumerate(chunks):
+        raw: list[str] = []
+        for c in chunks:
             tags = "，".join(c.tags) if c.tags else ""
-            head = c.title + ("，" + tags if tags else "")
-            out[r] = self._doc_vec(head, c.content)
+            raw += [c.title + ("，" + tags if tags else ""), c.content]
+        vecs = self._vecs(raw)
+        out = np.zeros((len(chunks), self.dim), np.float32)
+        for r in range(len(chunks)):
+            out[r] = self._combine(vecs[2 * r], vecs[2 * r + 1])
         return out
 
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
@@ -178,4 +234,5 @@ class IDFHashingEmbedder:
                    idf_alpha=d["idf_alpha"], head_weight=d["head_weight"],
                    expand=d.get("expand", True))
         self._idf = {g: float(w) for g, w in d["idf"].items()}
+        self._build_native_table()
         return self

@@ -179,3 +179,73 @@ class TestNativeRerank:
         s_o, i_o = self._numpy_oracle(refine, q32, s, cand, 5)
         np.testing.assert_array_equal(np.asarray(i_a), i_o)
         np.testing.assert_allclose(np.asarray(s_a), s_o, rtol=2e-3, atol=2e-3)
+
+
+class TestNativeLexical:
+    """C++ IDF n-gram embedder (native/lexical.cpp) must be bit-identical
+    to the Python loop — the embedder fingerprint (and every persisted
+    index) depends on it."""
+
+    def _embedder(self):
+        from mediquery_rag_tpu.ingest import parse_corpus_file
+        from mediquery_rag_tpu.models.lexical import IDFHashingEmbedder
+        chunks = parse_corpus_file("data/medical_data.txt")
+        return IDFHashingEmbedder.fit_chunks(chunks), chunks
+
+    def test_exactness_vs_python(self):
+        from mediquery_rag_tpu.native import lexical as nl
+        if not nl.native_available():
+            pytest.skip("no C++ toolchain")
+        lex, chunks = self._embedder()
+        assert lex._native_keys is not None
+        texts = [
+            "高血压患者平时吃饭要注意什么",
+            "糖尿病 人 的 主食",                # spaces between CJK
+            "",                                  # empty
+            "a",                                 # single ASCII char
+            "血压",                              # two chars, one bigram
+            "  \t\n ",                           # whitespace only
+            "BMI 30 算胖吗？emoji🙂测试",        # mixed ASCII/CJK/emoji
+            chunks[0].text,                      # a full rendered chunk
+            "qqqqzzzz@@@@",                      # no corpus grams at all
+        ]
+        native = nl.lex_vec_batch(texts, lex._native_keys,
+                                  lex._native_weights, lex.dim)
+        python = np.stack([lex._vec(t) for t in texts])
+        np.testing.assert_array_equal(native, python)
+
+    def test_embed_paths_agree_with_python_loop(self):
+        """embed()/embed_docs() (which auto-pick the native path) must
+        equal a forced-Python embedder bit-for-bit, so the fingerprint is
+        path-independent."""
+        from mediquery_rag_tpu.native import lexical as nl
+        if not nl.native_available():
+            pytest.skip("no C++ toolchain")
+        lex, chunks = self._embedder()
+        forced = type(lex)(dim=lex.dim)
+        forced._idf = lex._idf
+        forced._native_keys = None              # Python loop only
+        qs = ["嗓子疼自己买头孢吃对吗", "熬夜的危害", chunks[3].text]
+        np.testing.assert_array_equal(lex.embed(qs), forced.embed(qs))
+        np.testing.assert_array_equal(lex.embed_docs(chunks[:8]),
+                                      forced.embed_docs(chunks[:8]))
+
+    def test_throughput_sanity(self):
+        """The native path must actually be faster on a real batch (the
+        reason it exists); generous 2x bar to stay robust on a loaded
+        host."""
+        import time
+        from mediquery_rag_tpu.native import lexical as nl
+        if not nl.native_available():
+            pytest.skip("no C++ toolchain")
+        lex, chunks = self._embedder()
+        texts = [c.text for c in chunks] * 4
+        t0 = time.perf_counter()
+        nl.lex_vec_batch(texts, lex._native_keys, lex._native_weights,
+                         lex.dim)
+        t_native = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for t in texts:
+            lex._vec(t)
+        t_python = time.perf_counter() - t0
+        assert t_native * 2 < t_python, (t_native, t_python)
