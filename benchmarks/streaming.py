@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--sync", action="store_true",
                     help="also time prefetch=False (synchronous copies) — "
                          "reports what the double-buffer overlap buys")
+    ap.add_argument("--prep", default="host", choices=("host", "device"),
+                    help="where the build quantizes; 'host' keeps the build "
+                         "off the relay entirely (engine/streaming.py)")
     args = ap.parse_args()
     n, d, b, k = args.n, args.d, args.b, args.k
 
@@ -61,7 +64,8 @@ def main():
 
     t0 = time.perf_counter()
     idx = StreamingFlatIndex.build_from_blocks(blocks(), cfg,
-                                               chunk_rows=args.chunk_rows)
+                                               chunk_rows=args.chunk_rows,
+                                               prep=args.prep)
     t_build = time.perf_counter() - t0
 
     # queries: noisy copies of known rows (planted-neighbor recall proxy)

@@ -59,6 +59,24 @@ def _prep_chunk_int8(block, chunk_rows: int):
     return jnp.pad(q, ((0, pad), (0, 0))), jnp.pad(s, ((0, pad),))
 
 
+def _prep_chunk_int8_host(block: np.ndarray, chunk_rows: int):
+    """Numpy mirror of ``_prep_chunk_int8`` (same f32 math, same
+    round-half-to-even). On a co-located host the device path wins (HBM
+    bandwidth), but through a remote relay the build's f32 H2D costs 4x
+    the bytes the tier exists to avoid — ``prep="host"`` skips the device
+    entirely, so building never touches the chip."""
+    v = block.astype(np.float32)
+    v /= np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    amax = np.max(np.abs(v), axis=-1)
+    scale = np.maximum(amax, 1e-12) / 127.0
+    q = np.clip(np.round(v / scale[:, None]), -127, 127).astype(np.int8)
+    pad = chunk_rows - q.shape[0]
+    if pad:
+        q = np.pad(q, ((0, pad), (0, 0)))
+        scale = np.pad(scale, ((0, pad),))
+    return q, scale.astype(np.float32)
+
+
 @partial(jax.jit, static_argnames=("k", "query_tile", "corpus_tile", "kind"))
 def _fold_chunk(q, chunk, scale, n_valid, offset, run_s, run_i, *, k,
                 query_tile, corpus_tile, kind):
@@ -85,24 +103,32 @@ class StreamingFlatIndex:
 
     @classmethod
     def build(cls, vectors, cfg: EngineConfig = EngineConfig(),
-              chunk_rows: int = 1 << 20) -> "StreamingFlatIndex":
+              chunk_rows: int = 1 << 20,
+              prep: str = "device") -> "StreamingFlatIndex":
         """Chunk + quantize ``vectors`` (host array / memmap). Each chunk is
         prepped ON DEVICE (normalize+quantize at HBM speed) and pulled back,
         so peak device memory is one chunk — building 100M rows needs only
-        100M rows of HOST memory."""
+        100M rows of HOST memory. ``prep="host"`` (int8 only) quantizes in
+        numpy instead: zero device traffic, for remote-relay hosts where
+        the build's f32 H2D dominates."""
         return cls.build_from_blocks(
             (vectors[i : i + chunk_rows]
              for i in range(0, len(vectors), chunk_rows)),
-            cfg, chunk_rows=chunk_rows)
+            cfg, chunk_rows=chunk_rows, prep=prep)
 
     @classmethod
     def build_from_blocks(cls, blocks, cfg: EngineConfig = EngineConfig(),
-                          chunk_rows: int = 1 << 20) -> "StreamingFlatIndex":
+                          chunk_rows: int = 1 << 20,
+                          prep: str = "device") -> "StreamingFlatIndex":
         """Build from an iterator of row blocks (e.g. a streaming embedding
         pipeline). Blocks are repacked to exactly ``chunk_rows`` rows."""
         if cfg.dtype not in cls.SUPPORTED:
             raise ValueError(
                 f"streaming tier supports {cls.SUPPORTED}, got {cfg.dtype!r}")
+        if prep not in ("device", "host"):
+            raise ValueError(f"prep must be 'device' or 'host', got {prep!r}")
+        if prep == "host" and cfg.dtype != "int8":
+            raise ValueError("prep='host' supports int8 storage only")
         chunk_rows = _round_up(chunk_rows, cfg.corpus_tile)
         chunks, scales, n = [], [], 0
         buf: list[np.ndarray] = []
@@ -113,7 +139,11 @@ class StreamingFlatIndex:
             if not buf_rows:
                 return
             block = np.concatenate(buf, axis=0) if len(buf) > 1 else buf[0]
-            if cfg.dtype == "int8":
+            if cfg.dtype == "int8" and prep == "host":
+                c8h, sch = _prep_chunk_int8_host(block, chunk_rows)
+                chunks.append(c8h)
+                scales.append(sch)
+            elif cfg.dtype == "int8":
                 c8, sc = _prep_chunk_int8(jnp.asarray(block), chunk_rows)
                 chunks.append(np.asarray(c8))
                 scales.append(np.asarray(sc))

@@ -49,6 +49,31 @@ class TestStreamingFlatIndex:
         assert recall_at_k(i_s, i_ref) >= 0.95
         np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_r))
 
+    def test_host_prep_matches_device_prep(self):
+        """prep='host' (numpy quantization) produces the same codes/scales
+        as the device path — same f32 math, same round-half-to-even — and
+        identical search results."""
+        c = _vecs(2500, 64, seed=9)
+        dev = StreamingFlatIndex.build(np.asarray(c), CFG8, chunk_rows=1024)
+        host = StreamingFlatIndex.build(np.asarray(c), CFG8, chunk_rows=1024,
+                                        prep="host")
+        for cd, ch, sd, sh in zip(dev.chunks, host.chunks,
+                                  dev.scales, host.scales):
+            assert np.abs(cd.astype(np.int32) - ch.astype(np.int32)).max() <= 1
+            np.testing.assert_allclose(sd, sh, rtol=1e-6)
+        q = _vecs(5, 64, seed=10)
+        _, i_d = dev.search(q, k=10)
+        _, i_h = host.search(q, k=10)
+        assert recall_at_k(i_h, i_d) >= 0.95
+
+    def test_host_prep_rejects_non_int8(self):
+        with pytest.raises(ValueError):
+            StreamingFlatIndex.build(np.zeros((10, 64), np.float32), CFGF,
+                                     prep="host")
+        with pytest.raises(ValueError):
+            StreamingFlatIndex.build(np.zeros((10, 64), np.float32), CFG8,
+                                     prep="gpu")
+
     def test_single_query_squeeze_and_tail_masking(self):
         c = _vecs(1100, 64, seed=4)          # tail chunk only 76 rows valid
         idx = StreamingFlatIndex.build(np.asarray(c), CFGF, chunk_rows=1024)
