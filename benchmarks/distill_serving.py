@@ -32,10 +32,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MODELS = {
+    "tiny": (128, 2, 4, None, 256),         # CPU smoke only
     "mid-300M": (1024, 12, 16, None, 2816),
     "1B-class": (2048, 16, 16, None, 5632),
 }
 DRAFTS = {
+    "draft-tiny": (64, 1, 2, None, 128),    # CPU smoke only
     "draft-20M": (256, 4, 4, None, 768),
     "draft-60M": (512, 8, 8, None, 1536),
 }
@@ -55,9 +57,15 @@ def main() -> None:
     ap.add_argument("--max-new", type=int, default=96)
     ap.add_argument("--requests", type=int, default=6)
     ap.add_argument("--slots", default="1,2")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon site hook pins "
+                         "JAX_PLATFORMS; the env var alone does not win)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from mediquery_rag_tpu.config import DecoderConfig, TrainConfig
     from mediquery_rag_tpu.ingest import parse_corpus_file
