@@ -40,7 +40,7 @@ def quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
-def _int8_topk_kernel(nv_ref, q_ref, qs_ref, c_ref, cs_ref,
+def _int8_topk_kernel(nv_ref, q_ref, c_ref, cs_ref,
                       out_s_ref, out_i_ref, sc_ref, flag_ref, *, k, tile_c):
     n_valid = nv_ref[0]
     ci = pl.program_id(1)
@@ -56,9 +56,12 @@ def _int8_topk_kernel(nv_ref, q_ref, qs_ref, c_ref, cs_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    # rescale: row scale of query x row scale of corpus tile. Pad rows have
-    # zero codes AND zero scales -> finite score 0.0; masked lazily in merge.
-    scores = raw.astype(jnp.float32) * qs_ref[:] * cs_ref[:].reshape(1, tile_c)
+    # rescale by the CORPUS row scales only. The per-QUERY scale is a
+    # positive per-row constant — it never changes a row's top-k ordering —
+    # so it's applied to the k returned scores outside the kernel, saving
+    # one [Bq, Tc] VPU pass per tile. Pad rows have zero codes AND zero
+    # scales -> finite score 0.0; masked lazily in merge.
+    scores = raw.astype(jnp.float32) * cs_ref[:].reshape(1, tile_c)
     _merge_tile_lazy([scores], k, out_s_ref, out_i_ref, sc_ref, flag_ref,
                      n_valid, base=ci * tile_c, stride=1)
 
@@ -66,7 +69,7 @@ def _int8_topk_kernel(nv_ref, q_ref, qs_ref, c_ref, cs_ref,
 @functools.partial(
     jax.jit, static_argnames=("k", "query_tile", "corpus_tile", "interpret")
 )
-def _int8_search_padded(q8, qscale, c8, cscale, n_valid, *,
+def _int8_search_padded(q8, c8, cscale, n_valid, *,
                         k, query_tile, corpus_tile, interpret):
     bq, d = q8.shape
     nc = c8.shape[0]
@@ -78,8 +81,6 @@ def _int8_search_padded(q8, qscale, c8, cscale, n_valid, *,
         grid=grid,
         in_specs=[
             pl.BlockSpec((query_tile, d), lambda i, j, nv: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((query_tile, 1), lambda i, j, nv: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((corpus_tile, d), lambda i, j, nv: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -110,7 +111,7 @@ def _int8_search_padded(q8, qscale, c8, cscale, n_valid, *,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(n_valid, q8, qscale, c8, cscale)
+    )(n_valid, q8, c8, cscale)
     return out_s, out_i
 
 
@@ -216,7 +217,7 @@ def dequantize_int4(packed: jax.Array, scale2: jax.Array,
             * scale[:n, None])
 
 
-def _int4_topk_kernel(nv_ref, q_ref, qs_ref, corr_ref, c_ref, cs_ref,
+def _int4_topk_kernel(nv_ref, q_ref, corr_ref, c_ref, cs_ref,
                       out_s_ref, out_i_ref, sc_ref, flag_ref, *, k, tile_c):
     n_valid = nv_ref[0]
     ci = pl.program_id(1)
@@ -228,7 +229,7 @@ def _int4_topk_kernel(nv_ref, q_ref, qs_ref, corr_ref, c_ref, cs_ref,
         out_i_ref[:] = jnp.zeros_like(out_i_ref)
 
     # one VPU mask pass, two int8 MXU dots covering tile_c LOGICAL rows
-    # (th byte-rows); the odd plane's /16 folds into the per-query scalar
+    # (th byte-rows)
     p = c_ref[:]                                        # [th, D] i8 packed
     ulo = p & 15    # i8-native on the VPU (Mosaic rejects i8 shifts, not &)
     q = q_ref[:]                                        # [Bq, D] i8
@@ -238,12 +239,17 @@ def _int4_topk_kernel(nv_ref, q_ref, qs_ref, corr_ref, c_ref, cs_ref,
     dotP = jax.lax.dot_general(q, p, dimension_numbers=dims,
                                preferred_element_type=jnp.int32)
     # both raws < 2^24: exact in f32 (|dotP| <= 127*127*768, dotU likewise).
+    # The per-QUERY scale is a positive per-row constant — it never changes
+    # a row's top-k ordering — so it's applied outside the kernel; the odd
+    # plane's 1/16 folds into the tiny [1, th] scale-row op. Saves two
+    # [Bq, th] VPU passes per tile (this kernel is compute-marginal at
+    # B=64: the MXU runs at half utilization below 128 queries, so VPU
+    # work is on the critical path, unlike the DMA-bound int8/bf16 scans).
     # Pad byte-rows are zero with zero scale planes -> finite score 0.0;
     # no per-tile masking here — the lazy merge masks under its flag.
     dU = dotU.astype(jnp.float32)
-    even = (dU - corr_ref[:]) * qs_ref[:] * cs_ref[0:1, :]
-    odd = ((dotP.astype(jnp.float32) - dU) * (qs_ref[:] * 0.0625)
-           * cs_ref[1:2, :])
+    even = (dU - corr_ref[:]) * cs_ref[0:1, :]
+    odd = (dotP.astype(jnp.float32) - dU) * (cs_ref[1:2, :] * 0.0625)
     # scratch layout [even | odd]: position p of part t = logical column
     # ci*tile_c + 2*p + t
     _merge_tile_lazy([even, odd], k, out_s_ref, out_i_ref, sc_ref, flag_ref,
@@ -253,7 +259,7 @@ def _int4_topk_kernel(nv_ref, q_ref, qs_ref, corr_ref, c_ref, cs_ref,
 @functools.partial(
     jax.jit, static_argnames=("k", "query_tile", "corpus_tile", "interpret")
 )
-def _int4_search_padded(q8, qscale, qcorr, c4, cscale2, n_valid, *,
+def _int4_search_padded(q8, qcorr, c4, cscale2, n_valid, *,
                         k, query_tile, corpus_tile, interpret):
     bq, d = q8.shape
     nph = c4.shape[0]
@@ -266,8 +272,6 @@ def _int4_search_padded(q8, qscale, qcorr, c4, cscale2, n_valid, *,
         grid=grid,
         in_specs=[
             pl.BlockSpec((query_tile, d), lambda i, j, nv: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((query_tile, 1), lambda i, j, nv: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((query_tile, 1), lambda i, j, nv: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -300,7 +304,7 @@ def _int4_search_padded(q8, qscale, qcorr, c4, cscale2, n_valid, *,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(n_valid, q8, qscale, qcorr, c4, cscale2)
+    )(n_valid, q8, qcorr, c4, cscale2)
     return out_s, out_i
 
 
@@ -347,17 +351,18 @@ def int4_flat_search(
     bq = _round_up(b, query_tile)
     if bq != b:
         q8 = jnp.pad(q8, ((0, bq - b), (0, 0)))
-        qs = jnp.pad(qs, ((0, bq - b),))
     # bias correction 8*sum(q): <= 8*127*768 < 2^24, exact in f32
     corr = (8 * jnp.sum(q8.astype(jnp.int32), axis=1,
                         keepdims=True)).astype(jnp.float32)
 
     s, i = _int4_search_padded(
-        q8, qs.reshape(bq, 1), corr, corpus_q, corpus_scale, n_valid,
+        q8, corr, corpus_q, corpus_scale, n_valid,
         k=k, query_tile=query_tile, corpus_tile=corpus_tile,
         interpret=interpret,
     )
-    return s[:b, :k], i[:b, :k]
+    # kernel scores omit the per-query scale (ordering-invariant per row);
+    # restore it here so returned scores match the dequantized dot product
+    return s[:b, :k] * qs[:, None], i[:b, :k]
 
 
 def int8_flat_search(
@@ -388,12 +393,13 @@ def int8_flat_search(
     bq = _round_up(b, query_tile)
     if bq != b:
         q8 = jnp.pad(q8, ((0, bq - b), (0, 0)))
-        qs = jnp.pad(qs, ((0, bq - b),))
 
     s, i = _int8_search_padded(
-        q8, qs.reshape(bq, 1), corpus_q, corpus_scale.reshape(1, n_pad),
+        q8, corpus_q, corpus_scale.reshape(1, n_pad),
         n_valid,
         k=k, query_tile=query_tile, corpus_tile=corpus_tile,
         interpret=interpret,
     )
-    return s[:b, :k], i[:b, :k]
+    # kernel scores omit the per-query scale (ordering-invariant per row);
+    # restore it here so returned scores match the dequantized dot product
+    return s[:b, :k] * qs[:, None], i[:b, :k]
