@@ -57,6 +57,11 @@ def main() -> None:
     ap.add_argument("--max-new", type=int, default=96)
     ap.add_argument("--requests", type=int, default=6)
     ap.add_argument("--slots", default="1,2")
+    ap.add_argument("--skip-serve", action="store_true",
+                    help="skip the LLMServer phase (e.g. to re-measure "
+                         "lockstep only)")
+    ap.add_argument("--no-lockstep", action="store_true",
+                    help="skip the B=1 lockstep phase")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon site hook pins "
                          "JAX_PLATFORMS; the env var alone does not win)")
@@ -118,7 +123,50 @@ def main() -> None:
     print(f"draft {args.draft}: distilled on {len(train_prompts)} prompts, "
           f"loss {draft.last_loss:.3f}, {time.time() - t0:.0f}s", flush=True)
 
-    # -- 3. serve held-out prompts: plain vs speculative ----------------------
+    # -- 3. B=1 lockstep: the regime where speculation pays --------------------
+    # The continuous-batching server below packs `chunk` plain tokens into
+    # ONE dispatch, so through a per-dispatch-latency-dominated link (the
+    # remote relay) speculation competes against already-amortized plain
+    # quanta. The lockstep loop is the per-token-latency regime: the whole
+    # propose->verify->accept loop is ONE on-device lax.while_loop either
+    # way, so the trained draft's acceptance shows up undiluted.
+    if not args.no_lockstep:
+        from mediquery_rag_tpu.models.speculative import SpeculativeGenerator
+
+        spec = SpeculativeGenerator(target, draft, gamma=args.gamma)
+
+        def timed_over_prompts(fn):
+            fn(eval_prompts[0])                      # warm the compile cache
+            t0 = time.time()
+            outs = [fn(p) for p in eval_prompts]
+            return (time.time() - t0) / len(eval_prompts), outs
+
+        t_plain, outs_plain = timed_over_prompts(
+            lambda p: target.generate([p], max_new_tokens=args.max_new)[0])
+        tprs = []
+
+        def spec_one(p):
+            out = spec.generate([p], max_new_tokens=args.max_new)[0]
+            tprs.append(spec.last_stats["tokens_per_round"])
+            return out
+
+        t_spec, outs_spec = timed_over_prompts(spec_one)
+        print(json.dumps({
+            "metric": "distilled_draft_lockstep",
+            "target": args.target, "draft": args.draft,
+            "gamma": args.gamma, "max_new": args.max_new,
+            "requests": len(eval_prompts),
+            "plain_per_request_s": round(t_plain, 3),
+            "spec_per_request_s": round(t_spec, 3),
+            "speedup": round(t_plain / t_spec, 2),
+            "accepted_per_round": round(sum(tprs[1:]) / max(len(tprs) - 1, 1), 2),
+            "lossless": outs_plain == outs_spec,
+            "backend": jax.default_backend(),
+        }), flush=True)
+
+    # -- 4. serve held-out prompts: plain vs speculative ----------------------
+    if args.skip_serve:
+        return
     for slots in (int(s) for s in args.slots.split(",")):
         rows = {}
         for mode, dr in (("plain", None), ("distilled", draft)):
