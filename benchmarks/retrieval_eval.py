@@ -37,6 +37,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", default="data/medical_data.txt")
     ap.add_argument("--heldout", default="data/heldout_queries.tsv")
+    ap.add_argument("--heldout-tier2", default="data/heldout_tier2.tsv",
+                    help="zero-overlap stress tier (r3 VERDICT item 6); "
+                         "'' disables")
+    ap.add_argument("--lexical-only", action="store_true",
+                    help="skip encoder training; report the lexical "
+                         "channel (+ doc-expansion A/B) on both tiers")
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -68,7 +74,27 @@ def main() -> None:
     print(f"corpus: {len(chunks)} chunks; heldout: {len(heldout)} queries")
 
     # -- the shipping lexical channel (fitted, field-weighted, expanded) -----
-    lex = IDFHashingEmbedder().fit_chunks(chunks)
+    lex = IDFHashingEmbedder.fit_chunks(chunks)
+
+    def lex_run(embedder, pairs):
+        return retrieval_recall(
+            embedder.embed, chunks, [c.chunk_id for c in chunks],
+            [q for _, q in pairs], [cid for cid, _ in pairs],
+            doc_embed=embedder.embed_docs)
+
+    if args.heldout_tier2:
+        tier2 = load_heldout(args.heldout_tier2)
+        lex_off = IDFHashingEmbedder.fit_chunks(chunks, doc_expand=False)
+        report2 = {
+            "tier1_lexical": lex_run(lex, heldout),
+            "tier1_lexical_no_doc_expand": lex_run(lex_off, heldout),
+            "tier2_lexical": lex_run(lex, tier2),
+            "tier2_lexical_no_doc_expand": lex_run(lex_off, tier2),
+            "n_tier2": len(tier2),
+        }
+        print(json.dumps({"blind_spot_tiers": report2}, indent=2))
+    if args.lexical_only:
+        return
 
     # -- corpus-scale self-supervised encoder training ------------------------
     examples = ssl_examples_from_chunks(chunks, seed=args.seed)

@@ -37,7 +37,8 @@ from typing import Iterable, Sequence
 import numpy as np
 
 from mediquery_rag_tpu.models.hash_embedder import _mix, hash_str
-from mediquery_rag_tpu.models.lexicon import ZH_MEDICAL_SYNONYMS, expand_query
+from mediquery_rag_tpu.models.lexicon import (
+    ZH_MEDICAL_SYNONYMS, expand_doc, expand_query)
 
 _HEAD_RE_TITLE = "问题："
 _HEAD_RE_BODY = "\n答案："
@@ -60,7 +61,7 @@ class IDFHashingEmbedder:
 
     def __init__(self, dim: int = 1536, orders: Sequence[int] = (1, 2),
                  idf_alpha: float = 0.35, head_weight: float = 0.4,
-                 expand: bool = True):
+                 expand: bool = True, doc_expand: bool = True):
         if not 0.0 <= head_weight <= 1.0:
             raise ValueError(f"head_weight must be in [0,1], got {head_weight}")
         self.dim = int(dim)
@@ -68,6 +69,11 @@ class IDFHashingEmbedder:
         self.idf_alpha = float(idf_alpha)
         self.head_weight = float(head_weight)
         self.expand = bool(expand)
+        # inverse (document-side) lexicon expansion — lexicon.expand_doc.
+        # Only effective via fit_chunks/embed_docs (plain fit() has no
+        # chunk structure; unfitted expansion grams weigh 0, so the
+        # combination degrades to a no-op rather than noise).
+        self.doc_expand = bool(doc_expand)
         self._idf: dict[str, float] = {}
         self._native_keys: np.ndarray | None = None
         self._native_weights: np.ndarray | None = None
@@ -131,10 +137,15 @@ class IDFHashingEmbedder:
     @classmethod
     def fit_chunks(cls, chunks, **kwargs) -> "IDFHashingEmbedder":
         """Fit on rendered chunk texts + tags (tags participate in doc
-        vectors, so their grams need IDF mass too)."""
+        vectors, so their grams need IDF mass too). With ``doc_expand``
+        the per-chunk inverse-lexicon expansion is fitted as well — the
+        appended colloquial triggers need IDF mass to carry weight."""
         self = cls(**kwargs)
-        return self.fit([c.text + "\n" + "，".join(c.tags or [])
-                         for c in chunks])
+        return self.fit([
+            c.text + "\n" + "，".join(c.tags or [])
+            + ("\n" + expand_doc(self._doc_head(c)) if self.doc_expand
+               else "")
+            for c in chunks])
 
     @property
     def fitted(self) -> bool:
@@ -195,16 +206,25 @@ class IDFHashingEmbedder:
     def _doc_vec(self, head: str, body: str) -> np.ndarray:
         return self._combine(self._vec(head), self._vec(body))
 
+    @staticmethod
+    def _doc_head(c) -> str:
+        tags = "，".join(c.tags) if c.tags else ""
+        return c.title + ("，" + tags if tags else "")
+
     def embed_docs(self, chunks) -> np.ndarray:
-        """Field-weighted document vectors: head = title + tags, body =
+        """Field-weighted document vectors: head = title + tags (+ the
+        inverse-lexicon colloquial expansion when ``doc_expand``), body =
         content. Preferred by ``build_document_store``/``add_documents``
         over ``embed`` (tags aren't in the rendered text)."""
         if not self.fitted:
             raise RuntimeError("IDFHashingEmbedder used before fit()")
         raw: list[str] = []
         for c in chunks:
-            tags = "，".join(c.tags) if c.tags else ""
-            raw += [c.title + ("，" + tags if tags else ""), c.content]
+            head = self._doc_head(c)
+            if self.doc_expand:
+                ex = expand_doc(head)
+                head = head + (" " + ex if ex else "")
+            raw += [head, c.content]
         vecs = self._vecs(raw)
         out = np.zeros((len(chunks), self.dim), np.float32)
         for r in range(len(chunks)):
@@ -223,6 +243,7 @@ class IDFHashingEmbedder:
                 "dim": self.dim, "orders": list(self.orders),
                 "idf_alpha": self.idf_alpha,
                 "head_weight": self.head_weight, "expand": self.expand,
+                "doc_expand": self.doc_expand,
                 "idf": self._idf,
             }, f, ensure_ascii=False)
 
@@ -232,7 +253,8 @@ class IDFHashingEmbedder:
             d = json.load(f)
         self = cls(dim=d["dim"], orders=d["orders"],
                    idf_alpha=d["idf_alpha"], head_weight=d["head_weight"],
-                   expand=d.get("expand", True))
+                   expand=d.get("expand", True),
+                   doc_expand=d.get("doc_expand", True))
         self._idf = {g: float(w) for g, w in d["idf"].items()}
         self._build_native_table()
         return self
