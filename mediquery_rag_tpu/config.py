@@ -40,6 +40,12 @@ class EngineConfig:
     ivf_cap_factor: float = 2.0     # bucket cap <= factor * avg cluster size;
                                     # overflow rows spill to their next-best
                                     # cluster with space (0 = unbounded)
+    ivf_split_oversized: bool = True  # balanced-split k-means refinement:
+                                    # split clusters whose estimated size
+                                    # exceeds the cap, recycling the
+                                    # smallest centroids (ops/kmeans.py:
+                                    # split_oversized) — dense regions get
+                                    # capacity instead of spilling far away
     # two-stage refinement (int8 storage only): the HBM int8 scan fetches
     # rerank_factor*k candidates, a host-RAM float16 copy re-scores them
     # exactly — int8 scan speed and HBM footprint, near-f32 recall

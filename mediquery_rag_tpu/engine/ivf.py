@@ -30,7 +30,7 @@ from mediquery_rag_tpu.engine.flat import (
     as_query_batch, bucket_queries, host_rerank, l2_normalize,
 )
 from mediquery_rag_tpu.ops.kmeans import (
-    assign_clusters, assign_clusters_topr, kmeans,
+    assign_clusters, assign_clusters_topr, kmeans, split_oversized,
 )
 from mediquery_rag_tpu.ops.ivf_kernel import (
     ivf_batch_search, ivf_probe_search, ivf_probe_search_int4,
@@ -263,6 +263,9 @@ class IVFIndex:
         if cfg.ivf_cap_factor:
             cap_limit = _round_up(
                 max(int(cfg.ivf_cap_factor * n / nlist), 32), 32)
+            if cfg.ivf_split_oversized:
+                cents = split_oversized(sample, cents, cap_rows=cap_limit,
+                                        n_total=n)
         r_alt = min(8, nlist)
         top_ids, top_scores = assign_clusters_topr(v32, cents, r=r_alt)
         top_ids, top_scores = np.asarray(top_ids), np.asarray(top_scores)
@@ -323,6 +326,7 @@ class IVFIndex:
         key: jax.Array | None = None,
         chunk_rows: int = 65536,
         transfer_dtype: str = "float32",
+        timings: dict | None = None,
     ) -> "IVFIndex":
         """Build WITHOUT materializing the f32 corpus on device.
 
@@ -350,7 +354,25 @@ class IVFIndex:
 
         ``refine`` is not built here (a 10M f16 copy is 15 GB host RAM);
         set it explicitly afterwards if the host has room.
+
+        ``timings`` (optional): pass a dict to receive a wall-clock phase
+        breakdown — sample_s / kmeans_s / assign_s / assign_pull_s /
+        layout_s / scatter_s. Phase boundaries sync the device only when
+        requested, so the shipping path's pipelining is unchanged.
         """
+        import time as _time
+
+        def _mark(name, t0, sync=None):
+            if timings is None:
+                return None
+            if sync is not None:
+                jax.block_until_ready(sync)
+            now = _time.perf_counter()
+            if name:
+                timings[name] = round(now - t0, 3)
+            return now
+
+        t_ph = _mark(None, 0.0)
         key = jax.random.PRNGKey(0) if key is None else key
         d = cfg.dim
         nlist = min(cfg.ivf_nlist, max(1, n // 8))
@@ -377,8 +399,17 @@ class IVFIndex:
         sample = jnp.asarray(np.concatenate(parts, axis=0)[:target])
         sample = l2_normalize(sample.astype(jnp.float32)) if cosine \
             else sample.astype(jnp.float32)
+        t_ph = _mark("sample_s", t_ph, sync=sample)
         cents = kmeans(sample, key, nlist=nlist, iters=cfg.ivf_kmeans_iters,
                        balance=cfg.ivf_balance)
+        cap_limit = 0
+        if cfg.ivf_cap_factor:
+            cap_limit = _round_up(
+                max(int(cfg.ivf_cap_factor * n / nlist), 32), 32)
+            if cfg.ivf_split_oversized:
+                cents = split_oversized(sample, cents, cap_rows=cap_limit,
+                                        n_total=n)
+        t_ph = _mark("kmeans_s", t_ph, sync=cents)
         del sample, parts
 
         # pass 2: top-r assignment, chunk by chunk (prefetched H2D). The
@@ -402,20 +433,34 @@ class IVFIndex:
                 # enqueue chunks far ahead of execution and pile up live
                 # chunk buffers (200 MB each at 10M scale)
                 jax.block_until_ready(ti)
+        t_ph = _mark("assign_s", t_ph)
         ids_np, scores_np = jax.device_get((ids_parts, score_parts))
+        t_ph = _mark("assign_pull_s", t_ph)
         top_ids = np.concatenate(
             [a[:m] for a, m in zip(ids_np, valid)], axis=0)
         top_scores = np.concatenate(
             [a[:m] for a, m in zip(scores_np, valid)], axis=0)
         del ids_parts, score_parts, ids_np, scores_np
 
-        cap_limit = 0
-        if cfg.ivf_cap_factor:
-            cap_limit = _round_up(
-                max(int(cfg.ivf_cap_factor * n / nlist), 32), 32)
         bucket_ids, positions, cap = _plan_layout(
             top_ids, top_scores, nlist, n, cap_limit)
+        if timings is not None:
+            # placement quality: a row in its first-choice bucket is found
+            # whenever that bucket is probed; an alt-choice (rank 1..r-1)
+            # row needs the probe list to reach its fallback centroid; a
+            # rank<0 row was placed by the least-filled fallback and is
+            # effectively unreachable — the recall ceiling at high nprobe
+            # is ~1 - fallback - (alt beyond probe reach).
+            b_of = (positions // cap).astype(np.int32)
+            in_r = top_ids == b_of[:, None]
+            rank = np.where(in_r.any(1), in_r.argmax(1), -1)
+            timings["placement"] = {
+                "first_choice": round(float((rank == 0).mean()), 4),
+                "alt_choice": round(float((rank > 0).mean()), 4),
+                "fallback": round(float((rank < 0).mean()), 4),
+            }
         del top_ids, top_scores
+        t_ph = _mark("layout_s", t_ph)
 
         # pass 3: scatter prepared rows into the bucket buffer. One extra
         # dummy bucket at the end absorbs the padded tail rows (probe ids
@@ -449,6 +494,7 @@ class IVFIndex:
             from mediquery_rag_tpu.ops.quant import ivf_pack_slots_int4
             buckets = jax.jit(ivf_pack_slots_int4,
                               static_argnums=(1, 2))(buckets, nlist + 1, cap)
+        _mark("scatter_s", t_ph, sync=buckets)
 
         return cls(
             centroids=cents,

@@ -257,6 +257,42 @@ class TestIVFIndex:
         rec = recall_at_k(i, i_ref)
         assert rec >= 0.9, f"IVF recall@10 too low at nprobe=16/64: {rec}"
 
+    def test_split_oversized_bounds_clusters_and_lifts_recall(self):
+        """Balanced-split k-means (r4): on skewed clustered data the
+        bounded-cap layout evicted whole dense regions to far buckets
+        (measured 28% alt-placement at 10M, recall plateau 0.94);
+        split_oversized makes capacity where the density is."""
+        from mediquery_rag_tpu.ops.kmeans import (
+            assign_clusters, kmeans, split_oversized)
+        rng = np.random.default_rng(0)
+        centers = rng.standard_normal((40, 64)).astype(np.float32)
+        sizes = rng.dirichlet(np.ones(40) * 0.4)      # heavily skewed
+        asg = rng.choice(40, 12000, p=sizes)
+        c = centers[asg] + 0.35 * rng.standard_normal((12000, 64)).astype(
+            np.float32)
+        c = jnp.asarray(c / np.linalg.norm(c, axis=1, keepdims=True))
+        cents = kmeans(c, jax.random.PRNGKey(0), nlist=128, iters=6,
+                       balance=0.05)
+        cap = 188  # 2x avg (12000/128), rounded to 32
+        counts0 = np.bincount(np.asarray(assign_clusters(c, cents)),
+                              minlength=128)
+        cents2 = split_oversized(c, cents, cap_rows=cap, n_total=12000)
+        counts1 = np.bincount(np.asarray(assign_clusters(c, cents2)),
+                              minlength=128)
+        assert counts0.max() > cap          # the skew is real
+        assert counts1.max() <= cap         # ...and the split bounds it
+        # end-to-end: the builder path (cfg flag on by default) keeps
+        # partial-probe recall high on this geometry
+        cfg = EngineConfig(dim=64, dtype="float32", ivf_nlist=128,
+                           ivf_kmeans_iters=6, ivf_cap_factor=1.25)
+        idx = IVFIndex.build(c, cfg)
+        q = c[:16] + 0.05 * jax.random.normal(jax.random.PRNGKey(3),
+                                              (16, 64))
+        _, i = idx.search(q, k=10, nprobe=16)
+        _, i_ref = flat_search_xla(
+            q / jnp.linalg.norm(q, axis=-1, keepdims=True), c, 10)
+        assert recall_at_k(i, i_ref) >= 0.9
+
     def test_save_load(self, tmp_path):
         c = _vecs(1000, 64, seed=14)
         cfg = EngineConfig(dim=64, dtype="float32", ivf_nlist=16, ivf_kmeans_iters=3)
