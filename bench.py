@@ -174,12 +174,15 @@ def main() -> None:
         "recall_at_10_int4_vs_f32": r["recall_int4"],
         "recall_at_10_int4_rerank4_vs_f32": r["recall_int4_rr"],
         "int4_rerank_host_stage_ms": round(t_rr_host * 1e3, 3),
-        # steady-state e2e of the pipelined two-stage path
+        # steady-state e2e of the pipelined two-stage path, DERIVED as
+        # B/max(stage) from the two separately measured stages above
         # (engine/flat.py search_stream: batch i's host rerank overlaps
-        # batch i+1's device scan, so e2e = max(stage), both measured
-        # above; direct stream wall-clock is unmeasurable through the
-        # relay's ~100 ms/pull round trips — see RESULTS.md)
-        "int4_rerank_stream_qps": round(B / max(t_int4, t_rr_host), 1),
+        # batch i+1's device scan; direct stream wall-clock is
+        # unmeasurable through the relay's ~100 ms/pull round trips —
+        # see RESULTS.md). The _derived suffix marks it as computed,
+        # not a wall-clock measurement (r3 VERDICT weak-3).
+        "int4_rerank_stream_qps_derived": round(
+            B / max(t_int4, t_rr_host), 1),
         "xla_naive_bf16_ms_per_batch": round(t_xla * 1e3, 3),
         "hbm_floor_ms_bf16": round(n_pad * D * 2 / 819e9 * 1e3, 3),
         "hbm_floor_ms_int8": round(n_pad8 * (D + 4) / 819e9 * 1e3, 3),

@@ -97,6 +97,13 @@ def _plan_layout(top_ids, top_scores, nlist, n, cap_limit):
         assign, counts = _rebalance_overflow(
             assign, counts, top_ids, top_scores, cap_limit)
     cap = _round_up(max(int(counts.max()), 32), 32)
+    if cap > 256:
+        # the probe kernels block bucket_ids/scales on the LANE axis at
+        # offset probe_id*cap — a non-128-multiple cap makes every block
+        # lane-misaligned, which Mosaic lowers via a slow copy path
+        # (measured ~10x B=1 latency at 10M, cap 3680 vs 3072, r4). 256
+        # keeps the int4 split-half layout's cap/2 lane-aligned too.
+        cap = _round_up(cap, 256)
     order = np.argsort(assign, kind="stable")
     bucket_ids = np.full((nlist, cap), -1, dtype=np.int32)
     cluster_of = assign[order]
