@@ -35,11 +35,13 @@ from mediquery_rag_tpu.ops.scoring import flat_search, flat_search_xla
 
 N, D, B, K = 1_000_000, 768, 64, 10
 TC, QT = 2048, 64
-TC8 = 4096   # int8 tile: r3 sweep 1.033 ms = 91% of floor (2048: 64%,
-             # 6144: 75% — power-of-two tiles DMA best; 8192 VMEM-OOMs)
-TC4 = 4096   # int4 row-pair tile (logical rows): r3 sweep 0.558 ms = 85%
-             # of floor (4096/8192 ~equal; 6144/10240 were 20% slower —
-             # non-power-of-two tiles hit a slow DMA path)
+TC8 = 6144   # int8 tile: r4 same-session sweep (benchmarks/tile_sweep.py)
+             # 1.053 ms = 89.5% of floor (2048: 80%, 4096: 81%; 8192
+             # VMEM-OOMs). The r3 sweep ranked 4096 first — tile ranking
+             # drifts across sessions, so retunes must be same-session.
+TC4 = 8192   # int4 row-pair tile (logical rows): r4 sweep 0.567 ms =
+             # 83.6% of floor (4096: 66%, 6144: 77%, 10240: 73%, 16384
+             # fails to compile)
 RERANK = 4   # int4 ships with rerank_factor=4 (engine/flat.py) — candidate
              # generation at 1/4 the bytes, exact f32 re-score of the top 4k
 ITERS = 32   # two-point timing differences 32 vs 16 iterations; a larger

@@ -30,7 +30,12 @@ class EngineConfig:
     metric: str = "cosine"          # cosine | dot
     # Pallas kernel tiling
     query_tile: int = 128           # rows of the query block per kernel step
-    corpus_tile: int = 2048         # corpus rows scored per kernel step
+    corpus_tile: int = 0            # corpus rows scored per kernel step;
+                                    # 0 = auto per dtype (r4 same-session
+                                    # sweep, benchmarks/tile_sweep.py:
+                                    # int8 6144 = 89.5% of the HBM floor,
+                                    # int4 8192 = 83.6%, bf16/f32 2048 —
+                                    # larger int8/int4 tiles VMEM-OOM)
     # IVF
     ivf_nlist: int = 1024           # number of coarse centroids
     ivf_nprobe: int = 32            # clusters probed per query
@@ -60,6 +65,20 @@ class EngineConfig:
                                     # is hierarchical: wide all-gather on
                                     # ICI, k-finalist exchange on DCN
                                     # (parallel/collectives.py)
+
+    def resolve_corpus_tile(self, n_rows: int) -> "EngineConfig":
+        """Resolve ``corpus_tile == 0`` (auto) for a corpus of ``n_rows``.
+
+        Index builders call this ONCE and keep the resolved config, so the
+        build-time pad and every later search/add agree on the tile. The
+        per-dtype best only pays off when the corpus actually spans it —
+        small corpora keep the 2048 baseline instead of padding to one
+        oversized tile (which also drags CPU-interpret tests)."""
+        if self.corpus_tile != 0:
+            return self
+        best = {"int8": 6144, "int4": 8192}.get(self.dtype, 2048)
+        tile = best if n_rows >= best else 2048
+        return dataclasses.replace(self, corpus_tile=tile)
 
 
 @dataclass(frozen=True)

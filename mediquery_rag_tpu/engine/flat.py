@@ -180,6 +180,7 @@ class FlatIndex:
         n, d = v.shape
         if d != cfg.dim:
             cfg = EngineConfig(**{**cfg.__dict__, "dim": d})
+        cfg = cfg.resolve_corpus_tile(n)
         if cfg.metric == "cosine":
             v = l2_normalize(v.astype(jnp.float32))
         n_pad = _round_up(max(n, cfg.corpus_tile), cfg.corpus_tile)

@@ -71,6 +71,7 @@ class ShardedFlatIndex:
         n, d = v.shape
         axes = _shard_axes(cfg, mesh)
         s = int(np.prod([mesh.shape[a] for a in axes]))
+        cfg = cfg.resolve_corpus_tile(n // max(s, 1))
         if cfg.metric == "cosine":
             v = l2_normalize(v.astype(jnp.float32))
         # pad so each shard holds a whole number of corpus tiles

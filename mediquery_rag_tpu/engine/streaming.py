@@ -129,7 +129,8 @@ class StreamingFlatIndex:
             raise ValueError(f"prep must be 'device' or 'host', got {prep!r}")
         if prep == "host" and cfg.dtype != "int8":
             raise ValueError("prep='host' supports int8 storage only")
-        chunk_rows = _round_up(chunk_rows, cfg.corpus_tile)
+        cfg = cfg.resolve_corpus_tile(chunk_rows)   # beyond-HBM tier: chunks
+        chunk_rows = _round_up(chunk_rows, cfg.corpus_tile)  # span any tile
         chunks, scales, n = [], [], 0
         buf: list[np.ndarray] = []
         buf_rows = 0
