@@ -108,10 +108,17 @@ def main() -> None:
         def t_ms(fn, *consts):
             return device_time(fn, toks, *consts, reps=3) * 1e3
 
-        # -- full step ------------------------------------------------------
+        # -- full step, both cache layouts (same session = honest A/B) ------
+        # decode_step routes flash configs to the stacked zero-copy layout
+        # (cache = scan constant, fresh column folded via (o, m, l), ONE
+        # post-scan column write); _decode_step_xs is the r3 shipping
+        # layout (cache through scan xs/ys — a full HBM copy each way)
         step = jax.jit(model.decode_step)
         full = t_ms(lambda tk, pp, ca: step(pp, ca, tk)[0][:, 0], params,
                     cache)
+        step_xs = jax.jit(model._decode_step_xs)
+        full_xs = t_ms(lambda tk, pp, ca: step_xs(pp, ca, tk)[0][:, 0],
+                       params, cache)
 
         # -- cache-through-scan-xs only -------------------------------------
         def cache_xs(tk, ks, vs):
@@ -210,6 +217,7 @@ def main() -> None:
             "model": "7B-class-int8", "batch": B, "cache_len": C,
             "cursor": cur, "kv_dtype": args.kv_dtype or "bf16",
             "full_ms": round(full, 2),
+            "full_xs_ms": round(full_xs, 2),
             "weights_only_ms": round(weights, 2),
             "attn_stacked_ms": round(a_stack, 2),
             "attn_scan_xs_ms": round(a_xs, 2),

@@ -443,7 +443,121 @@ class Decoder:
         """One generation step: append ``token``, return (logits [B, V] f32,
         updated cache). Static shapes — the cache column written is
         ``cache.cursor``; attention spans the whole preallocated cache with
-        invalid slots masked."""
+        invalid slots masked.
+
+        Flash path: the multi-GB cache is a scan CONSTANT read zero-copy by
+        the GQA-folded kernel via scalar prefetch (``layer=li``); the fresh
+        token's K/V column is folded into the softmax OUTSIDE the kernel
+        with the standard flash (o, m, l) combine, the scan emits only the
+        tiny per-layer columns, and ONE post-scan dynamic_update_slice
+        writes them — the cache never rides scan xs/ys (whose per-layer
+        slices/re-stacks XLA materializes as full HBM copies: ~1.9 GB
+        read + 1.9 GB write per step at 7B B=8 C=4096 int8, the r3
+        unexplained residual). Einsum path: the original xs layout
+        (_decode_step_xs) — slicing there is a copy either way."""
+        if self.cfg.attn_impl == "flash":
+            return self._decode_step_stacked(params, cache, token)
+        return self._decode_step_xs(params, cache, token)
+
+    def _decode_step_stacked(
+        self,
+        params: DecoderParams,
+        cache: KVCache,
+        token: jax.Array,        # [B] i32
+    ) -> tuple[jax.Array, KVCache]:
+        from mediquery_rag_tpu.ops.attention import flash_attention_cached
+
+        c = self.cfg
+        adt = jnp.dtype(c.dtype)
+        L, B, KH, C, dh = cache.k.shape
+        quant = cache.k_scale is not None
+        kv_dt = cache.k.dtype
+        fmask = cache.key_mask       # fresh column folded via (m, l) below
+        pos = cache.next_pos[:, None]                          # [B, 1]
+        scale = dh ** -0.5
+        g = c.heads // KH
+
+        x = params["tok_embed"][token[:, None]].astype(adt)    # [B, 1, D]
+        mats, rest = _split_stream(params["blocks"])
+        li = jnp.arange(c.layers, dtype=jnp.int32)
+
+        def layer(carry, xs):
+            x = carry                                          # [B, 1, D]
+            lp, li_ = xs
+            mm = ((lambda h_, n: _mm(h_, mats[n], adt, layer=li_))
+                  if mats is not None
+                  else (lambda h_, n: _mm(h_, lp[n], adt)))
+            h = _rmsnorm(x, lp["rms1"], c.rms_eps)
+            qkv = mm(h, "qkv")
+            if "qkv_b" in lp:
+                qkv = qkv + lp["qkv_b"].astype(jnp.float32)
+            qkv = qkv.astype(adt)
+            q, k, v = _split_qkv(qkv, B, 1, c.heads, KH, dh)   # [B,*,1,dh]
+            q = _rope(q, pos, c.rope_theta)
+            k = _rope(k, pos, c.rope_theta)
+            if quant:
+                kc, ksc = _kv_quantize(k)
+                vc, vsc = _kv_quantize(v)
+                # combine uses the DEQUANTIZED stored values — the exact
+                # numbers the kernel would read back next step
+                k_new = kc.astype(jnp.float32) * ksc[..., None]
+                v_new = vc.astype(jnp.float32) * vsc[..., None]
+            else:
+                kc, vc = k.astype(kv_dt), v.astype(kv_dt)
+                ksc = vsc = None
+                k_new = kc.astype(jnp.float32)
+                v_new = vc.astype(jnp.float32)
+            o1, m1, l1 = flash_attention_cached(
+                q, cache.k, cache.v, fmask,
+                k_scale=cache.k_scale, v_scale=cache.v_scale,
+                layer=li_, return_ml=True)
+            # one-extra-column flash combine: softmax over cache ∪ {fresh}.
+            # Safe at cursor=0 too: every cache logit is ~-1e9 below s2, so
+            # exp(m1 - m) * l1 underflows to 0 and ctx -> v_new exactly.
+            s2 = jnp.einsum("bhqd,bhqd->bhq", q.astype(jnp.float32),
+                            _repeat_kv(k_new, g)) * scale      # [B, H, 1]
+            m = jnp.maximum(m1, s2)
+            a1 = jnp.exp(m1 - m) * l1
+            a2 = jnp.exp(s2 - m)
+            ctx = (o1.astype(jnp.float32) * a1[..., None]
+                   + a2[..., None] * _repeat_kv(v_new, g)) \
+                / (a1 + a2)[..., None]                         # [B, H, 1, dh]
+            ctx = ctx.astype(adt).transpose(0, 2, 1, 3).reshape(B, 1,
+                                                                c.hidden)
+            attn = mm(ctx, "attn_out").astype(adt)
+            x = x + attn
+            h = _rmsnorm(x, lp["rms2"], c.rms_eps)
+            ff = _mlp_ff(mm, h, params["blocks"], adt)
+            ff = mm(ff, "w_down")
+            return x + ff.astype(adt), (kc, vc, ksc, vsc)
+
+        x, (kcol, vcol, kscol, vscol) = jax.lax.scan(layer, x, (rest, li))
+        x = _rmsnorm(x, params["rms_f"], c.rms_eps)
+        logits = _mm(x[:, 0], params["lm_head"], adt)
+        new_cache = KVCache(
+            k=jax.lax.dynamic_update_slice(
+                cache.k, kcol, (0, 0, 0, cache.cursor, 0)),
+            v=jax.lax.dynamic_update_slice(
+                cache.v, vcol, (0, 0, 0, cache.cursor, 0)),
+            key_mask=jax.lax.dynamic_update_slice(
+                cache.key_mask, jnp.ones((B, 1), cache.key_mask.dtype),
+                (0, cache.cursor)),
+            cursor=cache.cursor + 1,
+            next_pos=cache.next_pos + 1,
+            k_scale=(None if not quant else jax.lax.dynamic_update_slice(
+                cache.k_scale, kscol, (0, 0, 0, cache.cursor))),
+            v_scale=(None if not quant else jax.lax.dynamic_update_slice(
+                cache.v_scale, vscol, (0, 0, 0, cache.cursor))),
+        )
+        return logits, new_cache
+
+    def _decode_step_xs(
+        self,
+        params: DecoderParams,
+        cache: KVCache,
+        token: jax.Array,        # [B] i32
+    ) -> tuple[jax.Array, KVCache]:
+        """The original scan-xs cache layout (einsum attention path)."""
         c = self.cfg
         adt = jnp.dtype(c.dtype)
         L, B, H, C, dh = cache.k.shape

@@ -70,7 +70,7 @@ _NEG_BIG = -1e30
 
 
 def _flash_kernel(off_ref, li_ref, q_ref, k_ref, v_ref, mask_ref, *rest,
-                  scale, causal, tq, tk, sq, quant):
+                  scale, causal, tq, tk, sq, quant, ml=False):
     # li_ref: [1] i32 layer index — consumed entirely by the BlockSpec
     # index maps (selects the layer's K/V tiles out of a stacked cache);
     # the kernel body never reads it.
@@ -80,7 +80,12 @@ def _flash_kernel(off_ref, li_ref, q_ref, k_ref, v_ref, mask_ref, *rest,
         # codes stream from HBM at 1 byte/elt and are cast in VMEM; the
         # scales fold into the logits (K) and softmax weights (V) exactly
         # like the einsum path (_cached_attn int8 branch).
-        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+        ks_ref, vs_ref, *rest = rest
+    if ml:
+        # un-normalized flash state outputs: callers fold extra columns
+        # (e.g. the decode step's fresh K/V, not yet in the cache) into the
+        # softmax outside the kernel via the standard (o, m, l) combine
+        o_ref, mo_ref, lo_ref, acc_ref, m_ref, l_ref = rest
     else:
         o_ref, acc_ref, m_ref, l_ref = rest
     # GQA fold: the caller concatenates each KV group's g query heads along
@@ -158,14 +163,17 @@ def _flash_kernel(off_ref, li_ref, q_ref, k_ref, v_ref, mask_ref, *rest,
         # emit the input dtype: callers cast to the activation dtype anyway,
         # and a f32 [B, H, S, dh] output doubles peak HBM at long S x batch
         o_ref[0, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        if ml:
+            mo_ref[0, 0] = m_ref[:]
+            lo_ref[0, 0] = l_ref[:]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "causal", "tq", "tk", "interpret"))
+    static_argnames=("scale", "causal", "tq", "tk", "interpret", "ml"))
 def _flash_call(q, k, v, key_mask, q_offset, layer=None,
                 k_scale=None, v_scale=None, *,
-                scale, causal, tq, tk, interpret):
+                scale, causal, tq, tk, interpret, ml=False):
     B, H, S, dh = q.shape
     # K/V may be ONE layer [B, KH, C, dh] or a whole STACKED cache
     # [L, B, KH, C, dh] + ``layer`` ([1] i32): the layer index rides as a
@@ -220,7 +228,7 @@ def _flash_call(q, k, v, key_mask, q_offset, layer=None,
 
     grid = (B, KH, rq // tq, sk // tk)
     kern = functools.partial(_flash_kernel, scale=scale, causal=causal,
-                             tq=tq, tk=tk, sq=sq, quant=quant)
+                             tq=tq, tk=tk, sq=sq, quant=quant, ml=ml)
     in_specs = [
         pl.BlockSpec((1, 1, tq, dhp),
                      lambda b, kh, i, j, off, li: (b, kh, i, 0),
@@ -249,13 +257,26 @@ def _flash_call(q, k, v, key_mask, q_offset, layer=None,
                 (1, 1, 1, tk),
                 lambda b, kh, i, j, off, li, B=B: (li[0] * B + b, kh, 0, j),
                 memory_space=pltpu.VMEM))
+    o_block = pl.BlockSpec((1, 1, tq, dhp),
+                           lambda b, kh, i, j, off, li: (b, kh, i, 0),
+                           memory_space=pltpu.VMEM)
+    out_specs = o_block
+    out_shape = jax.ShapeDtypeStruct((B, KH, rq, dhp), q.dtype)
+    if ml:
+        # un-normalized (m, l) flash state — lane-broadcast f32, so callers
+        # can fold extra softmax columns in without a kernel re-entry
+        ml_block = pl.BlockSpec((1, 1, tq, LANE),
+                                lambda b, kh, i, j, off, li: (b, kh, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs = [o_block, ml_block, ml_block]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B, KH, rq, LANE), jnp.float32),
+                     jax.ShapeDtypeStruct((B, KH, rq, LANE), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, tq, dhp),
-                               lambda b, kh, i, j, off, li: (b, kh, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((tq, dhp), jnp.float32),    # ctx accumulator
             pltpu.VMEM((tq, LANE), jnp.float32),   # running max (lane-bcast)
@@ -265,7 +286,7 @@ def _flash_call(q, k, v, key_mask, q_offset, layer=None,
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KH, rq, dhp), q.dtype),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * sq * sk * dhp,
             bytes_accessed=(q.size * q.dtype.itemsize
@@ -276,6 +297,11 @@ def _flash_call(q, k, v, key_mask, q_offset, layer=None,
         interpret=interpret,
     )(q_offset.astype(jnp.int32),
       jnp.asarray(layer, jnp.int32).reshape(1), *operands)
+    if ml:
+        o, m, l = out
+        return (o.reshape(B, H, sq, dhp)[:, :, :S, :dh],
+                m.reshape(B, H, sq, LANE)[:, :, :S, 0],
+                l.reshape(B, H, sq, LANE)[:, :, :S, 0])
     return out.reshape(B, H, sq, dhp)[:, :, :S, :dh]
 
 
@@ -658,6 +684,8 @@ def flash_attention_cached(
     v_scale: jax.Array | None = None,
     layer: jax.Array | None = None,     # i32 — with a STACKED [L, B, KH,
                                         # C, dh] cache, the layer to read
+    return_ml: bool = False,            # also return the un-normalized
+                                        # flash state (m, l) [B, H, S] f32
 ) -> jax.Array:
     """Mask-only cache attention — ``Decoder.decode_step``/
     ``decode_step_slots`` visibility (the key mask alone encodes what each
@@ -686,4 +714,4 @@ def flash_attention_cached(
                        jnp.zeros((q.shape[0],), jnp.int32), layer,
                        k_scale=k_scale, v_scale=v_scale,
                        scale=float(scale), causal=False, tq=256, tk=2048,
-                       interpret=not _on_tpu())
+                       interpret=not _on_tpu(), ml=return_ml)
