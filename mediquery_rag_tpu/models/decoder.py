@@ -445,17 +445,22 @@ class Decoder:
         ``cache.cursor``; attention spans the whole preallocated cache with
         invalid slots masked.
 
-        Flash path: the multi-GB cache is a scan CONSTANT read zero-copy by
-        the GQA-folded kernel via scalar prefetch (``layer=li``); the fresh
-        token's K/V column is folded into the softmax OUTSIDE the kernel
-        with the standard flash (o, m, l) combine, the scan emits only the
-        tiny per-layer columns, and ONE post-scan dynamic_update_slice
-        writes them — the cache never rides scan xs/ys (whose per-layer
-        slices/re-stacks XLA materializes as full HBM copies: ~1.9 GB
-        read + 1.9 GB write per step at 7B B=8 C=4096 int8, the r3
-        unexplained residual). Einsum path: the original xs layout
-        (_decode_step_xs) — slicing there is a copy either way."""
-        if self.cfg.attn_impl == "flash":
+        Flash path, big caches: the multi-GB cache is a scan CONSTANT read
+        zero-copy by the GQA-folded kernel via scalar prefetch
+        (``layer=li``); the fresh token's K/V column is folded into the
+        softmax OUTSIDE the kernel with the standard flash (o, m, l)
+        combine, the scan emits only the tiny per-layer columns, and ONE
+        post-scan dynamic_update_slice writes them — the cache never rides
+        scan xs/ys (whose per-layer slices/re-stacks XLA materializes as
+        full HBM copies: ~1.9 GB read + 1.9 GB write per step at 7B B=8
+        C=4096 int8, the r3 unexplained residual; decompose A/B: 13.63 →
+        11.46 ms). Small caches keep the xs layout: the stacked read costs
+        ~90 µs/layer of kernel overhead (decompose: B=1 attn_stack 2.51 vs
+        attn_xs 0.86 ms) while the xs copies shrink with the cache — the
+        crossover is gated on the STATIC cache size at trace time
+        (_use_stacked). Einsum path: always xs — slicing there is a copy
+        either way."""
+        if self.cfg.attn_impl == "flash" and _use_stacked(cache):
             return self._decode_step_stacked(params, cache, token)
         return self._decode_step_xs(params, cache, token)
 
@@ -791,7 +796,139 @@ class Decoder:
         like ``decode_step_slots``. All G tokens are treated as real (no
         intra-extension padding); the caller must guarantee
         ``cursor[b] + G <= C`` for active lanes.
+
+        Flash path, big caches (``_use_stacked``): stacked zero-copy cache
+        layout (see ``decode_step``). The cache part needs NO causal term
+        — on entry every mask-live column is < cursor[b], visible to all G
+        fresh queries — so the kernel runs mask-only with ``return_ml``;
+        the fresh G x G causal block is computed in plain XLA (G is the
+        speculative gamma+1, single digits) and folded in with the
+        (o, m, l) combine, gated by ``active``.
         """
+        if self.cfg.attn_impl == "flash" and _use_stacked(cache):
+            return self._extend_slots_stacked(params, cache, toks, active)
+        return self._extend_slots_xs(params, cache, toks, active)
+
+    def _extend_slots_stacked(
+        self,
+        params: DecoderParams,
+        cache: KVCache,
+        toks: jax.Array,         # [B, G] i32
+        active: jax.Array,       # [B] bool
+    ) -> tuple[jax.Array, KVCache]:
+        from mediquery_rag_tpu.ops.attention import flash_attention_cached
+
+        c = self.cfg
+        adt = jnp.dtype(c.dtype)
+        L, B, KH, C, dh = cache.k.shape
+        G = toks.shape[1]
+        rows = jnp.arange(B)
+        quant = cache.k_scale is not None
+        kv_dt = cache.k.dtype
+        fmask = cache.key_mask        # live cols < cursor[b] on entry
+        scale = dh ** -0.5
+        g = c.heads // KH
+        act = active[:, None, None, None].astype(jnp.float32)  # [B,1,1,1]
+
+        cur = cache.cursor[:, None]                        # [B, 1]
+        pos = cache.next_pos[:, None] + jnp.arange(G)[None, :]   # [B, G]
+        ccols = cur + jnp.arange(G)[None, :]               # [B, G]
+        # fresh-block causal mask: query i sees fresh cols j <= i
+        tri = (jnp.arange(G)[None, :] <= jnp.arange(G)[:, None])
+        tri = (tri.astype(jnp.float32) - 1.0) * 1e9        # [G, G]
+
+        x = params["tok_embed"][toks].astype(adt)          # [B, G, D]
+        mats, rest = _split_stream(params["blocks"])
+        li = jnp.arange(c.layers, dtype=jnp.int32)
+
+        def layer(carry, xs):
+            x = carry                                      # [B, G, D]
+            lp, li_ = xs
+            mm = ((lambda h_, n: _mm(h_, mats[n], adt, layer=li_))
+                  if mats is not None
+                  else (lambda h_, n: _mm(h_, lp[n], adt)))
+            h = _rmsnorm(x, lp["rms1"], c.rms_eps)
+            qkv = mm(h, "qkv")
+            if "qkv_b" in lp:
+                qkv = qkv + lp["qkv_b"].astype(jnp.float32)
+            qkv = qkv.astype(adt)
+            q, k, v = _split_qkv(qkv, B, G, c.heads, KH, dh)  # [B,*,G,dh]
+            q = _rope(q, pos, c.rope_theta)
+            k = _rope(k, pos, c.rope_theta)
+            if quant:
+                kc, ksc = _kv_quantize(k)                  # ksc [B, KH, G]
+                vc, vsc = _kv_quantize(v)
+                k_new = kc.astype(jnp.float32) * ksc[..., None]
+                v_new = vc.astype(jnp.float32) * vsc[..., None]
+            else:
+                kc, vc = k.astype(kv_dt), v.astype(kv_dt)
+                ksc = vsc = None
+                k_new = kc.astype(jnp.float32)
+                v_new = vc.astype(jnp.float32)
+            o1, m1, l1 = flash_attention_cached(
+                q, cache.k, cache.v, fmask,
+                k_scale=cache.k_scale, v_scale=cache.v_scale,
+                layer=li_, return_ml=True)                 # [B, H, G, ...]
+            # fresh G x G causal block in f32 (G is tiny)
+            sf = jnp.einsum("bhid,bhjd->bhij", q.astype(jnp.float32),
+                            _repeat_kv(k_new, g)) * scale + tri
+            m2 = jnp.max(sf, axis=-1)                      # [B, H, G]
+            p = jnp.exp(sf - m2[..., None])                # [B, H, G, G]
+            l2 = jnp.sum(p, axis=-1)                       # [B, H, G]
+            o2num = jnp.einsum("bhij,bhjd->bhid", p,
+                               _repeat_kv(v_new, g))       # un-normalized
+            m_ = jnp.maximum(m1, m2)
+            a1 = jnp.exp(m1 - m_) * l1
+            e2 = jnp.exp(m2 - m_)
+            # gate the fresh block by `active`: inactive lanes attend over
+            # the cache alone (their fresh K/V is garbage)
+            num = (o1.astype(jnp.float32) * a1[..., None]
+                   + o2num * e2[..., None] * act)
+            den = a1 + e2 * l2 * act[..., 0]
+            ctx = num / den[..., None]                     # [B, H, G, dh]
+            ctx = ctx.astype(adt).transpose(0, 2, 1, 3).reshape(B, G,
+                                                                c.hidden)
+            attn = mm(ctx, "attn_out").astype(adt)
+            x = x + attn
+            h = _rmsnorm(x, lp["rms2"], c.rms_eps)
+            ff = _mlp_ff(mm, h, params["blocks"], adt)
+            ff = mm(ff, "w_down")
+            return x + ff.astype(adt), (kc, vc, ksc, vsc)
+
+        x, (kcol, vcol, kscol, vscol) = jax.lax.scan(layer, x, (rest, li))
+        x = _rmsnorm(x, params["rms_f"], c.rms_eps)
+        logits = _mm(x, params["lm_head"], adt)            # [B, G, V]
+        cols = jnp.arange(C)[None, :]
+        key_mask = jnp.where((cols >= cur) & (cols < cur + G)
+                             & active[:, None], 1.0, cache.key_mask)
+        # multi-column scatter: lane b, slot i -> column ccols[b, i]; the
+        # advanced indices broadcast to [B, G] and lead the value shape
+        new_k = cache.k.at[:, rows[:, None], :, ccols].set(
+            kcol.transpose(1, 3, 0, 2, 4))                 # [B,G,L,KH,dh]
+        new_v = cache.v.at[:, rows[:, None], :, ccols].set(
+            vcol.transpose(1, 3, 0, 2, 4))
+        adv = G * active.astype(jnp.int32)
+        new_cache = KVCache(
+            k=new_k, v=new_v, key_mask=key_mask,
+            cursor=cache.cursor + adv,
+            next_pos=cache.next_pos + adv,
+            k_scale=(None if not quant else
+                     cache.k_scale.at[:, rows[:, None], :, ccols].set(
+                         kscol.transpose(1, 3, 0, 2))),    # [B, G, L, KH]
+            v_scale=(None if not quant else
+                     cache.v_scale.at[:, rows[:, None], :, ccols].set(
+                         vscol.transpose(1, 3, 0, 2))),
+        )
+        return logits, new_cache
+
+    def _extend_slots_xs(
+        self,
+        params: DecoderParams,
+        cache: KVCache,
+        toks: jax.Array,         # [B, G] i32
+        active: jax.Array,       # [B] bool
+    ) -> tuple[jax.Array, KVCache]:
+        """The original scan-xs cache layout (einsum attention path)."""
         c = self.cfg
         adt = jnp.dtype(c.dtype)
         L, B, KH, C, dh = cache.k.shape
@@ -895,7 +1032,120 @@ class Decoder:
         gather+select, and their ``key_mask`` stays 0 so attention never
         sees it; admission overwrites the whole row. Cursor/positions only
         advance for active rows.
+
+        Flash path, big caches (``_use_stacked``): stacked zero-copy cache
+        layout (see ``decode_step``) — the fresh column's softmax term is
+        gated by ``active`` so inactive rows attend over the cache alone.
         """
+        if self.cfg.attn_impl == "flash" and _use_stacked(cache):
+            return self._decode_step_slots_stacked(params, cache, token,
+                                                   active)
+        return self._decode_step_slots_xs(params, cache, token, active)
+
+    def _decode_step_slots_stacked(
+        self,
+        params: DecoderParams,
+        cache: KVCache,
+        token: jax.Array,        # [B] i32
+        active: jax.Array,       # [B] bool
+    ) -> tuple[jax.Array, KVCache]:
+        from mediquery_rag_tpu.ops.attention import flash_attention_cached
+
+        c = self.cfg
+        adt = jnp.dtype(c.dtype)
+        L, B, KH, C, dh = cache.k.shape
+        rows = jnp.arange(B)
+        quant = cache.k_scale is not None
+        kv_dt = cache.k.dtype
+        fmask = cache.key_mask       # fresh column folded via (m, l) below
+        pos = cache.next_pos[:, None]                          # [B, 1]
+        scale = dh ** -0.5
+        g = c.heads // KH
+        act = active[:, None, None].astype(jnp.float32)        # [B, 1, 1]
+
+        x = params["tok_embed"][token[:, None]].astype(adt)    # [B, 1, D]
+        mats, rest = _split_stream(params["blocks"])
+        li = jnp.arange(c.layers, dtype=jnp.int32)
+
+        def layer(carry, xs):
+            x = carry                                          # [B, 1, D]
+            lp, li_ = xs
+            mm = ((lambda h_, n: _mm(h_, mats[n], adt, layer=li_))
+                  if mats is not None
+                  else (lambda h_, n: _mm(h_, lp[n], adt)))
+            h = _rmsnorm(x, lp["rms1"], c.rms_eps)
+            qkv = mm(h, "qkv")
+            if "qkv_b" in lp:
+                qkv = qkv + lp["qkv_b"].astype(jnp.float32)
+            qkv = qkv.astype(adt)
+            q, k, v = _split_qkv(qkv, B, 1, c.heads, KH, dh)   # [B,*,1,dh]
+            q = _rope(q, pos, c.rope_theta)
+            k = _rope(k, pos, c.rope_theta)
+            if quant:
+                kc, ksc = _kv_quantize(k)
+                vc, vsc = _kv_quantize(v)
+                k_new = kc.astype(jnp.float32) * ksc[..., None]
+                v_new = vc.astype(jnp.float32) * vsc[..., None]
+            else:
+                kc, vc = k.astype(kv_dt), v.astype(kv_dt)
+                ksc = vsc = None
+                k_new = kc.astype(jnp.float32)
+                v_new = vc.astype(jnp.float32)
+            o1, m1, l1 = flash_attention_cached(
+                q, cache.k, cache.v, fmask,
+                k_scale=cache.k_scale, v_scale=cache.v_scale,
+                layer=li_, return_ml=True)
+            s2 = jnp.einsum("bhqd,bhqd->bhq", q.astype(jnp.float32),
+                            _repeat_kv(k_new, g)) * scale      # [B, H, 1]
+            m = jnp.maximum(m1, s2)
+            a1 = jnp.exp(m1 - m) * l1
+            a2 = jnp.exp(s2 - m) * act     # inactive rows: cache-only attn
+            ctx = (o1.astype(jnp.float32) * a1[..., None]
+                   + a2[..., None] * _repeat_kv(v_new, g)) \
+                / (a1 + a2)[..., None]                         # [B, H, 1, dh]
+            ctx = ctx.astype(adt).transpose(0, 2, 1, 3).reshape(B, 1,
+                                                                c.hidden)
+            attn = mm(ctx, "attn_out").astype(adt)
+            x = x + attn
+            h = _rmsnorm(x, lp["rms2"], c.rms_eps)
+            ff = _mlp_ff(mm, h, params["blocks"], adt)
+            ff = mm(ff, "w_down")
+            return x + ff.astype(adt), (kc, vc, ksc, vsc)
+
+        x, (kcol, vcol, kscol, vscol) = jax.lax.scan(layer, x, (rest, li))
+        x = _rmsnorm(x, params["rms_f"], c.rms_eps)
+        logits = _mm(x[:, 0], params["lm_head"], adt)
+        # per-row column scatter: row b's column is cache.cursor[b]; the
+        # advanced indices (rows, cursor) are separated by a sliced axis,
+        # so the broadcast [B] subspace leads the value shape
+        new_k = cache.k.at[:, rows, :, cache.cursor].set(
+            kcol[:, :, :, 0, :].transpose(1, 0, 2, 3))         # [B, L, KH, dh]
+        new_v = cache.v.at[:, rows, :, cache.cursor].set(
+            vcol[:, :, :, 0, :].transpose(1, 0, 2, 3))
+        adv = active.astype(jnp.int32)
+        new_cache = KVCache(
+            k=new_k, v=new_v,
+            key_mask=cache.key_mask.at[rows, cache.cursor].max(
+                active.astype(cache.key_mask.dtype)),
+            cursor=jnp.minimum(cache.cursor + adv, C - 1),
+            next_pos=cache.next_pos + adv,
+            k_scale=(None if not quant else
+                     cache.k_scale.at[:, rows, :, cache.cursor].set(
+                         kscol[:, :, :, 0].transpose(1, 0, 2))),
+            v_scale=(None if not quant else
+                     cache.v_scale.at[:, rows, :, cache.cursor].set(
+                         vscol[:, :, :, 0].transpose(1, 0, 2))),
+        )
+        return logits, new_cache
+
+    def _decode_step_slots_xs(
+        self,
+        params: DecoderParams,
+        cache: KVCache,
+        token: jax.Array,        # [B] i32
+        active: jax.Array,       # [B] bool
+    ) -> tuple[jax.Array, KVCache]:
+        """The original scan-xs cache layout (einsum attention path)."""
         c = self.cfg
         adt = jnp.dtype(c.dtype)
         L, B, H, C, dh = cache.k.shape
@@ -961,6 +1211,19 @@ class Decoder:
             k_scale=kss, v_scale=vss,
         )
         return logits, new_cache
+
+
+_STACKED_MIN_CACHE_BYTES = 128 * 1024 * 1024
+
+
+def _use_stacked(cache: KVCache) -> bool:
+    """Trace-time layout choice for the flash decode/extend paths: the
+    stacked zero-copy layout pays ~90 us/layer of kernel overhead to avoid
+    copying the cache through scan xs/ys, so it wins exactly when the
+    cache is big (decompose A/B: 7B C=4096 — B=8 1.9 GB cache 1.19x,
+    B=1 235 MB 1.04x; a 300M-model 13 MB cache regresses). Static shapes
+    make this a compile-time decision."""
+    return cache.k.nbytes + cache.v.nbytes >= _STACKED_MIN_CACHE_BYTES
 
 
 def _repeat_kv(t, groups):

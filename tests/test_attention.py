@@ -17,6 +17,16 @@ from mediquery_rag_tpu.ops.attention import (flash_attention,
                                              mha_reference)
 
 
+@pytest.fixture(autouse=True)
+def _force_stacked_layout(monkeypatch):
+    """These parity tests exist to pin the flash paths against the einsum
+    oracle; the stacked zero-copy layout only engages for >=128 MB caches
+    (decoder._use_stacked), so force it here — the xs layout keeps its
+    coverage from the decoder/serve/speculative suites' tiny caches."""
+    from mediquery_rag_tpu.models import decoder
+    monkeypatch.setattr(decoder, "_STACKED_MIN_CACHE_BYTES", 0)
+
+
 def _mk(rng, shape):
     return jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
 
