@@ -53,6 +53,10 @@ def main() -> None:
     ap.add_argument("--distill-epochs", type=int, default=60)
     ap.add_argument("--distill-new", type=int, default=64,
                     help="target continuation length distilled on")
+    ap.add_argument("--augment-prefixes", action="store_true",
+                    help="add mid-text prefixes of train chunks to the "
+                         "distillation prompt set (wider state coverage)")
+    ap.add_argument("--max-distill-prompts", type=int, default=512)
     ap.add_argument("--gamma", type=int, default=4)
     ap.add_argument("--max-new", type=int, default=96)
     ap.add_argument("--requests", type=int, default=6)
@@ -112,6 +116,22 @@ def main() -> None:
     split = max(args.requests, len(titles) // 5)
     eval_prompts = titles[:split][: args.requests]
     train_prompts = titles[split:]
+    if args.augment_prefixes:
+        # widen the distillation state distribution beyond title openings:
+        # mid-text prefixes of TRAIN chunks put the draft in the decision
+        # states the target actually visits mid-generation. Held-out
+        # titles' chunks are excluded (their text is what eval
+        # continuations reproduce).
+        held = set(eval_prompts)
+        for ch in chunks:
+            if not ch.title or ch.title in held:
+                continue
+            text = ch.text   # CJK text: slice by characters, not words
+            for start in (0, max(len(text) // 2 - 12, 0)):
+                p = text[start:start + 24].strip()
+                if len(p) >= 8:
+                    train_prompts.append(p)
+        train_prompts = train_prompts[: args.max_distill_prompts]
     dh_, dl_, dheads_, dkvh_, dmlp_ = DRAFTS[args.draft]
     dcfg = DecoderConfig(hidden=dh_, layers=dl_, heads=dheads_,
                          kv_heads=dkvh_, mlp_dim=dmlp_, max_len=1024)
@@ -136,7 +156,11 @@ def main() -> None:
         spec = SpeculativeGenerator(target, draft, gamma=args.gamma)
 
         def timed_over_prompts(fn):
-            fn(eval_prompts[0])                      # warm the compile cache
+            # warm EVERY prompt: prompts of different lengths hit different
+            # jit buckets, and one leaked remote compile (20-60 s) would
+            # dwarf the measurement for both sides
+            for p in eval_prompts:
+                fn(p)
             t0 = time.time()
             outs = [fn(p) for p in eval_prompts]
             return (time.time() - t0) / len(eval_prompts), outs
@@ -172,7 +196,8 @@ def main() -> None:
         for mode, dr in (("plain", None), ("distilled", draft)):
             srv = LLMServer(target, slots=slots, chunk=32, draft=dr,
                             gamma=args.gamma)
-            srv.complete(eval_prompts[0], max_new_tokens=32, timeout=1200)
+            for p in eval_prompts:   # warm every prompt-length bucket
+                srv.complete(p, max_new_tokens=32, timeout=1200)
             lat, outs = [], []
             t0 = time.time()
             for p in eval_prompts:        # low occupancy: sequential
