@@ -57,6 +57,18 @@ def main() -> None:
                     help="add mid-text prefixes of train chunks to the "
                          "distillation prompt set (wider state coverage)")
     ap.add_argument("--max-distill-prompts", type=int, default=512)
+    ap.add_argument("--draft-pretrain-epochs", type=int, default=0,
+                    help="corpus-LM pretrain the draft before distilling "
+                         "(production recipe: target and draft share the "
+                         "pretraining corpus, so the draft can track the "
+                         "target's memorized-text regurgitation)")
+    ap.add_argument("--qa-format", action="store_true",
+                    help="wrap title prompts in the chat template the LM "
+                         "trained on (render_chat: <|user|>\\n{t}<|end|>"
+                         "<|assistant|>\\n) — the format TPULLMClient "
+                         "serves; bare titles are out-of-format, so both "
+                         "models continue them erratically and acceptance "
+                         "plateaus on model disagreement")
     ap.add_argument("--gamma", type=int, default=4)
     ap.add_argument("--max-new", type=int, default=96)
     ap.add_argument("--requests", type=int, default=6)
@@ -114,19 +126,31 @@ def main() -> None:
     # -- 2. distill the draft on target continuations -------------------------
     titles = [c.title for c in chunks if c.title]
     split = max(args.requests, len(titles) // 5)
-    eval_prompts = titles[:split][: args.requests]
-    train_prompts = titles[split:]
+    if args.qa_format:
+        from mediquery_rag_tpu.llm.messages import user
+        from mediquery_rag_tpu.llm.tpu_client import render_chat
+        fmt = lambda t: render_chat([user(t)])
+    else:
+        fmt = lambda t: t
+    eval_prompts = [fmt(t) for t in titles[:split][: args.requests]]
+    train_prompts = [fmt(t) for t in titles[split:]]
     if args.augment_prefixes:
         # widen the distillation state distribution beyond title openings:
         # mid-text prefixes of TRAIN chunks put the draft in the decision
         # states the target actually visits mid-generation. Held-out
         # titles' chunks are excluded (their text is what eval
         # continuations reproduce).
-        held = set(eval_prompts)
+        held = set(titles[:split][: args.requests])   # raw held-out titles
+        if args.qa_format:
+            from mediquery_rag_tpu.llm.messages import ai
+            render = lambda ch: render_chat([user(ch.title), ai(ch.content)],
+                                            for_training=True)
+        else:
+            render = lambda ch: ch.text
         for ch in chunks:
             if not ch.title or ch.title in held:
                 continue
-            text = ch.text   # CJK text: slice by characters, not words
+            text = render(ch)  # CJK text: slice by characters, not words
             for start in (0, max(len(text) // 2 - 12, 0)):
                 p = text[start:start + 24].strip()
                 if len(p) >= 8:
@@ -135,10 +159,28 @@ def main() -> None:
     dh_, dl_, dheads_, dkvh_, dmlp_ = DRAFTS[args.draft]
     dcfg = DecoderConfig(hidden=dh_, layers=dl_, heads=dheads_,
                          kv_heads=dkvh_, mlp_dim=dmlp_, max_len=1024)
+    dinit = None
+    if args.draft_pretrain_epochs:
+        t0 = time.time()
+        dtrainer = LMTrainer(dcfg, TrainConfig(batch_size=args.target_batch,
+                                               lr=3e-3, warmup_steps=20))
+        dloader = LMLoader(texts, tok, args.target_batch, seed=1)
+        dstate = dtrainer.init_state(jax.random.PRNGKey(2))
+        for batch in dloader.batches(epochs=args.draft_pretrain_epochs):
+            dstate, dmetrics = dtrainer.train_step(dstate, batch)
+        dinit = jax.device_get(dstate.params)
+        print(f"draft pretrain: loss {float(dmetrics['loss']):.3f}, "
+              f"{time.time() - t0:.0f}s", flush=True)
+        del dstate, dtrainer
     t0 = time.time()
     draft = distill_draft(
         target, dcfg, train_prompts, max_new_tokens=args.distill_new,
-        epochs=args.distill_epochs,
+        epochs=args.distill_epochs, init_params=dinit,
+        # rehearsal: keep the pretrained draft's corpus memory alive while
+        # distilling (the corpus is shared training data for BOTH models —
+        # the production 7B+0.5B situation; the held-out split only
+        # excludes eval TRAFFIC, i.e. target continuations of eval prompts)
+        extra_texts=(texts if args.draft_pretrain_epochs else None),
         train_cfg=TrainConfig(lr=3e-3, warmup_steps=20, remat=False))
     print(f"draft {args.draft}: distilled on {len(train_prompts)} prompts, "
           f"loss {draft.last_loss:.3f}, {time.time() - t0:.0f}s", flush=True)
@@ -175,14 +217,62 @@ def main() -> None:
             return out
 
         t_spec, outs_spec = timed_over_prompts(spec_one)
+
+        # device-only per-request time (scan-amortized — wall clock through
+        # the relay varies 2-3x between identical runs, see CLAUDE.md): N
+        # reps of each compiled program inside ONE jitted scan
+        import jax.numpy as jnp
+
+        ids0, mask0 = target.tokenizer.batch_encode([eval_prompts[0]])
+        S0 = ids0.shape[1]
+        from mediquery_rag_tpu.models.generate import _round_up
+        mn = min(_round_up(args.max_new, 64), target.cfg.max_len - S0)
+        prun = target._compiled(1, S0, mn)
+        srun = spec._compiled(S0, mn)
+        zero = jnp.zeros((1,), jnp.int32)
+        pargs = (target.params, jnp.asarray(ids0), jnp.asarray(mask0),
+                 jnp.float32(0.0), jax.random.PRNGKey(0),
+                 zero, zero[:, None], zero, jnp.int32(0))
+        sargs = (target.params, draft.params, jnp.asarray(ids0),
+                 jnp.asarray(mask0))
+        N = 3
+
+        def scanned(fn, pick):
+            @jax.jit
+            def many(*a):
+                def body(acc, _):
+                    return acc + pick(fn(*a)), None
+                acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=N)
+                return acc
+            return many
+
+        pmany = scanned(prun, lambda o: o.sum().astype(jnp.float32))
+        smany = scanned(srun, lambda o: o[0].sum().astype(jnp.float32))
+        jax.block_until_ready(pmany(*pargs))
+        t0 = time.time()
+        jax.block_until_ready(pmany(*pargs))
+        dev_plain = (time.time() - t0) / N
+        jax.block_until_ready(smany(*sargs))
+        t0 = time.time()
+        jax.block_until_ready(smany(*sargs))
+        dev_spec = (time.time() - t0) / N
+        # greedy equality modulo bf16 tie-flips: decode-step and
+        # verify-extend compute the same position through different kernel
+        # shapes, so a near-tie argmax can flip and the suffix diverges —
+        # report how many requests matched exactly, not just a bool
+        n_same = sum(a == b for a, b in zip(outs_plain, outs_spec))
         print(json.dumps({
             "metric": "distilled_draft_lockstep",
+            "requests_identical": f"{n_same}/{len(outs_plain)}",
             "target": args.target, "draft": args.draft,
             "gamma": args.gamma, "max_new": args.max_new,
             "requests": len(eval_prompts),
             "plain_per_request_s": round(t_plain, 3),
             "spec_per_request_s": round(t_spec, 3),
             "speedup": round(t_plain / t_spec, 2),
+            "plain_device_s": round(dev_plain, 3),
+            "spec_device_s": round(dev_spec, 3),
+            "device_speedup": round(dev_plain / dev_spec, 2),
             "accepted_per_round": round(sum(tprs[1:]) / max(len(tprs) - 1, 1), 2),
             "lossless": outs_plain == outs_spec,
             "backend": jax.default_backend(),
@@ -215,8 +305,11 @@ def main() -> None:
                     if stats.get("spec_rounds") else None),
             }
         lossless = rows["plain"]["outs"] == rows["distilled"]["outs"]
+        n_same = sum(a == b for a, b in zip(rows["plain"]["outs"],
+                                            rows["distilled"]["outs"]))
         print(json.dumps({
             "metric": "distilled_draft_serving",
+            "requests_identical": f"{n_same}/{len(eval_prompts)}",
             "target": args.target, "draft": args.draft,
             "gamma": args.gamma, "slots": slots,
             "max_new": args.max_new, "requests": len(eval_prompts),

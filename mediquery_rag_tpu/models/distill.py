@@ -34,7 +34,8 @@ import numpy as np
 
 from mediquery_rag_tpu.config import DecoderConfig, TrainConfig
 from mediquery_rag_tpu.models.generate import Generator, _round_up
-from mediquery_rag_tpu.models.train_lm import LMBatch, LMTrainer
+from mediquery_rag_tpu.models.train_lm import (LMBatch, LMTrainer,
+                                               LMTrainState)
 
 
 def distill_draft(
@@ -47,11 +48,22 @@ def distill_draft(
     train_cfg: TrainConfig | None = None,
     seed: int = 0,
     mesh=None,
+    init_params=None,
+    extra_texts: Sequence[str] | None = None,
 ) -> Generator:
     """Train a ``draft_cfg`` model to imitate ``target``'s greedy
     continuations of ``prompts``. Returns a ready ``Generator`` sharing
     the target's tokenizer (same vocab — required by
-    SpeculativeGenerator)."""
+    SpeculativeGenerator).
+
+    ``init_params`` warm-starts the draft (e.g. from a corpus LM
+    pretrain): a target that regurgitates memorized corpus text is only
+    predictable to a draft that has ALSO seen that text — the production
+    recipe (both models pretrained on the same distribution, then the
+    draft distilled on the target's traffic). ``extra_texts`` are
+    rehearsal sequences mixed into the distillation batch (e.g. the
+    pretraining corpus): distilling on continuations alone catastrophically
+    overwrites the warm-start's memory of text absent from the batch."""
     if draft_cfg.vocab_size != target.cfg.vocab_size:
         raise ValueError("draft vocab must match the target's")
 
@@ -59,6 +71,8 @@ def distill_draft(
     gen_rows = target.generate_tokens(list(prompts),
                                       max_new_tokens=max_new_tokens)
     seqs = [tok.encode(p) + row for p, row in zip(prompts, gen_rows)]
+    for t in extra_texts or ():
+        seqs.append(tok.encode(t))
 
     # right-padded token batch (the LMLoader text path would re-tokenize
     # and lose the raw stream — see module docstring)
@@ -69,14 +83,28 @@ def distill_draft(
         s = s[:S]
         ids[r, : len(s)] = s
         mask[r, : len(s)] = 1.0
-    batch = LMBatch(jnp.asarray(ids), jnp.asarray(mask))
 
     tcfg = train_cfg or TrainConfig(lr=3e-3, warmup_steps=20, remat=False)
     trainer = LMTrainer(draft_cfg, tcfg, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(seed))
+    if init_params is not None:
+        state = LMTrainState(init_params, trainer.tx.init(init_params),
+                             state.step)
     metrics = {"loss": jnp.inf}
+    # minibatched epochs: one batch of everything OOMs once rehearsal texts
+    # grow the set (596 seqs x S=768 materialized a 22 GB attention block);
+    # short-batch tails are padded with wrap-around rows so every step
+    # reuses ONE compiled shape
+    bs = min(max(tcfg.batch_size, 1), len(seqs), 64)
+    shuf = np.random.default_rng(seed)
     for _ in range(epochs):
-        state, metrics = trainer.train_step(state, batch)
+        order = shuf.permutation(len(seqs))
+        for i0 in range(0, len(order), bs):
+            sel = order[i0:i0 + bs]
+            if len(sel) < bs:
+                sel = np.concatenate([sel, order[: bs - len(sel)]])
+            batch = LMBatch(jnp.asarray(ids[sel]), jnp.asarray(mask[sel]))
+            state, metrics = trainer.train_step(state, batch)
     draft = Generator(draft_cfg, params=state.params, tokenizer=tok)
     draft.last_loss = float(metrics["loss"])
     return draft

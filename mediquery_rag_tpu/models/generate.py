@@ -52,7 +52,14 @@ class Generator:
             # one traced program instead of ~7*layers eager ops — through a
             # remote-compile relay the eager path costs minutes at 1B+
             params = jax.jit(self.model.init)(key)
-        self.params = params
+        # pin host (numpy) leaves to device ONCE: a numpy params tree
+        # re-uploads on EVERY jitted call — ~4 s/request for a 300M bf16
+        # model through the relay, dwarfing the decode itself. jax.Array
+        # leaves pass through untouched so sharded (TP) trees keep their
+        # placement.
+        self.params = jax.tree_util.tree_map(
+            lambda x: x if isinstance(x, jax.Array) else jnp.asarray(x),
+            params)
         # any object with batch_encode/decode + pad_id/eos_id works: the
         # in-repo ByteTokenizer (toy training) or BPETokenizer (HF imports)
         self.tokenizer = tokenizer or ByteTokenizer(cfg.max_len)

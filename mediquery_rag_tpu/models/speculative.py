@@ -218,10 +218,12 @@ class SpeculativeGenerator:
                     f"prompt ({S} tokens) leaves no room under "
                     f"max_len={self.target.cfg.max_len}")
             run = self._compiled(S, max_new)
-            out, n, rounds = run(self.target.params, self.draft.params,
-                                 jnp.asarray(ids), jnp.asarray(mask))
-            n = int(n)
-            toks = np.asarray(out)[:min(n, max_new_tokens)]
+            out, n, rounds = jax.device_get(      # ONE host round trip —
+                run(self.target.params, self.draft.params,   # separate
+                    jnp.asarray(ids), jnp.asarray(mask)))    # int()/asarray
+            n = int(n)                                       # fetches cost
+            toks = np.asarray(out)[:min(n, max_new_tokens)]  # ~35 ms each
+                                                             # via the relay
             outs.append(self.tokenizer.decode(toks))
             rounds_total += int(rounds)
             toks_total += n
