@@ -14,8 +14,11 @@ should pay — slots 1-2, per-request latency:
    identical (speculation is lossless); report per-request latency,
    speedup, and accepted tokens/round.
 
-    python benchmarks/distill_serving.py                    # real chip
-    python benchmarks/distill_serving.py --target mid-300M --target-epochs 4
+    python benchmarks/distill_serving.py     # real chip, the r4 recipe:
+    #   corpus-train mid-300M target (32 ep) -> corpus-pretrain draft-20M
+    #   (128 ep) -> rehearsal-distill on chat-template prompts (60 ep)
+    #   -> lockstep + LLMServer phases. r4 measured: accepted/round 3.75,
+    #   lockstep 1.81x wall / 1.89x device, lossless 6/6.
 
 Reference seam: the qwen2.5:7b chat completions the reference rented from
 Ollama (/root/reference/src/medical_engine.py:46) had no draft path at all.
@@ -46,23 +49,27 @@ DRAFTS = {
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", default="data/medical_data.txt")
-    ap.add_argument("--target", default="1B-class", choices=sorted(MODELS))
+    # mid-300M is the largest target whose f32 Adam state + activations
+    # fit next to serving caches in 16 GB HBM (1B-class OOMs in training)
+    ap.add_argument("--target", default="mid-300M", choices=sorted(MODELS))
     ap.add_argument("--draft", default="draft-20M", choices=sorted(DRAFTS))
-    ap.add_argument("--target-epochs", type=int, default=8)
+    ap.add_argument("--target-epochs", type=int, default=32)
     ap.add_argument("--target-batch", type=int, default=8)
     ap.add_argument("--distill-epochs", type=int, default=60)
-    ap.add_argument("--distill-new", type=int, default=64,
+    ap.add_argument("--distill-new", type=int, default=96,
                     help="target continuation length distilled on")
-    ap.add_argument("--augment-prefixes", action="store_true",
+    ap.add_argument("--augment-prefixes", action="store_true", default=True,
                     help="add mid-text prefixes of train chunks to the "
                          "distillation prompt set (wider state coverage)")
+    ap.add_argument("--no-augment-prefixes", dest="augment_prefixes",
+                    action="store_false")
     ap.add_argument("--max-distill-prompts", type=int, default=512)
-    ap.add_argument("--draft-pretrain-epochs", type=int, default=0,
+    ap.add_argument("--draft-pretrain-epochs", type=int, default=128,
                     help="corpus-LM pretrain the draft before distilling "
                          "(production recipe: target and draft share the "
                          "pretraining corpus, so the draft can track the "
                          "target's memorized-text regurgitation)")
-    ap.add_argument("--qa-format", action="store_true",
+    ap.add_argument("--qa-format", action="store_true", default=True,
                     help="wrap title prompts in the chat template the LM "
                          "trained on (render_chat: <|user|>\\n{t}<|end|>"
                          "<|assistant|>\\n) — the format TPULLMClient "
