@@ -63,6 +63,11 @@ def main() -> None:
                          "(draft = the target's own weights) exercises the "
                          "all-accepted round mechanics at full draft cost")
     ap.add_argument("--gamma", type=int, default=4)
+    ap.add_argument("--max-len", type=int, default=1024)
+    ap.add_argument("--cache-layout", choices=("auto", "xs"), default="auto",
+                    help="xs forces the pre-r4 scan-xs cache layout for a "
+                         "same-session A/B against the size-gated stacked "
+                         "zero-copy layout (models/decoder.py _use_stacked)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon site hook pins "
                          "JAX_PLATFORMS; the env var alone does not win)")
@@ -77,9 +82,14 @@ def main() -> None:
     from mediquery_rag_tpu.models.generate import Generator
     from mediquery_rag_tpu.serve.llm import LLMServer
 
+    if args.cache_layout == "xs":
+        from mediquery_rag_tpu.models import decoder
+        decoder._STACKED_MIN_CACHE_BYTES = 1 << 62
+
     h, l_, heads, kvh, mlp = MODELS[args.model]
     cfg = DecoderConfig(hidden=h, layers=l_, heads=heads, kv_heads=kvh,
-                        mlp_dim=mlp, max_len=1024, param_dtype="bfloat16")
+                        mlp_dim=mlp, max_len=args.max_len,
+                        param_dtype="bfloat16")
     gen = Generator(cfg)
     if args.weights != "bf16":
         gen.quantize_weights(bits=8 if args.weights == "int8" else 4)
@@ -98,8 +108,12 @@ def main() -> None:
     for slots in (int(s) for s in args.slots.split(",")):
         srv = LLMServer(gen, slots=slots, chunk=args.chunk,
                         draft=draft, gamma=args.gamma)
-        # warm the compile caches (one prefill bucket + the chunk program)
+        # warm the compile caches (one prefill bucket + the chunk program),
+        # then drop the warm request from the latency stats — its TTFT is
+        # dominated by 100+ s of remote compile and lands in the p99
         srv.complete(reqs[0], max_new_tokens=args.chunk, timeout=1200)
+        srv._lat_first.clear()
+        srv._lat_total.clear()
         t0 = time.perf_counter()
         futs = [srv.submit(p, max_new_tokens=args.max_new) for p in reqs]
         outs = [f.result(timeout=2400) for f in futs]
