@@ -55,6 +55,15 @@ def main() -> None:
     ap.add_argument("--draft", default="draft-20M", choices=sorted(DRAFTS))
     ap.add_argument("--target-epochs", type=int, default=32)
     ap.add_argument("--target-batch", type=int, default=8)
+    ap.add_argument("--target-optimizer", choices=("adamw", "adafactor"),
+                    default="adamw",
+                    help="adafactor's factored opt state lets the "
+                         "1B-class target train on one 16 GB chip "
+                         "(adamw m+v OOMs there)")
+    ap.add_argument("--target-lr", type=float, default=None,
+                    help="override the target lr (default 3e-4 adamw / "
+                         "1e-2 adafactor — adafactor scales updates by "
+                         "RMS(param) and wants a much hotter peak)")
     ap.add_argument("--distill-epochs", type=int, default=60)
     ap.add_argument("--distill-new", type=int, default=96,
                     help="target continuation length distilled on")
@@ -112,8 +121,12 @@ def main() -> None:
     texts = corpus_lm_texts(chunks)
     tok = ByteTokenizer(tcfg.max_len)
     loader = LMLoader(texts, tok, args.target_batch, seed=0)
+    # adafactor scales updates by RMS(param) — it wants ~30x Adam's lr
+    t_lr = args.target_lr or (
+        3e-4 if args.target_optimizer == "adamw" else 1e-2)
     trainer = LMTrainer(tcfg, TrainConfig(batch_size=args.target_batch,
-                                          lr=3e-4, warmup_steps=20))
+                                          lr=t_lr, warmup_steps=20,
+                                          optimizer=args.target_optimizer))
     state = trainer.init_state(jax.random.PRNGKey(0))
     t0 = time.time()
     step = 0

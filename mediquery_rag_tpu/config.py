@@ -177,6 +177,10 @@ class TrainConfig:
     temperature: float = 0.05       # InfoNCE temperature
     mesh_shape: Tuple[int, int] = (1, 1)   # (data, model)
     remat: bool = True
+    optimizer: str = "adamw"        # adamw | adafactor (factored 2nd
+                                    # moment, no 1st: ~params-free opt
+                                    # state — 1B-class LM training fits
+                                    # one 16 GB chip)
 
 
 @dataclass(frozen=True)

@@ -88,14 +88,23 @@ class LMTrainer:
         self.model = Decoder(model_cfg)
         self.cfg = train_cfg
         self.mesh = mesh
-        self.tx = optax.chain(
-            optax.clip_by_global_norm(1.0),
-            optax.adamw(
-                optax.warmup_cosine_decay_schedule(
-                    0.0, train_cfg.lr, train_cfg.warmup_steps, 10_000),
-                weight_decay=train_cfg.weight_decay,
-            ),
-        )
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, train_cfg.lr, train_cfg.warmup_steps, 10_000)
+        if train_cfg.optimizer == "adafactor":
+            # factored second moment (row+col vectors instead of a full
+            # per-param tensor) and no first moment: optimizer state drops
+            # from 2x params (Adam m+v, ~8 GB at 1B f32) to ~per-row
+            # factors — the difference between a 1B-class corpus train
+            # OOMing on one 16 GB chip and fitting with room for serving
+            # caches. LR semantics differ from Adam; the shared schedule
+            # still applies.
+            inner = optax.adafactor(learning_rate=sched,
+                                    min_dim_size_to_factor=32,
+                                    weight_decay_rate=train_cfg.weight_decay
+                                    or None)
+        else:
+            inner = optax.adamw(sched, weight_decay=train_cfg.weight_decay)
+        self.tx = optax.chain(optax.clip_by_global_norm(1.0), inner)
         self._jit_step = None
 
     def init_state(self, key: jax.Array) -> LMTrainState:

@@ -220,6 +220,33 @@ class TestLMTraining:
         out = TPULLMClient(gen, max_new_tokens=32).complete("血压")
         assert "蔬菜" in out  # memorized the single training answer
 
+    def test_adafactor_trains_with_small_opt_state(self):
+        """TrainConfig(optimizer="adafactor"): loss decreases and the
+        optimizer state is a small fraction of Adam's 2x-params (the knob
+        that lets a 1B-class corpus train fit one 16 GB chip)."""
+        from mediquery_rag_tpu.models.train_lm import LMLoader, LMTrainer
+
+        texts = ["<|user|>\n血压<|end|><|assistant|>\n多吃蔬菜"] * 8
+        tok = ByteTokenizer(256)
+        loader = LMLoader(texts, tok, batch_size=8, seed=0)
+        # adafactor scales updates by RMS(param), so it wants a larger lr
+        # than Adam for the same schedule
+        trainer = LMTrainer(TINY, TrainConfig(lr=1e-2, warmup_steps=2,
+                                              remat=False,
+                                              optimizer="adafactor"))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        losses = []
+        for batch in loader.batches(epochs=60):
+            state, m = trainer.train_step(state, batch)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+        p_bytes = sum(x.nbytes for x in
+                      jax.tree_util.tree_leaves(state.params))
+        o_bytes = sum(x.nbytes for x in
+                      jax.tree_util.tree_leaves(state.opt_state)
+                      if hasattr(x, "nbytes"))
+        assert o_bytes < 0.6 * p_bytes, (o_bytes, p_bytes)
+
     def test_loss_mask_excludes_pads(self):
         from mediquery_rag_tpu.models.train_lm import lm_loss
 
