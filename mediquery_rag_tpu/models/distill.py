@@ -68,8 +68,13 @@ def distill_draft(
         raise ValueError("draft vocab must match the target's")
 
     tok = target.tokenizer
-    gen_rows = target.generate_tokens(list(prompts),
-                                      max_new_tokens=max_new_tokens)
+    # chunk the teacher generation: one batch over ALL prompts buckets to
+    # a 512-lane KV cache (~17 GB at 1B-class dims) and OOMs the chip
+    prompts = list(prompts)
+    gen_rows = []
+    for i0 in range(0, len(prompts), 64):
+        gen_rows += target.generate_tokens(prompts[i0:i0 + 64],
+                                           max_new_tokens=max_new_tokens)
     seqs = [tok.encode(p) + row for p, row in zip(prompts, gen_rows)]
     for t in extra_texts or ():
         seqs.append(tok.encode(t))
