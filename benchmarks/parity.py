@@ -98,16 +98,19 @@ def main():
         jax.block_until_ready(fi.corpus)
         t_build = time.perf_counter() - t0
         _, i_got = fi.search(qj, k=k)
+        # fi.cfg is the RESOLVED config (corpus_tile=0 means auto; the
+        # index resolves it per dtype at build). The raw cfg would pass
+        # tile=0 straight into the kernel and die on n_pad % 0.
+        tile = fi.cfg.corpus_tile
         if dtype == "int8":
             t = device_time(
                 lambda qb, corp, sc: int8_flat_search(
-                    qb, corp, sc, k, n_valid=fi.n,
-                    corpus_tile=cfg.corpus_tile),
+                    qb, corp, sc, k, n_valid=fi.n, corpus_tile=tile),
                 qs, fi.corpus, fi.corpus_scale)
         else:
             t = device_time(
                 lambda qb, corp: flat_search(
-                    qb, corp, k, n_valid=fi.n, corpus_tile=cfg.corpus_tile),
+                    qb, corp, k, n_valid=fi.n, corpus_tile=tile),
                 qs, fi.corpus)
         emit(f"tpu_flat_{dtype}", recall_at_k(np.asarray(i_got), i_ref),
              b / t, fi.nbytes / 1e6, {"build_s": round(t_build, 2)})

@@ -1100,9 +1100,12 @@ class Decoder:
             m = jnp.maximum(m1, s2)
             a1 = jnp.exp(m1 - m) * l1
             a2 = jnp.exp(s2 - m) * act     # inactive rows: cache-only attn
+            # inactive lane + empty cache: a1 underflows to 0 and a2 is
+            # gated to 0 — clamp so the row yields finite garbage (the
+            # einsum path's -1e9-bias contract), never NaN
             ctx = (o1.astype(jnp.float32) * a1[..., None]
                    + a2[..., None] * _repeat_kv(v_new, g)) \
-                / (a1 + a2)[..., None]                         # [B, H, 1, dh]
+                / jnp.maximum(a1 + a2, 1e-30)[..., None]       # [B, H, 1, dh]
             ctx = ctx.astype(adt).transpose(0, 2, 1, 3).reshape(B, 1,
                                                                 c.hidden)
             attn = mm(ctx, "attn_out").astype(adt)

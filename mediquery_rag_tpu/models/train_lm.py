@@ -81,6 +81,29 @@ class LMLoader:
                 yield self._encode([self.texts[j] for j in tail])
 
 
+def _scheduled_decay(schedule, rate: float) -> optax.GradientTransformation:
+    """Decoupled weight decay, scaled by the lr schedule (AdamW semantics:
+    ``p -= lr_t * rate * p``), applied AFTER the optimizer's update — so
+    decay anneals with the schedule and is independent of the adaptive
+    per-param scaling. No-op when ``rate == 0``."""
+    if not rate:
+        return optax.identity()
+
+    def init(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("scheduled decay requires params")
+        lr = schedule(state.count)
+        updates = jax.tree_util.tree_map(
+            lambda u, p: u - lr * rate * p, updates, params)
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
 class LMTrainer:
     def __init__(self, model_cfg: DecoderConfig = DecoderConfig(),
                  train_cfg: TrainConfig = TrainConfig(),
@@ -96,12 +119,17 @@ class LMTrainer:
             # from 2x params (Adam m+v, ~8 GB at 1B f32) to ~per-row
             # factors — the difference between a 1B-class corpus train
             # OOMing on one 16 GB chip and fitting with room for serving
-            # caches. LR semantics differ from Adam; the shared schedule
-            # still applies.
-            inner = optax.adafactor(learning_rate=sched,
-                                    min_dim_size_to_factor=32,
-                                    weight_decay_rate=train_cfg.weight_decay
-                                    or None)
+            # caches. Weight decay is NOT passed to adafactor: optax
+            # applies weight_decay_rate per step un-scaled by the lr
+            # schedule (~1/lr stronger than the adamw branch, and never
+            # annealing). Instead chain a decoupled AdamW-style decay
+            # scaled by the same schedule, so cfg.weight_decay means the
+            # same thing for both optimizers.
+            inner = optax.chain(
+                optax.adafactor(learning_rate=sched,
+                                min_dim_size_to_factor=32),
+                _scheduled_decay(sched, train_cfg.weight_decay),
+            )
         else:
             inner = optax.adamw(sched, weight_decay=train_cfg.weight_decay)
         self.tx = optax.chain(optax.clip_by_global_norm(1.0), inner)

@@ -413,6 +413,11 @@ def flat_search(
         raise ValueError(f"k={k} > {LANE} not supported by the fused kernel")
     b, d = queries.shape
     n_pad = corpus_padded.shape[0]
+    if corpus_tile <= 0:
+        raise ValueError(
+            f"corpus_tile={corpus_tile}: 0 means 'auto' at the EngineConfig "
+            "level — call cfg.resolve_corpus_tile(n) (or use the index's "
+            "resolved cfg) before calling the kernel directly")
     if n_pad % corpus_tile:
         raise ValueError(f"corpus rows {n_pad} not a multiple of tile {corpus_tile}")
     n_valid = n_pad if n_valid is None else n_valid

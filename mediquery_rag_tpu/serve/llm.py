@@ -205,13 +205,28 @@ class LLMServer:
             # dispatch-count parity with plain even at low acceptance);
             # worst case a lane advances rounds*(gamma+1) columns in one
             # quantum, so preemption granularity coarsens accordingly.
-            self._rounds = (max(1, spec_rounds) if spec_rounds is not None
-                            else max(1, -(-self.T // 2)))
-            if self.Cd < _round_up(self._rounds * (gamma + 1) + 1,
-                                   128) + 128:
-                raise ValueError(
-                    f"draft cache too small ({self.Cd}) for "
-                    f"{self._rounds} rounds of gamma={gamma}")
+            def _fits(rounds: int) -> bool:
+                return self.Cd >= _round_up(rounds * (gamma + 1) + 1,
+                                            128) + 128
+            if spec_rounds is not None:
+                self._rounds = max(1, spec_rounds)
+                if not _fits(self._rounds):
+                    raise ValueError(
+                        f"draft cache too small ({self.Cd}) for "
+                        f"{self._rounds} rounds of gamma={gamma}")
+            else:
+                # default rounds, clamped to draft-cache capacity: prefer
+                # ceil(T/2) (dispatch-count parity with plain chunks at
+                # ~2 accepted/round), but a small draft max_len with a
+                # large chunk must not make a previously-valid config
+                # raise — degrade toward T//(gamma+1) and below instead.
+                self._rounds = max(1, -(-self.T // 2))
+                while self._rounds > 1 and not _fits(self._rounds):
+                    self._rounds -= 1
+                if not _fits(self._rounds):
+                    raise ValueError(
+                        f"draft cache too small ({self.Cd}) for even one "
+                        f"round of gamma={gamma}")
         # lanes close enough to the cache end that a spec round could not
         # write its gamma+1 candidates must finish as "length"
         self._margin = (gamma + 1) if draft is not None else 1
