@@ -49,6 +49,9 @@ def main() -> None:
     ap.add_argument("--cache-len", type=int, default=4096)
     ap.add_argument("--cursor", type=int, default=3968)
     ap.add_argument("--kv-dtype", choices=("", "int8"), default="")
+    ap.add_argument("--weights", type=int, choices=(8, 4), default=8,
+                    help="weight-only quantization bits (int4 = the "
+                         "capacity tier; r4 VERDICT weak-2 re-floor)")
     ap.add_argument("--hidden", type=int, default=3584)
     ap.add_argument("--layers", type=int, default=28)
     ap.add_argument("--heads", type=int, default=28)
@@ -72,8 +75,8 @@ def main() -> None:
                         param_dtype="bfloat16", kv_dtype=args.kv_dtype,
                         attn_impl="flash")
     model = Decoder(cfg)
-    params = jax.jit(lambda k: quantize_decoder_params(model.init(k), 8))(
-        jax.random.PRNGKey(0))
+    params = jax.jit(lambda k: quantize_decoder_params(
+        model.init(k), args.weights))(jax.random.PRNGKey(0))
     wbytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(params))
     L, H, KH, dh = cfg.layers, cfg.heads, cfg.kv_heads or cfg.heads, \
         cfg.hidden // cfg.heads
@@ -84,19 +87,33 @@ def main() -> None:
 
     for B in (int(x) for x in args.batches.split(",")):
         # fabricated post-prefill cache: values are irrelevant to timing,
-        # shapes/dtypes are the shipping ones
-        k0 = jax.random.normal(jax.random.PRNGKey(1),
-                               (L, B, KH, C, dh), jnp.float32)
+        # shapes/dtypes are the shipping ones. ONE jitted program so the
+        # f32 intermediate never materializes (B=32 C=4096 OOMs eagerly)
+        @jax.jit
+        def _mk_cache():
+            kk = jax.random.PRNGKey(1)
+            if int8kv:
+                k_ = jax.random.randint(kk, (L, B, KH, C, dh),
+                                        -127, 128, jnp.int8)
+                v_ = jax.random.randint(kk, (L, B, KH, C, dh),
+                                        -127, 128, jnp.int8)
+                ks_ = jax.random.uniform(kk, (L, B, KH, C)) * 0.02
+                vs_ = jax.random.uniform(kk, (L, B, KH, C)) * 0.01
+            else:
+                k_ = jax.random.normal(kk, (L, B, KH, C, dh), adt)
+                v_ = jax.random.normal(kk, (L, B, KH, C, dh), adt) * 0.5
+                ks_ = vs_ = None
+            return k_, v_, ks_, vs_
+
+        kc, vc, ksc, vsc = jax.block_until_ready(_mk_cache())
         cache = KVCache(
-            k=k0.astype(kv_dt),
-            v=(k0 * 0.5).astype(kv_dt),
+            k=kc, v=vc,
             key_mask=jnp.concatenate(
                 [jnp.ones((B, cur), jnp.float32),
                  jnp.zeros((B, C - cur), jnp.float32)], axis=1),
             cursor=jnp.int32(cur),
             next_pos=jnp.full((B,), cur, jnp.int32),
-            k_scale=(jnp.abs(k0).max(-1) / 127 if int8kv else None),
-            v_scale=(jnp.abs(k0).max(-1) / 254 if int8kv else None),
+            k_scale=ksc, v_scale=vsc,
         )
         kv_gb = (cache.k.nbytes + cache.v.nbytes
                  + (cache.k_scale.nbytes + cache.v_scale.nbytes
@@ -214,7 +231,7 @@ def main() -> None:
         kv_floor = kv_gb / 819e9 * 1e3
         print(json.dumps({
             "metric": "decode_step_decomposition",
-            "model": "7B-class-int8", "batch": B, "cache_len": C,
+            "model": f"7B-class-int{args.weights}", "batch": B, "cache_len": C,
             "cursor": cur, "kv_dtype": args.kv_dtype or "bf16",
             "full_ms": round(full, 2),
             "full_xs_ms": round(full_xs, 2),

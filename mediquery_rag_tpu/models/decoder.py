@@ -455,8 +455,8 @@ class Decoder:
         full HBM copies: ~1.9 GB read + 1.9 GB write per step at 7B B=8
         C=4096 int8, the r3 unexplained residual; decompose A/B: 13.63 →
         11.46 ms). Small caches keep the xs layout: the stacked read costs
-        ~90 µs/layer of kernel overhead (decompose: B=1 attn_stack 2.51 vs
-        attn_xs 0.86 ms) while the xs copies shrink with the cache — the
+        a fixed ~17 µs/layer of kernel overhead (r5; was ~90 pre-compact-
+        fold) while the xs copies shrink with the cache — the
         crossover is gated on the STATIC cache size at trace time
         (_use_stacked). Einsum path: always xs — slicing there is a copy
         either way."""
@@ -1216,16 +1216,17 @@ class Decoder:
         return logits, new_cache
 
 
-_STACKED_MIN_CACHE_BYTES = 128 * 1024 * 1024
+_STACKED_MIN_CACHE_BYTES = 32 * 1024 * 1024
 
 
 def _use_stacked(cache: KVCache) -> bool:
     """Trace-time layout choice for the flash decode/extend paths: the
-    stacked zero-copy layout pays ~90 us/layer of kernel overhead to avoid
-    copying the cache through scan xs/ys, so it wins exactly when the
-    cache is big (decompose A/B: 7B C=4096 — B=8 1.9 GB cache 1.19x,
-    B=1 235 MB 1.04x; a 300M-model 13 MB cache regresses). Static shapes
-    make this a compile-time decision."""
+    stacked zero-copy layout pays a fixed per-layer kernel overhead
+    (r5 compact-fold kernel: ~17 us/layer, was ~90) to avoid copying the
+    cache through scan xs/ys, so it wins when the cache is big (decompose
+    A/B: 7B C=4096 — B=8 1.9 GB cache 1.19x; B=1 235 MB now break-even,
+    attn 0.49 vs 0.51 ms; a 300M-model 13 MB cache still regresses).
+    Static shapes make this a compile-time decision."""
     return cache.k.nbytes + cache.v.nbytes >= _STACKED_MIN_CACHE_BYTES
 
 

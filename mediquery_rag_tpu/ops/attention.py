@@ -168,6 +168,74 @@ def _flash_kernel(off_ref, li_ref, q_ref, k_ref, v_ref, mask_ref, *rest,
             lo_ref[0, 0] = l_ref[:]
 
 
+def _flash_cached_kernel(off_ref, li_ref, q_ref, k_ref, v_ref, mask_ref,
+                         *rest, scale, nh, tq, tk, quant, ml):
+    """Mask-only cached attention, ``nh`` KV heads per grid visit.
+
+    The compact-fold decode tile is tiny (tq=16 rows at 7B GQA), so the
+    per-visit cost is DMA + a fixed ~0.4 us of dispatch/semaphore work;
+    at int8's 1 byte/elt the fixed cost was ~35-50% of the visit
+    (r4: 46-61% of KV floor). Merging the KV-head axis into the block
+    (static ``for h in range(nh)`` over a [1, nh, tk, dhp] tile) cuts
+    visit count ``nh``x at the same total bytes. off_ref/li_ref are
+    scalar prefetch: off unused (no causal term), li selects the stacked
+    cache layer in the index maps."""
+    del off_ref
+    if quant:
+        ks_ref, vs_ref, *rest = rest
+    if ml:
+        o_ref, mo_ref, lo_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_BIG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    bias = (mask_ref[0].astype(jnp.float32) - 1.0) * 1e9   # [1, tk]
+    for h in range(nh):
+        rows = slice(h * tq, (h + 1) * tq)
+        q = q_ref[0, h]                                    # [tq, dhp]
+        k_t = k_ref[0, h]                                  # [tk, dhp]
+        if quant:
+            k_t = k_t.astype(q.dtype)    # codes <=127: exact even in bf16
+        s = jax.lax.dot_general(
+            q, k_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # [tq, tk]
+        if quant:
+            s = s * ks_ref[0, h]                           # [1, tk]
+        s = s + bias
+        m_old = m_ref[rows, :1]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[rows] = l_ref[rows] * corr + jnp.sum(p, axis=1, keepdims=True)
+        if quant:
+            pw = (p * vs_ref[0, h]).astype(q.dtype)
+            v_t = v_ref[0, h].astype(q.dtype)
+        else:
+            pw, v_t = p.astype(v_ref.dtype), v_ref[0, h]
+        pv = jax.lax.dot_general(
+            pw, v_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [tq, dhp]
+        acc_ref[rows] = acc_ref[rows] * corr + pv
+        m_ref[rows] = jnp.broadcast_to(m_new, (tq, m_ref.shape[1]))
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        for h in range(nh):
+            rows = slice(h * tq, (h + 1) * tq)
+            o_ref[0, h] = (acc_ref[rows] / l_ref[rows, :1]).astype(
+                o_ref.dtype)
+            if ml:
+                mo_ref[0, h] = m_ref[rows]
+                lo_ref[0, h] = l_ref[rows]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "causal", "tq", "tk", "interpret", "ml"))
@@ -194,23 +262,45 @@ def _flash_call(q, k, v, key_mask, q_offset, layer=None,
     dhp = _round_up(dh, LANE)
     tk = min(tk, _round_up(Sk, LANE))
     sk = _round_up(Sk, tk)
-    # pick the query tile so tiles never straddle a head boundary partially:
-    # small per-head row counts fold the WHOLE group into one tile (decode:
-    # g*16 rows, one K/V pass per (b, kh)); large ones tile within a head
-    sq = _round_up(S, 16)
-    if group * sq <= tq:
-        tq = group * sq
+    if causal:
+        # pick the query tile so tiles never straddle a head boundary
+        # partially: small per-head row counts fold the WHOLE group into
+        # one tile; large ones tile within a head. Each head's rows are
+        # padded to sq so the kernel's r % sq row->position map holds.
+        sq = _round_up(S, 16)
+        if group * sq <= tq:
+            tq = group * sq
+        else:
+            tq = min(tq, sq)
+            sq = _round_up(S, tq)
+        rq = group * sq
+        if dhp != dh or sq != S:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, sq - S), (0, dhp - dh)))
+        # GQA fold: [B, H, sq, dhp] -> [B, KH, g*sq, dhp] — heads h in
+        # [kh*g, (kh+1)*g) are consecutive (models/decoder.py _split_qkv),
+        # so a plain reshape groups each KV head's queries contiguously
+        q = q.reshape(B, KH, rq, dhp)
     else:
-        tq = min(tq, sq)
-        sq = _round_up(S, tq)
-    rq = group * sq
-
-    if dhp != dh or sq != S:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq - S), (0, dhp - dh)))
-    # GQA fold: [B, H, sq, dhp] -> [B, KH, g*sq, dhp] — heads h in
-    # [kh*g, (kh+1)*g) are consecutive (models/decoder.py _split_qkv), so a
-    # plain reshape groups each KV head's queries contiguously
-    q = q.reshape(B, KH, rq, dhp)
+        # COMPACT fold (mask-only visibility => rows are independent
+        # queries with no positional identity): [B, H, S, dh] ->
+        # [B, KH, g*S, dhp], padding the FOLDED row axis once at the end
+        # instead of every head's rows to a 16-multiple. At decode (S=1,
+        # g=7) the kernel sees 16 rows instead of 112 — 7x less VPU
+        # exp/softmax work per KV tile, which was most of the 52-61%-of-
+        # KV-floor gap in the B=8/32 long-context serving regimes.
+        sq = S  # only consumed by the causal row->position math
+        rq_real = group * S
+        if dhp != dh:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, dhp - dh)))
+        q = q.reshape(B, KH, rq_real, dhp)
+        rq = _round_up(rq_real, 16)
+        if rq <= tq:
+            tq = rq
+        else:
+            tq = min(tq, rq)           # caller tiles are 16-multiples
+            rq = _round_up(rq_real, tq)
+        if rq != rq_real:
+            q = jnp.pad(q, ((0, 0), (0, 0), (0, rq - rq_real), (0, 0)))
     if dhp != dh or sk != Sk:
         # NOTE: this pad copies the whole (stacked) cache — serving caches
         # are allocated at tile-multiple C and 128-multiple dh so it never
@@ -226,83 +316,163 @@ def _flash_call(q, k, v, key_mask, q_offset, layer=None,
     mask = jnp.pad(key_mask.astype(jnp.float32),
                    ((0, 0), (0, sk - Sk)))[:, None, :]
 
-    grid = (B, KH, rq // tq, sk // tk)
-    kern = functools.partial(_flash_kernel, scale=scale, causal=causal,
-                             tq=tq, tk=tk, sq=sq, quant=quant, ml=ml)
-    in_specs = [
-        pl.BlockSpec((1, 1, tq, dhp),
-                     lambda b, kh, i, j, off, li: (b, kh, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, tk, dhp),
-                     lambda b, kh, i, j, off, li, B=B: (li[0] * B + b,
-                                                        kh, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, tk, dhp),
-                     lambda b, kh, i, j, off, li, B=B: (li[0] * B + b,
-                                                        kh, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, tk), lambda b, kh, i, j, off, li: (b, 0, j),
-                     memory_space=pltpu.VMEM),
-    ]
-    operands = [q, k, v, mask]
-    if quant:
-        # per-column KV scales [L, B, KH, Sk] f32 -> [L*B, KH, 1, sk] (the
-        # unit sublane dim keeps the (1, 1, 1, tk) block Mosaic-legal, same
-        # trick as the mask). Padded columns scale to 0 — mask-dead anyway
-        for s_ in (k_scale, v_scale):
-            sp = jnp.pad(s_.astype(jnp.float32),
-                         ((0, 0), (0, 0), (0, 0), (0, sk - Sk)))
-            operands.append(sp.reshape(L * B, KH, 1, sk))
-            in_specs.append(pl.BlockSpec(
-                (1, 1, 1, tk),
-                lambda b, kh, i, j, off, li, B=B: (li[0] * B + b, kh, 0, j),
-                memory_space=pltpu.VMEM))
-    o_block = pl.BlockSpec((1, 1, tq, dhp),
-                           lambda b, kh, i, j, off, li: (b, kh, i, 0),
-                           memory_space=pltpu.VMEM)
-    out_specs = o_block
-    out_shape = jax.ShapeDtypeStruct((B, KH, rq, dhp), q.dtype)
-    if ml:
-        # un-normalized (m, l) flash state — lane-broadcast f32, so callers
-        # can fold extra softmax columns in without a kernel re-entry
-        ml_block = pl.BlockSpec((1, 1, tq, LANE),
-                                lambda b, kh, i, j, off, li: (b, kh, i, 0),
-                                memory_space=pltpu.VMEM)
-        out_specs = [o_block, ml_block, ml_block]
-        out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((B, KH, rq, LANE), jnp.float32),
-                     jax.ShapeDtypeStruct((B, KH, rq, LANE), jnp.float32)]
+    if not causal:
+        # merge KV heads into the visit: the compact-fold q tile is tiny,
+        # so per-visit fixed costs (~0.4 us dispatch/semaphore) rival the
+        # DMA at int8 byte rates. nh heads per block = nh-x fewer visits
+        # at the same total bytes; cap so the double-buffered K+V blocks
+        # stay within ~8 MB of VMEM.
+        per_head = tk * dhp * (k.dtype.itemsize + v.dtype.itemsize)
+        nh = 1
+        for cand in range(KH, 0, -1):
+            if KH % cand == 0 and cand * per_head * 2 <= 8 * 2 ** 20:
+                nh = cand
+                break
+    else:
+        nh = 1
+    if not causal:
+        grid = (B, KH // nh, rq // tq, sk // tk)
+        kern = functools.partial(_flash_cached_kernel, scale=scale, nh=nh,
+                                 tq=tq, tk=tk, quant=quant, ml=ml)
+        in_specs = [
+            pl.BlockSpec((1, nh, tq, dhp),
+                         lambda b, kg, i, j, off, li: (b, kg, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh, tk, dhp),
+                         lambda b, kg, i, j, off, li, B=B: (li[0] * B + b,
+                                                            kg, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh, tk, dhp),
+                         lambda b, kg, i, j, off, li, B=B: (li[0] * B + b,
+                                                            kg, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk), lambda b, kg, i, j, off, li: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [q, k, v, mask]
+        if quant:
+            for s_ in (k_scale, v_scale):
+                sp = jnp.pad(s_.astype(jnp.float32),
+                             ((0, 0), (0, 0), (0, 0), (0, sk - Sk)))
+                operands.append(sp.reshape(L * B, KH, 1, sk))
+                in_specs.append(pl.BlockSpec(
+                    (1, nh, 1, tk),
+                    lambda b, kg, i, j, off, li, B=B: (li[0] * B + b,
+                                                       kg, 0, j),
+                    memory_space=pltpu.VMEM))
+        o_block = pl.BlockSpec((1, nh, tq, dhp),
+                               lambda b, kg, i, j, off, li: (b, kg, i, 0),
+                               memory_space=pltpu.VMEM)
+        out_specs = o_block
+        out_shape = jax.ShapeDtypeStruct((B, KH, rq, dhp), q.dtype)
+        if ml:
+            ml_block = pl.BlockSpec((1, nh, tq, LANE),
+                                    lambda b, kg, i, j, off, li:
+                                    (b, kg, i, 0),
+                                    memory_space=pltpu.VMEM)
+            out_specs = [o_block, ml_block, ml_block]
+            out_shape = [
+                out_shape,
+                jax.ShapeDtypeStruct((B, KH, rq, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((B, KH, rq, LANE), jnp.float32)]
+        scratch = [
+            pltpu.VMEM((nh * tq, dhp), jnp.float32),   # ctx accumulator
+            pltpu.VMEM((nh * tq, LANE), jnp.float32),  # running max
+            pltpu.VMEM((nh * tq, LANE), jnp.float32),  # running denominator
+        ]
+    else:
+        grid = (B, KH, rq // tq, sk // tk)
+        kern = functools.partial(_flash_kernel, scale=scale, causal=causal,
+                                 tq=tq, tk=tk, sq=sq, quant=quant, ml=ml)
+        in_specs = [
+            pl.BlockSpec((1, 1, tq, dhp),
+                         lambda b, kh, i, j, off, li: (b, kh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk, dhp),
+                         lambda b, kh, i, j, off, li, B=B: (li[0] * B + b,
+                                                            kh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk, dhp),
+                         lambda b, kh, i, j, off, li, B=B: (li[0] * B + b,
+                                                            kh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk), lambda b, kh, i, j, off, li: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [q, k, v, mask]
+        if quant:
+            # per-column KV scales [L, B, KH, Sk] f32 -> [L*B, KH, 1, sk]
+            # (the unit sublane dim keeps the (1, 1, 1, tk) block Mosaic-
+            # legal, same trick as the mask). Padded columns scale to 0 —
+            # mask-dead anyway
+            for s_ in (k_scale, v_scale):
+                sp = jnp.pad(s_.astype(jnp.float32),
+                             ((0, 0), (0, 0), (0, 0), (0, sk - Sk)))
+                operands.append(sp.reshape(L * B, KH, 1, sk))
+                in_specs.append(pl.BlockSpec(
+                    (1, 1, 1, tk),
+                    lambda b, kh, i, j, off, li, B=B: (li[0] * B + b,
+                                                       kh, 0, j),
+                    memory_space=pltpu.VMEM))
+        o_block = pl.BlockSpec((1, 1, tq, dhp),
+                               lambda b, kh, i, j, off, li: (b, kh, i, 0),
+                               memory_space=pltpu.VMEM)
+        out_specs = o_block
+        out_shape = jax.ShapeDtypeStruct((B, KH, rq, dhp), q.dtype)
+        if ml:
+            # un-normalized (m, l) flash state — lane-broadcast f32, so
+            # callers can fold extra softmax columns in without a kernel
+            # re-entry
+            ml_block = pl.BlockSpec((1, 1, tq, LANE),
+                                    lambda b, kh, i, j, off, li:
+                                    (b, kh, i, 0),
+                                    memory_space=pltpu.VMEM)
+            out_specs = [o_block, ml_block, ml_block]
+            out_shape = [
+                out_shape,
+                jax.ShapeDtypeStruct((B, KH, rq, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((B, KH, rq, LANE), jnp.float32)]
+        scratch = [
+            pltpu.VMEM((tq, dhp), jnp.float32),    # ctx accumulator
+            pltpu.VMEM((tq, LANE), jnp.float32),   # running max (lane-bcast)
+            pltpu.VMEM((tq, LANE), jnp.float32),   # running denominator
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((tq, dhp), jnp.float32),    # ctx accumulator
-            pltpu.VMEM((tq, LANE), jnp.float32),   # running max (lane-bcast)
-            pltpu.VMEM((tq, LANE), jnp.float32),   # running denominator
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * sq * sk * dhp,
+            flops=4 * B * KH * rq * sk * dhp,
             bytes_accessed=(q.size * q.dtype.itemsize
                             + 2 * B * KH * sk * dhp * k.dtype.itemsize)
-            + B * H * sq * dhp * q.dtype.itemsize,
-            transcendentals=B * H * sq * sk,
+            + B * KH * rq * dhp * q.dtype.itemsize,
+            transcendentals=B * KH * rq * sk,
         ),
         interpret=interpret,
     )(q_offset.astype(jnp.int32),
       jnp.asarray(layer, jnp.int32).reshape(1), *operands)
+    if causal:
+        if ml:
+            o, m, l = out
+            return (o.reshape(B, H, sq, dhp)[:, :, :S, :dh],
+                    m.reshape(B, H, sq, LANE)[:, :, :S, 0],
+                    l.reshape(B, H, sq, LANE)[:, :, :S, 0])
+        return out.reshape(B, H, sq, dhp)[:, :, :S, :dh]
+    # compact-fold unfold: real rows are the first g*S of each KV head
+    gs = group * S
     if ml:
         o, m, l = out
-        return (o.reshape(B, H, sq, dhp)[:, :, :S, :dh],
-                m.reshape(B, H, sq, LANE)[:, :, :S, 0],
-                l.reshape(B, H, sq, LANE)[:, :, :S, 0])
-    return out.reshape(B, H, sq, dhp)[:, :, :S, :dh]
+        return (o[:, :, :gs].reshape(B, H, S, dhp)[..., :dh],
+                m[:, :, :gs, 0].reshape(B, H, S),
+                l[:, :, :gs, 0].reshape(B, H, S))
+    return out[:, :, :gs].reshape(B, H, S, dhp)[..., :dh]
 
 
 def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, maskt_ref, d_ref,
@@ -686,6 +856,13 @@ def flash_attention_cached(
                                         # C, dh] cache, the layer to read
     return_ml: bool = False,            # also return the un-normalized
                                         # flash state (m, l) [B, H, S] f32
+    tk: int | None = None,              # KV tile; None = min(C, 4096) —
+                                        # tk == C keeps each merged-head
+                                        # block DMA fully contiguous
+                                        # (benchmarks/attn_cached.py: the
+                                        # strided tk<C blocks cost ~20% at
+                                        # bf16; 4096 caps the double-
+                                        # buffered block VMEM at ~8 MB)
 ) -> jax.Array:
     """Mask-only cache attention — ``Decoder.decode_step``/
     ``decode_step_slots`` visibility (the key mask alone encodes what each
@@ -710,8 +887,11 @@ def flash_attention_cached(
     _check_cache_scale_ndim(k_scale, v_scale, stacked=layer is not None)
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if tk is None:
+        tk = min(_round_up(k.shape[3 if layer is not None else 2], LANE),
+                 4096)
     return _flash_call(q, k, v, key_mask,
                        jnp.zeros((q.shape[0],), jnp.int32), layer,
                        k_scale=k_scale, v_scale=v_scale,
-                       scale=float(scale), causal=False, tq=256, tk=2048,
+                       scale=float(scale), causal=False, tq=256, tk=tk,
                        interpret=not _on_tpu(), ml=return_ml)
