@@ -62,6 +62,8 @@ def main():
     from mediquery_rag_tpu.models.byte_tokenizer import PAD_ID
     from mediquery_rag_tpu.models.generate import Generator, _round_up
     from mediquery_rag_tpu.obs.metrics import device_time
+    from mediquery_rag_tpu.obs.metrics import (
+        lm_matmul_flops as _flops, mfu as _mfu)
 
     for name in args.models.split(","):
         h, l_, heads, kvh, mlp = MODELS[name]
@@ -108,6 +110,11 @@ def main():
                     "prompt_len": S, "cache_len": cl,
                     "prefill_ms": round(t * 1e3, 2),
                     "prefill_tokens_per_s": round(b * S / t, 1),
+                    "prefill_mfu_pct": round(100 * _mfu(
+                        _flops(hidden=cfg.hidden, layers=cfg.layers,
+                               mlp_dim=cfg.mlp_dim, vocab=cfg.vocab_size,
+                               heads=cfg.heads, kv_heads=cfg.kv_heads,
+                               seq_len=S), b * S / t), 1),
                 }), flush=True)
                 continue
             run = gen._compiled(b, S, max_new)

@@ -28,7 +28,8 @@ def main():
 
     from mediquery_rag_tpu.config import EmbedderConfig
     from mediquery_rag_tpu.models import Embedder, HashCharTokenizer
-    from mediquery_rag_tpu.obs.metrics import device_time
+    from mediquery_rag_tpu.obs.metrics import (
+        device_time, lm_matmul_flops, mfu)
 
     cfg = EmbedderConfig(layers=args.layers)
     model = Embedder(cfg)
@@ -58,6 +59,15 @@ def main():
             "hidden": cfg.hidden,
             "latency_ms": round(t * 1e3, 3),
             "texts_per_s": round(b / t, 1),
+            # fwd-only model FLOPs: bidirectional attention (causal=False),
+            # embed-table lookups excluded, output proj ~ vocab term
+            "mfu_pct": round(100 * mfu(
+                lm_matmul_flops(hidden=cfg.hidden, layers=cfg.layers,
+                                mlp_dim=cfg.mlp_dim, vocab=768,
+                                heads=cfg.heads, kv_heads=None,
+                                seq_len=int(ids.shape[1]), causal=False,
+                                swiglu=False),
+                b * int(ids.shape[1]) / t), 1),
             "backend": jax.default_backend(),
         }))
 

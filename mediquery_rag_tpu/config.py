@@ -174,9 +174,20 @@ class TrainConfig:
     lr: float = 1e-4
     weight_decay: float = 0.01
     warmup_steps: int = 100
+    decay_steps: int = 10_000       # cosine horizon; set to the RUN's
+                                    # total steps — a short run under a
+                                    # 10k horizon trains at ~peak lr the
+                                    # whole time (the r4 1B-class
+                                    # 'plateaued at random' failure)
     temperature: float = 0.05       # InfoNCE temperature
     mesh_shape: Tuple[int, int] = (1, 1)   # (data, model)
-    remat: bool = True
+    remat: bool | str = True        # False | True (full per-block) |
+                                    # "names" (save bf16-cast matmul
+                                    # outputs only — backward recomputes
+                                    # nothing but elementwise; the LM
+                                    # training-MFU choice when the ~230
+                                    # MB/layer of checkpoints fit) |
+                                    # "dots" (f32 matmul outputs saved)
     optimizer: str = "adamw"        # adamw | adafactor (factored 2nd
                                     # moment, no 1st: ~params-free opt
                                     # state — 1B-class LM training fits

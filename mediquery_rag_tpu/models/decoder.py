@@ -346,9 +346,16 @@ class Decoder:
         ids: jax.Array,          # [B, S] i32
         mask: jax.Array,         # [B, S] f32 (1 = real token; left OR right pad)
         *,
-        remat: bool = False,
+        remat: bool | str = False,
     ) -> jax.Array:
-        """Full causal forward. Returns logits [B, S, V] f32."""
+        """Full causal forward. Returns logits [B, S, V] f32.
+
+        ``remat``: False = save all block activations; True = full per-
+        block checkpoint (recompute everything in bwd — minimum memory);
+        ``"dots"`` = checkpoint with ``dots_with_no_batch_dims_saveable``
+        (matmul outputs saved, only elementwise recomputed — skips the
+        recompute forward's ~2N FLOPs/token for ~B*S*(2h+3*mlp) bytes per
+        layer; the training-MFU choice when activations fit)."""
         c = self.cfg
         adt = jnp.dtype(c.dtype)
         B, S = ids.shape
@@ -365,9 +372,19 @@ class Decoder:
         block_fn = functools.partial(
             _block_full, heads=c.heads, kv_heads=c.kv_heads or c.heads,
             adt=adt, bias=bias, pos=pos, theta=c.rope_theta, eps=c.rms_eps,
-            flash_mask=flash_mask,
+            flash_mask=flash_mask, name_acts=remat == "names",
         )
-        if remat:
+        if remat == "names":
+            block_fn = jax.checkpoint(
+                block_fn,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "lm_qkv", "lm_ctx", "lm_attn", "lm_gate", "lm_up",
+                    "lm_ff", "flash_out"))
+        elif remat == "dots":
+            block_fn = jax.checkpoint(
+                block_fn,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        elif remat:
             block_fn = jax.checkpoint(block_fn)
         x, _ = jax.lax.scan(
             lambda carry, lp: (block_fn(carry, lp), None), x, params["blocks"]
@@ -1258,12 +1275,27 @@ def _split_qkv(qkv, B, S, heads, kv_heads, dh):
 
 
 def _block_kv(x, lp, *, heads, kv_heads, adt, bias, pos, theta, eps=1e-6,
-              flash_mask=None):
+              flash_mask=None, name_acts=False):
     """Transformer block returning (x_out, k, v) — shared by apply/prefill.
 
     ``flash_mask`` ([B, S] key validity) switches the attention to the
     Pallas flash kernel (``DecoderConfig.attn_impl == "flash"``); ``bias``
-    is None in that mode — the [B,1,S,S] bias is never materialized."""
+    is None in that mode — the [B,1,S,S] bias is never materialized.
+
+    ``name_acts`` (the training-MFU path, ``apply(remat="names")``): every
+    matmul output is rounded to the activation dtype and tagged with
+    ``checkpoint_name`` so ``save_only_these_names`` keeps the bf16 copies
+    and the backward recomputes only elementwise work — no matmul ever
+    runs twice (full remat re-runs the whole forward, ~2N extra FLOPs per
+    token; the ``dots`` policy saves f32 matmul outputs, 2x the HBM).
+    The one numeric change vs name_acts=False: silu/mul read the bf16-
+    rounded gate/up instead of the f32 accumulators (standard bf16
+    activation training; fwd and replay see identical values)."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    def nm(t, tag):
+        return checkpoint_name(t, tag) if name_acts else t
+
     B, S, D = x.shape
     dh = D // heads
 
@@ -1271,7 +1303,7 @@ def _block_kv(x, lp, *, heads, kv_heads, adt, bias, pos, theta, eps=1e-6,
     qkv = _mm(h, lp["qkv"], adt)
     if "qkv_b" in lp:
         qkv = qkv + lp["qkv_b"].astype(jnp.float32)
-    qkv = qkv.astype(adt)
+    qkv = nm(qkv.astype(adt), "lm_qkv")
     q, k, v = _split_qkv(qkv, B, S, heads, kv_heads, dh)
     q = _rope(q, pos, theta)
     k = _rope(k, pos, theta)
@@ -1281,9 +1313,11 @@ def _block_kv(x, lp, *, heads, kv_heads, adt, bias, pos, theta, eps=1e-6,
         ctx = flash_attention(q, k, v, flash_mask,
                               scale=dh ** -0.5).astype(adt)
     else:
-        ctx = _attend(q, k, v, bias, adt, dh)
+        ctx = _attend(q, k, v, bias, adt, dh)   # f32 (cast only if named)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, D)
-    attn = _mm(ctx, lp["attn_out"], adt).astype(adt)
+    if name_acts:
+        ctx = checkpoint_name(ctx.astype(adt), "lm_ctx")
+    attn = nm(_mm(ctx, lp["attn_out"], adt).astype(adt), "lm_attn")
     x = x + attn
 
     h = _rmsnorm(x, lp["rms2"], eps)
@@ -1292,14 +1326,17 @@ def _block_kv(x, lp, *, heads, kv_heads, adt, bias, pos, theta, eps=1e-6,
     else:
         gate = _mm(h, lp["w_gate"], adt)
         up = _mm(h, lp["w_up"], adt)
-    ff = (jax.nn.silu(gate) * up).astype(adt)
+    if name_acts:
+        gate = checkpoint_name(gate.astype(adt), "lm_gate")
+        up = checkpoint_name(up.astype(adt), "lm_up")
+    ff = nm((jax.nn.silu(gate) * up).astype(adt), "lm_ff")
     ff = _mm(ff, lp["w_down"], adt)
     return x + ff.astype(adt), k, v
 
 
 def _block_full(x, lp, *, heads, kv_heads, adt, bias, pos, theta, eps=1e-6,
-                flash_mask=None):
+                flash_mask=None, name_acts=False):
     out, _, _ = _block_kv(x, lp, heads=heads, kv_heads=kv_heads, adt=adt,
                           bias=bias, pos=pos, theta=theta, eps=eps,
-                          flash_mask=flash_mask)
+                          flash_mask=flash_mask, name_acts=name_acts)
     return out

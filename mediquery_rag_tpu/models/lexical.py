@@ -61,10 +61,13 @@ class IDFHashingEmbedder:
 
     def __init__(self, dim: int = 1536, orders: Sequence[int] = (1, 2),
                  idf_alpha: float = 0.35, head_weight: float = 0.4,
-                 expand: bool = True, doc_expand: bool = True):
+                 expand: bool = True, doc_expand: bool = True,
+                 uni_weight: float = 0.5, uni_dim: int = 1536):
         if not 0.0 <= head_weight <= 1.0:
             raise ValueError(f"head_weight must be in [0,1], got {head_weight}")
-        self.dim = int(dim)
+        if not 0.0 <= uni_weight < 1.0:
+            raise ValueError(f"uni_weight must be in [0,1), got {uni_weight}")
+        self.base_dim = int(dim)
         self.orders = tuple(int(o) for o in orders)
         self.idf_alpha = float(idf_alpha)
         self.head_weight = float(head_weight)
@@ -74,6 +77,27 @@ class IDFHashingEmbedder:
         # chunk structure; unfitted expansion grams weigh 0, so the
         # combination degrades to a no-op rather than noise).
         self.doc_expand = bool(doc_expand)
+        # r5 unigram-fusion channel (VERDICT r4 item 5): a parallel
+        # unigram-ONLY sub-embedder in its own hash subspace. A tier-2
+        # periphrasis query often shares single CHARS with its document
+        # (油脂→血脂, 镜子→肠镜) that the bigram-dominated base vector
+        # dilutes; a separate unit-normalized unigram cosine restores
+        # that signal at full weight. Output = concat(sqrt(1-w)*base,
+        # sqrt(w)*uni) — one dense vector, cosine == the weighted sum of
+        # the two channel cosines, so the whole TPU engine stack is
+        # unchanged. Measured (benchmarks/retrieval_eval.py): tier-2
+        # r@1 .70→.75, r@5 .90→.925 at tier-1 .886→.871 — mined entirely
+        # from corpus statistics, no curation (six alternative corpus-
+        # only mechanisms measured and rejected; see RESULTS.md).
+        self.uni_weight = float(uni_weight)
+        self.uni_dim = int(uni_dim)
+        self._uni: IDFHashingEmbedder | None = None
+        if self.uni_weight > 0 and self.uni_dim > 0 and self.orders != (1,):
+            self._uni = IDFHashingEmbedder(
+                dim=self.uni_dim, orders=(1,), idf_alpha=idf_alpha,
+                head_weight=head_weight, expand=expand,
+                doc_expand=doc_expand, uni_weight=0.0, uni_dim=0)
+        self.dim = self.base_dim + (self.uni_dim if self._uni else 0)
         self._idf: dict[str, float] = {}
         self._native_keys: np.ndarray | None = None
         self._native_weights: np.ndarray | None = None
@@ -97,6 +121,8 @@ class IDFHashingEmbedder:
             for g, d in df.items()
         }
         self._build_native_table()
+        if self._uni is not None:
+            self._uni.fit(texts)
         return self
 
     def _build_native_table(self) -> None:
@@ -107,7 +133,9 @@ class IDFHashingEmbedder:
         the semantic reference."""
         self._native_keys = None
         self._native_weights = None
-        if self.orders != (1, 2) or not self._idf:
+        # (1,) is served by the same (1,2)-gram kernel: its bigram lookups
+        # miss the unigram-only table and contribute exactly 0
+        if self.orders not in ((1, 2), (1,)) or not self._idf:
             return
         from mediquery_rag_tpu.native.lexical import fnv1a64
         keys = np.fromiter(
@@ -130,9 +158,9 @@ class IDFHashingEmbedder:
                 lex_vec_batch, native_available)
             if native_available():
                 return lex_vec_batch(list(texts), self._native_keys,
-                                     self._native_weights, self.dim)
+                                     self._native_weights, self.base_dim)
         return np.stack([self._vec(t) for t in texts]) if texts else \
-            np.zeros((0, self.dim), np.float32)
+            np.zeros((0, self.base_dim), np.float32)
 
     @classmethod
     def fit_chunks(cls, chunks, **kwargs) -> "IDFHashingEmbedder":
@@ -154,7 +182,7 @@ class IDFHashingEmbedder:
     # -- embedding ---------------------------------------------------------------
 
     def _vec(self, text: str) -> np.ndarray:
-        v = np.zeros(self.dim, np.float32)
+        v = np.zeros(self.base_dim, np.float32)
         cnt: dict[str, int] = {}
         for g in char_ngrams(text, self.orders):
             cnt[g] = cnt.get(g, 0) + 1
@@ -164,7 +192,7 @@ class IDFHashingEmbedder:
                 continue
             h = _mix(hash_str(g))
             sign = 1.0 if (h >> 16) & 1 else -1.0
-            v[h % self.dim] += sign * math.log1p(c) * w
+            v[h % self.base_dim] += sign * math.log1p(c) * w
         # f64-accumulated norm, f32 divisor: the exact float recipe the
         # C++ fast path uses (native/lexical.cpp) — keeps the two paths
         # bit-identical so the embedder fingerprint never depends on
@@ -191,11 +219,11 @@ class IDFHashingEmbedder:
                 plan.append(("q", len(raw)))
                 raw.append(expand_query(t) if self.expand else t)
         vecs = self._vecs(raw)
-        out = np.zeros((len(texts), self.dim), np.float32)
+        out = np.zeros((len(texts), self.base_dim), np.float32)
         for r, (kind, i) in enumerate(plan):
             out[r] = (vecs[i] if kind == "q"
                       else self._combine(vecs[i], vecs[i + 1]))
-        return out
+        return self._fuse(out, lambda: self._uni.embed(texts))
 
     def _combine(self, hv: np.ndarray, bv: np.ndarray) -> np.ndarray:
         w = self.head_weight
@@ -203,8 +231,21 @@ class IDFHashingEmbedder:
         n = float(np.linalg.norm(v.astype(np.float64)))
         return v / np.float32(n) if n > 0 else v
 
+    def _fuse(self, base: np.ndarray, uni_fn) -> np.ndarray:
+        """Concat the unit-norm base and unigram channels scaled by
+        sqrt(1-w) / sqrt(w): the fused cosine is exactly the weighted sum
+        of the per-channel cosines, in ONE dense vector."""
+        if self._uni is None:
+            return base
+        w = self.uni_weight
+        return np.concatenate(
+            [base * np.float32(math.sqrt(1.0 - w)),
+             uni_fn() * np.float32(math.sqrt(w))], axis=1)
+
     def _doc_vec(self, head: str, body: str) -> np.ndarray:
-        return self._combine(self._vec(head), self._vec(body))
+        base = self._combine(self._vec(head), self._vec(body))
+        return self._fuse(
+            base[None], lambda: self._uni._doc_vec(head, body)[None])[0]
 
     @staticmethod
     def _doc_head(c) -> str:
@@ -226,10 +267,10 @@ class IDFHashingEmbedder:
                 head = head + (" " + ex if ex else "")
             raw += [head, c.content]
         vecs = self._vecs(raw)
-        out = np.zeros((len(chunks), self.dim), np.float32)
+        out = np.zeros((len(chunks), self.base_dim), np.float32)
         for r in range(len(chunks)):
             out[r] = self._combine(vecs[2 * r], vecs[2 * r + 1])
-        return out
+        return self._fuse(out, lambda: self._uni.embed_docs(chunks))
 
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
         return self.embed(texts)
@@ -240,11 +281,13 @@ class IDFHashingEmbedder:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w", encoding="utf-8") as f:
             json.dump({
-                "dim": self.dim, "orders": list(self.orders),
+                "dim": self.base_dim, "orders": list(self.orders),
                 "idf_alpha": self.idf_alpha,
                 "head_weight": self.head_weight, "expand": self.expand,
                 "doc_expand": self.doc_expand,
+                "uni_weight": self.uni_weight, "uni_dim": self.uni_dim,
                 "idf": self._idf,
+                "uni_idf": self._uni._idf if self._uni else None,
             }, f, ensure_ascii=False)
 
     @classmethod
@@ -254,7 +297,12 @@ class IDFHashingEmbedder:
         self = cls(dim=d["dim"], orders=d["orders"],
                    idf_alpha=d["idf_alpha"], head_weight=d["head_weight"],
                    expand=d.get("expand", True),
-                   doc_expand=d.get("doc_expand", True))
+                   doc_expand=d.get("doc_expand", True),
+                   uni_weight=d.get("uni_weight", 0.0),
+                   uni_dim=d.get("uni_dim", 0))
         self._idf = {g: float(w) for g, w in d["idf"].items()}
         self._build_native_table()
+        if self._uni is not None and d.get("uni_idf"):
+            self._uni._idf = {g: float(w) for g, w in d["uni_idf"].items()}
+            self._uni._build_native_table()
         return self

@@ -128,7 +128,8 @@ class LoraTrainer:
         self.tx = optax.chain(
             optax.clip_by_global_norm(1.0),
             optax.adam(optax.warmup_cosine_decay_schedule(
-                0.0, train_cfg.lr, train_cfg.warmup_steps, 10_000)),
+                0.0, train_cfg.lr, train_cfg.warmup_steps,
+                train_cfg.decay_steps)),
         )
         self._jit_step = None
 

@@ -112,7 +112,8 @@ class LMTrainer:
         self.cfg = train_cfg
         self.mesh = mesh
         sched = optax.warmup_cosine_decay_schedule(
-            0.0, train_cfg.lr, train_cfg.warmup_steps, 10_000)
+            0.0, train_cfg.lr, train_cfg.warmup_steps,
+            train_cfg.decay_steps)
         if train_cfg.optimizer == "adafactor":
             # factored second moment (row+col vectors instead of a full
             # per-param tensor) and no first moment: optimizer state drops
@@ -159,12 +160,18 @@ class LMTrainer:
                 return (LMTrainState(params, opt_state, state.step + 1),
                         {"loss": loss, "grad_norm": optax.global_norm(grads)})
 
+            # donate the state: params/opt-state update in place instead of
+            # two full copies coexisting (~3.3 GB at 1B f32 — the margin
+            # that lets the "names" remat policy fit the optimizer step on
+            # one chip). Callers must drop the old state, which the train
+            # loop's `state, _ = trainer.train_step(state, ...)` does.
             if self.mesh is not None:
                 bsh = NamedSharding(self.mesh, P("data", None))
                 self._jit_step = jax.jit(
-                    step, in_shardings=(None, LMBatch(bsh, bsh)))
+                    step, in_shardings=(None, LMBatch(bsh, bsh)),
+                    donate_argnums=0)
             else:
-                self._jit_step = jax.jit(step)
+                self._jit_step = jax.jit(step, donate_argnums=0)
         return self._jit_step(state, batch)
 
 

@@ -77,7 +77,8 @@ class ContrastiveTrainer:
             optax.clip_by_global_norm(1.0),
             optax.adamw(
                 optax.warmup_cosine_decay_schedule(
-                    0.0, train_cfg.lr, train_cfg.warmup_steps, 10_000
+                    0.0, train_cfg.lr, train_cfg.warmup_steps,
+                    train_cfg.decay_steps
                 ),
                 weight_decay=train_cfg.weight_decay,
             ),

@@ -123,3 +123,42 @@ def trace(label: str):
     """jax.profiler annotation wrapper (no-op overhead when not profiling)."""
     with jax.profiler.TraceAnnotation(label):
         yield
+
+
+# --- MFU accounting (r4 VERDICT item 2) -------------------------------------
+# One stated FLOP model for every compute-bound number in RESULTS.md, so
+# "fast" claims are checkable against the chip's ceiling.
+
+V5E_PEAK_FLOPS = 197e12       # bf16 MXU peak per v5e chip (394e12 int8)
+
+
+def lm_matmul_flops(*, hidden: int, layers: int, mlp_dim: int,
+                    vocab: int, heads: int, kv_heads: int | None,
+                    seq_len: int, causal: bool = True,
+                    swiglu: bool = True) -> float:
+    """Per-TOKEN matmul FLOPs of one LM forward pass (MXU work only —
+    norms/softmax/rope are VPU noise at these shapes).
+
+    Counts 2*m*n*k per matmul: qkv (GQA-sized), attn_out, SwiGLU's three
+    projections, lm_head, plus attention's QK^T and PV at the average
+    causal visible length S/2. For a dense model this is the familiar
+    ~2N + attention; training model-FLOPs are 3x (fwd + 2x bwd — the MFU
+    convention counts NO remat recompute, so remat shows up as lower
+    hardware efficiency, not a bigger numerator)."""
+    kvh = kv_heads or heads
+    dh = hidden // heads
+    per_layer = (
+        2 * hidden * (heads * dh + 2 * kvh * dh)     # qkv projection
+        + 2 * hidden * hidden                        # attn_out
+        # SwiGLU: gate, up, down; GELU encoder (Embedder): wi, wo
+        + (3 if swiglu else 2) * 2 * hidden * mlp_dim
+    )
+    vis = seq_len / 2 if causal else seq_len
+    attn = 2 * 2 * heads * dh * vis                  # QK^T + PV
+    return layers * (per_layer + attn) + 2 * hidden * vocab
+
+
+def mfu(flops_per_token: float, tokens_per_s: float,
+        peak: float = V5E_PEAK_FLOPS) -> float:
+    """Model-FLOPs utilization in [0, 1]."""
+    return flops_per_token * tokens_per_s / peak

@@ -745,7 +745,12 @@ def _flash_mha(q, k, v, key_mask, scale, causal):
 
 def _flash_mha_fwd(q, k, v, key_mask, scale, causal):
     out = _flash_mha(q, k, v, key_mask, scale, causal)
-    return out, (q, k, v, key_mask, out)
+    # name the output residual: under jax.checkpoint with
+    # save_only_these_names("flash_out", ...) the backward reads the saved
+    # buffer instead of replaying the whole Pallas forward kernel to
+    # regenerate it (models/decoder.py remat="names")
+    from jax.ad_checkpoint import checkpoint_name
+    return out, (q, k, v, key_mask, checkpoint_name(out, "flash_out"))
 
 
 def _flash_mha_bwd(scale, causal, res, g):

@@ -118,7 +118,9 @@ class TestHeldoutQualityGate:
             [q for _, q in heldout], [cid for cid, _ in heldout],
             doc_embed=lex.embed_docs)
         assert r["recall@10"] >= 0.95, r
-        assert r["recall@1"] >= 0.70, r
+        # r5 note: the unigram-fusion channel trades one tier-1 query
+        # (.886 -> .871) for +2 tier-2 (.70 -> .75); gate has headroom
+        assert r["recall@1"] >= 0.80, r
 
 
 def _bigrams(s):
@@ -172,9 +174,10 @@ class TestTier2BlindSpot:
             lex.embed, chunks, [c.chunk_id for c in chunks],
             [q for _, q in tier2], [cid for cid, _ in tier2],
             doc_embed=lex.embed_docs)
-        # measured r4: r@1 .70 / r@5 .90 / r@10 .975 (deterministic)
-        assert r["recall@1"] >= 0.65, r
-        assert r["recall@5"] >= 0.85, r
+        # measured r5 (unigram-fusion channel): r@1 .75 / r@5 .925 /
+        # r@10 .975 (deterministic); was r4 .70/.90/.975
+        assert r["recall@1"] >= 0.72, r
+        assert r["recall@5"] >= 0.90, r
         assert r["recall@10"] >= 0.95, r
 
     def test_doc_expansion_is_the_measured_win(self, chunks, tier2):
@@ -340,3 +343,35 @@ class TestTrainerWithNegativesAndDropout:
         c = m.apply(params, ids, mask)
         d = m.apply(params, ids, mask)
         np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+
+class TestMinedChannelProvenance:
+    """r4 VERDICT item 5's anti-overfit guard: the unigram-fusion channel
+    is mined from CORPUS STATISTICS ONLY — refitting on the corpus alone
+    reproduces the shipping tables exactly, and no eval-query text can
+    have leaked in (queries are asserted absent from the corpus, and every
+    fitted gram is by construction a substring of corpus/lexicon text)."""
+
+    def test_unigram_channel_refits_identically_from_corpus(self, chunks):
+        a = IDFHashingEmbedder.fit_chunks(chunks)
+        b = IDFHashingEmbedder.fit_chunks(chunks)
+        assert a._uni is not None and b._uni is not None
+        assert a._uni._idf == b._uni._idf
+        assert a._idf == b._idf
+
+    def test_channel_fit_inputs_are_corpus_only(self, chunks):
+        """The fit corpus = chunk text + tags + the doc-side lexicon
+        expansion of title/tags — a pure function of the corpus and the
+        static lexicon, never of any query set."""
+        from mediquery_rag_tpu.models.lexicon import expand_doc
+        lex = IDFHashingEmbedder.fit_chunks(chunks)
+        fit_texts = "".join(
+            c.text + "\n" + "，".join(c.tags or [])
+            + ("\n" + expand_doc(lex._doc_head(c)))
+            for c in chunks)
+        import random
+        rng = random.Random(0)
+        grams = rng.sample(sorted(lex._uni._idf), 200)
+        joined = "".join(ch for ch in fit_texts if not ch.isspace())
+        for g in grams:
+            assert g in joined

@@ -210,7 +210,7 @@ class TestNativeLexical:
             "qqqqzzzz@@@@",                      # no corpus grams at all
         ]
         native = nl.lex_vec_batch(texts, lex._native_keys,
-                                  lex._native_weights, lex.dim)
+                                  lex._native_weights, lex.base_dim)
         python = np.stack([lex._vec(t) for t in texts])
         np.testing.assert_array_equal(native, python)
 
@@ -222,9 +222,12 @@ class TestNativeLexical:
         if not nl.native_available():
             pytest.skip("no C++ toolchain")
         lex, chunks = self._embedder()
-        forced = type(lex)(dim=lex.dim)
+        forced = type(lex)(dim=lex.base_dim)
         forced._idf = lex._idf
         forced._native_keys = None              # Python loop only
+        if lex._uni is not None:                # r5 unigram-fusion channel
+            forced._uni._idf = lex._uni._idf
+            forced._uni._native_keys = None
         qs = ["嗓子疼自己买头孢吃对吗", "熬夜的危害", chunks[3].text]
         np.testing.assert_array_equal(lex.embed(qs), forced.embed(qs))
         np.testing.assert_array_equal(lex.embed_docs(chunks[:8]),
@@ -242,7 +245,7 @@ class TestNativeLexical:
         texts = [c.text for c in chunks] * 4
         t0 = time.perf_counter()
         nl.lex_vec_batch(texts, lex._native_keys, lex._native_weights,
-                         lex.dim)
+                         lex.base_dim)
         t_native = time.perf_counter() - t0
         t0 = time.perf_counter()
         for t in texts:
