@@ -151,13 +151,45 @@ def main():
         for s in range(n // rows):
             yield gen_chunk(s * rows, rows)
 
+    def sample_rows(idx):
+        """Random-access sample fetch (r5): regenerate each chunk ON
+        DEVICE inside one jitted scan and gather only its sampled rows —
+        the r4 sample pass generated all 160 chunks and pulled 800 MB
+        through the relay to keep 2.6% of rows. Chunks with one fewer
+        sample than the max repeat their last index (duplicate k-means
+        sample rows are harmless)."""
+        idx = np.asarray(idx)
+        n_chunks = n // rows
+        per = [idx[(idx >= s * rows) & (idx < (s + 1) * rows)] - s * rows
+               for s in range(n_chunks)]
+        cnt = max(max(p.size for p in per), 1)
+        local = np.zeros((n_chunks, cnt), np.int32)
+        for s, li in enumerate(per):
+            if li.size == 0:
+                li = np.asarray([0])
+            local[s] = np.pad(li, (0, cnt - li.size), mode="edge")
+
+        @jax.jit
+        def fetch(local_idx):
+            def per_chunk(_, inp):
+                s, li = inp
+                x = gen_chunk(s * rows, rows)
+                return None, x[li]
+            _, got = jax.lax.scan(
+                per_chunk, None,
+                (jnp.arange(n_chunks, dtype=jnp.int32),
+                 jnp.asarray(local_idx)))
+            return got.reshape(-1, d)
+
+        return fetch(local)[: len(idx)]
+
     cfg = EngineConfig(dim=d, dtype="int8", ivf_nlist=args.nlist,
                        ivf_kmeans_iters=8, ivf_cap_factor=args.cap_factor,
                        ivf_balance=args.balance)
     timings: dict = {}
     t0 = time.perf_counter()
     iv = IVFIndex.build_streaming(make_chunks, n, cfg, chunk_rows=rows,
-                                  timings=timings)
+                                  timings=timings, sample_rows=sample_rows)
     t_build = time.perf_counter() - t0
     print(json.dumps({"stage": "ivf_build_streaming", "n": n,
                       "nlist": args.nlist, "cap": iv.cap,

@@ -13,6 +13,14 @@ Reuses the embedder's transformer blocks (scan over stacked layers, bf16
 activations, Megatron-shardable); adds segment embeddings and a scalar
 score head. ``make_grader`` adapts a trained model to the graph's
 ``grade_fn`` plug point (graph/nodes.py).
+
+STATUS — experimental below real data scale: at the shipping 160-chunk
+corpus the trained grader memorizes (held-out AUC 0.53,
+benchmarks/grader_eval.py) and the CLI deliberately routes grading
+through ``SimilarityGrader`` over the lexical embedder instead
+(cli/context.py; held-out balanced accuracy 0.95). Use this model class
+when training data is plentiful (1e4+ labeled pairs); the architecture
+and trainer are production-shaped, the 160-pair corpus is not.
 """
 
 from __future__ import annotations

@@ -494,10 +494,8 @@ class Decoder:
         L, B, KH, C, dh = cache.k.shape
         quant = cache.k_scale is not None
         kv_dt = cache.k.dtype
-        fmask = cache.key_mask       # fresh column folded via (m, l) below
+        fmask = cache.key_mask   # fresh column folded in-kernel (r5)
         pos = cache.next_pos[:, None]                          # [B, 1]
-        scale = dh ** -0.5
-        g = c.heads // KH
 
         x = params["tok_embed"][token[:, None]].astype(adt)    # [B, 1, D]
         mats, rest = _split_stream(params["blocks"])
@@ -529,21 +527,16 @@ class Decoder:
                 ksc = vsc = None
                 k_new = kc.astype(jnp.float32)
                 v_new = vc.astype(jnp.float32)
-            o1, m1, l1 = flash_attention_cached(
+            # fresh column folded IN-kernel (softmax over cache ∪ {fresh},
+            # r5): no (m, l) state traffic, no post-kernel combine
+            # fusions. Safe at cursor=0 too: every cache logit sits ~1e9
+            # below the fresh one, so the cache terms underflow and
+            # ctx -> v_new exactly.
+            ctx = flash_attention_cached(
                 q, cache.k, cache.v, fmask,
                 k_scale=cache.k_scale, v_scale=cache.v_scale,
-                layer=li_, return_ml=True)
-            # one-extra-column flash combine: softmax over cache ∪ {fresh}.
-            # Safe at cursor=0 too: every cache logit is ~-1e9 below s2, so
-            # exp(m1 - m) * l1 underflows to 0 and ctx -> v_new exactly.
-            s2 = jnp.einsum("bhqd,bhqd->bhq", q.astype(jnp.float32),
-                            _repeat_kv(k_new, g)) * scale      # [B, H, 1]
-            m = jnp.maximum(m1, s2)
-            a1 = jnp.exp(m1 - m) * l1
-            a2 = jnp.exp(s2 - m)
-            ctx = (o1.astype(jnp.float32) * a1[..., None]
-                   + a2[..., None] * _repeat_kv(v_new, g)) \
-                / (a1 + a2)[..., None]                         # [B, H, 1, dh]
+                layer=li_, fresh_k=k_new.astype(adt),
+                fresh_v=v_new.astype(adt))                     # [B, H, 1, dh]
             ctx = ctx.astype(adt).transpose(0, 2, 1, 3).reshape(B, 1,
                                                                 c.hidden)
             attn = mm(ctx, "attn_out").astype(adt)
@@ -1074,11 +1067,8 @@ class Decoder:
         rows = jnp.arange(B)
         quant = cache.k_scale is not None
         kv_dt = cache.k.dtype
-        fmask = cache.key_mask       # fresh column folded via (m, l) below
+        fmask = cache.key_mask   # fresh column folded in-kernel (r5)
         pos = cache.next_pos[:, None]                          # [B, 1]
-        scale = dh ** -0.5
-        g = c.heads // KH
-        act = active[:, None, None].astype(jnp.float32)        # [B, 1, 1]
 
         x = params["tok_embed"][token[:, None]].astype(adt)    # [B, 1, D]
         mats, rest = _split_stream(params["blocks"])
@@ -1108,21 +1098,16 @@ class Decoder:
                 ksc = vsc = None
                 k_new = kc.astype(jnp.float32)
                 v_new = vc.astype(jnp.float32)
-            o1, m1, l1 = flash_attention_cached(
+            # fresh column folded IN-kernel (r5); fresh_gate zeroes
+            # inactive lanes' fresh term (cache-only attention), and the
+            # kernel's denominator clamp keeps the inactive-lane +
+            # empty-cache row finite garbage, never NaN
+            ctx = flash_attention_cached(
                 q, cache.k, cache.v, fmask,
                 k_scale=cache.k_scale, v_scale=cache.v_scale,
-                layer=li_, return_ml=True)
-            s2 = jnp.einsum("bhqd,bhqd->bhq", q.astype(jnp.float32),
-                            _repeat_kv(k_new, g)) * scale      # [B, H, 1]
-            m = jnp.maximum(m1, s2)
-            a1 = jnp.exp(m1 - m) * l1
-            a2 = jnp.exp(s2 - m) * act     # inactive rows: cache-only attn
-            # inactive lane + empty cache: a1 underflows to 0 and a2 is
-            # gated to 0 — clamp so the row yields finite garbage (the
-            # einsum path's -1e9-bias contract), never NaN
-            ctx = (o1.astype(jnp.float32) * a1[..., None]
-                   + a2[..., None] * _repeat_kv(v_new, g)) \
-                / jnp.maximum(a1 + a2, 1e-30)[..., None]       # [B, H, 1, dh]
+                layer=li_, fresh_k=k_new.astype(adt),
+                fresh_v=v_new.astype(adt),
+                fresh_gate=active.astype(jnp.float32))         # [B, H, 1, dh]
             ctx = ctx.astype(adt).transpose(0, 2, 1, 3).reshape(B, 1,
                                                                 c.hidden)
             attn = mm(ctx, "attn_out").astype(adt)

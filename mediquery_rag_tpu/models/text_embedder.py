@@ -4,6 +4,14 @@ The in-process replacement for the reference's HTTP round trip to Ollama per
 embedding call (medical_engine.py:43). Batches are padded to shape buckets
 (powers of two) so repeated calls hit the jit cache instead of recompiling —
 query batch sizes 1/8/64 are the BASELINE config-2 measurement points.
+
+STATUS — experimental below real data scale: the from-scratch trained
+encoder memorizes at the 160-chunk corpus (held-out r@1 0.50 vs the
+lexical channel's 0.871, benchmarks/retrieval_eval.py), so the zero-
+egress default retrieval stack is ``IDFHashingEmbedder`` and the hybrid
+fusion stays behind ``MEDIQUERY_HYBRID=1``. This class is the throughput
+path (6.9K texts/s at B=64, 79%% MFU) for corpora big enough to train
+on, or for serving imported pretrained checkpoints (hf_import).
 """
 
 from __future__ import annotations

@@ -168,8 +168,8 @@ def _flash_kernel(off_ref, li_ref, q_ref, k_ref, v_ref, mask_ref, *rest,
             lo_ref[0, 0] = l_ref[:]
 
 
-def _flash_cached_kernel(off_ref, li_ref, q_ref, k_ref, v_ref, mask_ref,
-                         *rest, scale, nh, tq, tk, quant, ml):
+def _flash_cached_kernel(off_ref, li_ref, *args,
+                         scale, nh, tq, tk, quant, ml, fresh=False):
     """Mask-only cached attention, ``nh`` KV heads per grid visit.
 
     The compact-fold decode tile is tiny (tq=16 rows at 7B GQA), so the
@@ -181,14 +181,31 @@ def _flash_cached_kernel(off_ref, li_ref, q_ref, k_ref, v_ref, mask_ref,
     scalar prefetch: off unused (no causal term), li selects the stacked
     cache layer in the index maps."""
     del off_ref
+    if fresh:
+        # decode's fresh-token K/V column, not yet in the cache, folded
+        # into the softmax IN-kernel as one extra virtual column at the
+        # last KV tile — replaces the decoder's per-layer (o, m, l)
+        # combine: no m/l state emission, no post-kernel fusions, and the
+        # garbage-not-NaN clamp lives here. kn/vn are FLOAT (bf16) even
+        # for an int8 cache (the column is quantized only when written);
+        # gate_ref ([B] f32, scalar prefetch — Mosaic's block-tiling rule
+        # rejects a (1, 1) VMEM block over [B, 1]) zeroes inactive
+        # lanes' fresh term.
+        gate_ref, *args = args
+    q_ref, k_ref, v_ref, mask_ref, *rest = args
     if quant:
         ks_ref, vs_ref, *rest = rest
+    if fresh:
+        kn_ref, vn_ref, *rest = rest
     if ml:
         o_ref, mo_ref, lo_ref, acc_ref, m_ref, l_ref = rest
     else:
         o_ref, acc_ref, m_ref, l_ref = rest
     j = pl.program_id(3)
     nk = pl.num_programs(3)
+    # read program_id/SMEM at body top level — primitives inside a
+    # pl.when branch do not lower in interpret mode
+    act = gate_ref[pl.program_id(0)] if fresh else None
 
     @pl.when(j == 0)
     def _init():
@@ -229,8 +246,27 @@ def _flash_cached_kernel(off_ref, li_ref, q_ref, k_ref, v_ref, mask_ref,
     def _finish():
         for h in range(nh):
             rows = slice(h * tq, (h + 1) * tq)
-            o_ref[0, h] = (acc_ref[rows] / l_ref[rows, :1]).astype(
-                o_ref.dtype)
+            if fresh:
+                q = q_ref[0, h]                            # [tq, dhp]
+                kn = kn_ref[0, h]                          # [1, dhp]
+                # multiply-reduce, not a dot: Mosaic rejects the 1-column
+                # matmul here ('vector.broadcast' element-type mismatch)
+                s2 = jnp.sum(q.astype(jnp.float32)
+                             * kn.astype(jnp.float32),
+                             axis=1, keepdims=True) * scale      # [tq, 1]
+                m_old = m_ref[rows, :1]
+                m = jnp.maximum(m_old, s2)
+                a1 = jnp.exp(m_old - m) * l_ref[rows, :1]
+                a2 = jnp.exp(s2 - m) * act
+                ctx = (acc_ref[rows] * jnp.exp(m_old - m)
+                       + a2 * vn_ref[0, h].astype(jnp.float32))
+                # inactive lane + empty cache: both terms gate to 0 —
+                # finite garbage, never NaN (the einsum path's contract)
+                o_ref[0, h] = (ctx / jnp.maximum(a1 + a2, 1e-30)).astype(
+                    o_ref.dtype)
+            else:
+                o_ref[0, h] = (acc_ref[rows] / l_ref[rows, :1]).astype(
+                    o_ref.dtype)
             if ml:
                 mo_ref[0, h] = m_ref[rows]
                 lo_ref[0, h] = l_ref[rows]
@@ -240,7 +276,8 @@ def _flash_cached_kernel(off_ref, li_ref, q_ref, k_ref, v_ref, mask_ref,
     jax.jit,
     static_argnames=("scale", "causal", "tq", "tk", "interpret", "ml"))
 def _flash_call(q, k, v, key_mask, q_offset, layer=None,
-                k_scale=None, v_scale=None, *,
+                k_scale=None, v_scale=None, fresh_k=None, fresh_v=None,
+                fresh_gate=None, *,
                 scale, causal, tq, tk, interpret, ml=False):
     B, H, S, dh = q.shape
     # K/V may be ONE layer [B, KH, C, dh] or a whole STACKED cache
@@ -331,22 +368,26 @@ def _flash_call(q, k, v, key_mask, q_offset, layer=None,
     else:
         nh = 1
     if not causal:
+        fresh = fresh_k is not None
+        if fresh and ml:
+            raise ValueError("fresh-column fold replaces the (m, l) path")
         grid = (B, KH // nh, rq // tq, sk // tk)
         kern = functools.partial(_flash_cached_kernel, scale=scale, nh=nh,
-                                 tq=tq, tk=tk, quant=quant, ml=ml)
+                                 tq=tq, tk=tk, quant=quant, ml=ml,
+                                 fresh=fresh)
         in_specs = [
             pl.BlockSpec((1, nh, tq, dhp),
-                         lambda b, kg, i, j, off, li: (b, kg, i, 0),
+                         lambda b, kg, i, j, *refs: (b, kg, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nh, tk, dhp),
-                         lambda b, kg, i, j, off, li, B=B: (li[0] * B + b,
-                                                            kg, j, 0),
+                         lambda b, kg, i, j, off, li, *r, B=B:
+                         (li[0] * B + b, kg, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nh, tk, dhp),
-                         lambda b, kg, i, j, off, li, B=B: (li[0] * B + b,
-                                                            kg, j, 0),
+                         lambda b, kg, i, j, off, li, *r, B=B:
+                         (li[0] * B + b, kg, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tk), lambda b, kg, i, j, off, li: (b, 0, j),
+            pl.BlockSpec((1, 1, tk), lambda b, kg, i, j, *refs: (b, 0, j),
                          memory_space=pltpu.VMEM),
         ]
         operands = [q, k, v, mask]
@@ -357,17 +398,26 @@ def _flash_call(q, k, v, key_mask, q_offset, layer=None,
                 operands.append(sp.reshape(L * B, KH, 1, sk))
                 in_specs.append(pl.BlockSpec(
                     (1, nh, 1, tk),
-                    lambda b, kg, i, j, off, li, B=B: (li[0] * B + b,
-                                                       kg, 0, j),
+                    lambda b, kg, i, j, off, li, *r, B=B:
+                    (li[0] * B + b, kg, 0, j),
+                    memory_space=pltpu.VMEM))
+        if fresh:
+            for t in (fresh_k, fresh_v):             # [B, KH, 1, dh] bf16
+                if dhp != dh:
+                    t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, dhp - dh)))
+                operands.append(t.astype(q.dtype))
+                in_specs.append(pl.BlockSpec(
+                    (1, nh, 1, dhp),
+                    lambda b, kg, i, j, *refs: (b, kg, 0, 0),
                     memory_space=pltpu.VMEM))
         o_block = pl.BlockSpec((1, nh, tq, dhp),
-                               lambda b, kg, i, j, off, li: (b, kg, i, 0),
+                               lambda b, kg, i, j, *refs: (b, kg, i, 0),
                                memory_space=pltpu.VMEM)
         out_specs = o_block
         out_shape = jax.ShapeDtypeStruct((B, KH, rq, dhp), q.dtype)
         if ml:
             ml_block = pl.BlockSpec((1, nh, tq, LANE),
-                                    lambda b, kg, i, j, off, li:
+                                    lambda b, kg, i, j, *refs:
                                     (b, kg, i, 0),
                                     memory_space=pltpu.VMEM)
             out_specs = [o_block, ml_block, ml_block]
@@ -437,8 +487,9 @@ def _flash_call(q, k, v, key_mask, q_offset, layer=None,
             pltpu.VMEM((tq, LANE), jnp.float32),   # running max (lane-bcast)
             pltpu.VMEM((tq, LANE), jnp.float32),   # running denominator
         ]
+    fresh_call = (not causal) and fresh_k is not None
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if fresh_call else 2,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -457,7 +508,10 @@ def _flash_call(q, k, v, key_mask, q_offset, layer=None,
         ),
         interpret=interpret,
     )(q_offset.astype(jnp.int32),
-      jnp.asarray(layer, jnp.int32).reshape(1), *operands)
+      jnp.asarray(layer, jnp.int32).reshape(1),
+      *([jnp.asarray(fresh_gate, jnp.float32).reshape(-1)]
+        if fresh_call else []),
+      *operands)
     if causal:
         if ml:
             o, m, l = out
@@ -861,6 +915,15 @@ def flash_attention_cached(
                                         # C, dh] cache, the layer to read
     return_ml: bool = False,            # also return the un-normalized
                                         # flash state (m, l) [B, H, S] f32
+    fresh_k: jax.Array | None = None,   # [B, KH, 1, dh] float — the
+                                        # decode step's fresh K column,
+                                        # folded into the softmax
+                                        # IN-kernel (replaces the
+                                        # return_ml + outside-combine
+                                        # pattern: no m/l traffic, no
+                                        # post-kernel fusions)
+    fresh_v: jax.Array | None = None,   # [B, KH, 1, dh] float
+    fresh_gate: jax.Array | None = None,  # [B] f32, 1 = lane active
     tk: int | None = None,              # KV tile; None = min(C, 4096) —
                                         # tk == C keeps each merged-head
                                         # block DMA fully contiguous
@@ -895,8 +958,14 @@ def flash_attention_cached(
     if tk is None:
         tk = min(_round_up(k.shape[3 if layer is not None else 2], LANE),
                  4096)
+    if (fresh_k is None) != (fresh_v is None):
+        raise ValueError("fresh_k and fresh_v must be given together")
+    if fresh_k is not None and fresh_gate is None:
+        fresh_gate = jnp.ones((q.shape[0],), jnp.float32)
     return _flash_call(q, k, v, key_mask,
                        jnp.zeros((q.shape[0],), jnp.int32), layer,
                        k_scale=k_scale, v_scale=v_scale,
+                       fresh_k=fresh_k, fresh_v=fresh_v,
+                       fresh_gate=fresh_gate,
                        scale=float(scale), causal=False, tq=256, tk=tk,
                        interpret=not _on_tpu(), ml=return_ml)

@@ -72,10 +72,16 @@ def kmeans(
             if penalty is not None:
                 scores = scores - penalty[None, :]
             assign = jnp.argmax(scores, axis=-1)                    # [chunk]
-            onehot = jax.nn.one_hot(assign, nlist, dtype=jnp.float32)
-            onehot = onehot * vb[:, None]
-            sums = sums + jnp.dot(onehot.T, xb, preferred_element_type=jnp.float32)
-            counts = counts + onehot.sum(axis=0)
+            # centroid update via scatter-add, NOT a one-hot matmul: the
+            # [chunk, nlist] one-hot materializes 134 MB/chunk at
+            # 8192 x 4096 and its two consumers re-read it — ~13 GB of
+            # HBM traffic per Lloyd iteration at 262K x 4096, which made
+            # an 8-iteration fit (<1 s of device FLOPs) cost ~80 s wall
+            # (r4 streaming-build breakdown). The scatter writes only the
+            # 25 MB of row data.
+            assign = jnp.where(vb > 0, assign, nlist)   # pad rows -> OOB,
+            sums = sums.at[assign].add(xb, mode="drop")  # dropped by scatter
+            counts = counts.at[assign].add(jnp.ones_like(vb), mode="drop")
             return (sums, counts), None
 
         (sums, counts), _ = jax.lax.scan(
