@@ -10,8 +10,10 @@ traffic actually arrives:
 - **Mixed lengths**: prompt tokens log-uniform in [128, 3456], output
   tokens log-uniform in [32, 512].
 - **Metrics**: p50/p99 TTFT (submit -> first streamed delta), p50/p99
-  per-output-token latency (first -> last delta), goodput (completed
-  output tokens / makespan), and completion counts.
+  per-output-token latency (stream span / tokens it covers), goodput
+  (completed output tokens / makespan), and completion counts. Requests
+  run with ``ignore_eos=True`` so output lengths follow the schedule
+  (random/under-trained weights would otherwise EOS at random points).
 - **A/Bs**: slots in {4, 8, 16} and chunked prefill on (prefill_chunk
   256, long admissions interleave with decode) vs off (one-piece
   prefills, head-of-line blocking back).
@@ -63,18 +65,18 @@ def build_schedule(n, rate, pmin, pmax, omin, omax, seed, corpus_text):
     return reqs
 
 
-def run_config(server, schedule):
+def run_config(server, schedule, chunk):
     lock = threading.Lock()
     recs = {}
 
     class Rec:
-        __slots__ = ("t_sub", "t_first", "t_last", "nbytes", "done", "err")
+        __slots__ = ("t_sub", "t_first", "t_last", "max_new", "done", "err")
 
-        def __init__(self, t_sub):
+        def __init__(self, t_sub, max_new):
             self.t_sub = t_sub
             self.t_first = None
             self.t_last = None
-            self.nbytes = 0
+            self.max_new = max_new
             self.done = False
             self.err = None
 
@@ -84,7 +86,7 @@ def run_config(server, schedule):
         now = time.perf_counter() - t0
         if arrival > now:
             time.sleep(arrival - now)
-        rec = Rec(time.perf_counter())
+        rec = Rec(time.perf_counter(), max_new)
 
         def on_text(delta, rec=rec):
             now = time.perf_counter()
@@ -92,10 +94,9 @@ def run_config(server, schedule):
                 if rec.t_first is None:
                     rec.t_first = now
                 rec.t_last = now
-                rec.nbytes += len(delta.encode("utf-8"))
 
         fut = server.submit(prompt, max_new_tokens=max_new,
-                            on_text=on_text)
+                            on_text=on_text, ignore_eos=True)
         recs[id(fut)] = rec
         futs.append(fut)
     for fut in futs:
@@ -107,6 +108,10 @@ def run_config(server, schedule):
             rec.err = repr(e)
     makespan = time.perf_counter() - t0
 
+    # ignore_eos makes output token counts exact-by-construction
+    # (= max_new), so goodput is token-based. TPOT divides the stream span
+    # (first -> last delta) by the tokens it covers: deltas land at chunk
+    # boundaries, and the first delta already carries ~chunk tokens.
     ttft, tpot, toks = [], [], 0
     fails = 0
     for rec in recs.values():
@@ -114,9 +119,9 @@ def run_config(server, schedule):
             fails += 1
             continue
         ttft.append(rec.t_first - rec.t_sub)
-        toks += rec.nbytes
-        if rec.nbytes > 1 and rec.t_last > rec.t_first:
-            tpot.append((rec.t_last - rec.t_first) / (rec.nbytes - 1))
+        toks += rec.max_new
+        if rec.max_new > chunk and rec.t_last > rec.t_first:
+            tpot.append((rec.t_last - rec.t_first) / (rec.max_new - chunk))
 
     def pct(xs, q):
         return round(float(np.percentile(xs, q)), 4) if xs else None
@@ -190,7 +195,7 @@ def main() -> None:
                             prefill_chunk=pfc or args.max_len)
             try:
                 srv.complete("预热", max_new_tokens=32)     # compile warm
-                row = run_config(srv, schedule)
+                row = run_config(srv, schedule, args.chunk)
             finally:
                 srv.close()
             row.update({

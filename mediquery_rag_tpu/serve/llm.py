@@ -114,6 +114,7 @@ class _Request:
     schema: dict | None = None
     top_p: float = 1.0
     on_text: object = None       # streaming callback: fn(delta_text: str)
+    ignore_eos: bool = False     # benchmark mode: decode past EOS to budget
     tokens: list = field(default_factory=list)
     prompt_ids: list = field(default_factory=list)  # real prefilled tokens
     streamed: int = 0            # tokens already flushed to on_text
@@ -324,7 +325,8 @@ class LLMServer:
     def submit(self, prompt: str, *, max_new_tokens: int = 256,
                temperature: float = 0.0, top_p: float = 1.0,
                session: str | None = None,
-               schema: dict | None = None, on_text=None) -> Future:
+               schema: dict | None = None, on_text=None,
+               ignore_eos: bool = False) -> Future:
         """``session``: opaque id pinning this conversation to a lane whose
         KV cache persists between turns — the next turn with the same id
         prefills only the suffix past the longest shared token prefix
@@ -341,7 +343,12 @@ class LLMServer:
         the request — immediately if still queued, at the next chunk
         boundary if its lane is already decoding (the lane frees for the
         backlog). Raises ``ServerSaturated`` when ``max_backlog`` > 0 and
-        that many requests are already waiting for a lane."""
+        that many requests are already waiting for a lane.
+
+        ``ignore_eos``: decode exactly ``max_new_tokens`` tokens, EOS or
+        not (the load-benchmark contract — output length follows the
+        schedule, not the model); such lanes take plain quanta, never the
+        speculative program."""
         import time as _time
 
         if self._stop.is_set():
@@ -355,6 +362,7 @@ class LLMServer:
         fut: Future = Future()
         self._queue.put(_Request(prompt, max_new_tokens, temperature, fut,
                                  session, schema, top_p, on_text,
+                                 ignore_eos=ignore_eos,
                                  t_submit=_time.perf_counter()))
         return fut
 
@@ -463,8 +471,8 @@ class LLMServer:
                            k_scale=state.k_scale, v_scale=state.v_scale)
 
         @partial(jax.jit, donate_argnums=(1,))
-        def decode_chunk(params, state, active, temps, top_ps, rng,
-                         nt, tok_bytes, tok_len):
+        def decode_chunk(params, state, active, keep_eos, temps, top_ps,
+                         rng, nt, tok_bytes, tok_len):
             """T decode steps for all lanes; returns (state, tokens [B,T]).
             Early-exits once every active lane has emitted EOS this chunk
             (or none are active) — the remaining columns hold pad."""
@@ -548,7 +556,7 @@ class LLMServer:
                         ns, dfa)
                 logits, cache = model.decode_step_slots(
                     params, _as_kv(state), tok, live)
-                live = live & (tok != eos_id)
+                live = live & ((tok != eos_id) | keep_eos)
                 state = ServeState(cache.k, cache.v, cache.key_mask,
                                    cache.cursor, cache.next_pos, logits,
                                    dfa, state.schema,
@@ -1009,11 +1017,17 @@ class LLMServer:
             for t in row:
                 t = int(t)
                 if t == self._eos:
-                    # a lane only goes inactive mid-chunk via EOS, so
-                    # everything before the first EOS is real output (a
-                    # sampled pad id is a legal token — decode() skips it)
-                    finish = "stop"
-                    break
+                    if not req.ignore_eos:
+                        # a lane only goes inactive mid-chunk via EOS, so
+                        # everything before the first EOS is real output
+                        # (a sampled pad id is a legal token — decode()
+                        # skips it)
+                        finish = "stop"
+                        break
+                    # ignore_eos: the token counts toward the budget but
+                    # is stored as PAD — decode() stops at EOS, and the
+                    # stream must keep flowing past it
+                    t = self._pad
                 req.tokens.append(t)
                 if len(req.tokens) >= req.max_new:
                     finish = "length"
@@ -1162,7 +1176,8 @@ class LLMServer:
             return
 
         if self.draft is not None and all(
-                r is None or (r.temperature == 0.0 and r.schema is None)
+                r is None or (r.temperature == 0.0 and r.schema is None
+                              and not r.ignore_eos)
                 for r in self._slots):
             # speculative quantum: every active lane is greedy and
             # unconstrained, so the propose->verify program applies
@@ -1179,6 +1194,8 @@ class LLMServer:
             return
 
         self._rng, sub = jax.random.split(self._rng)
+        keep_eos = jnp.asarray(
+            [bool(r is not None and r.ignore_eos) for r in self._slots])
         temps = jnp.asarray(
             [r.temperature if r else 0.0 for r in self._slots],
             jnp.float32)
@@ -1193,7 +1210,7 @@ class LLMServer:
             tables = (zero[:, None, None], zero[:, None], zero)
         self.state, toks = self._chunk_program(use_topp)(
             self.gen.params, self.state,
-            jnp.asarray(active_h), temps, top_ps, sub, *tables)
+            jnp.asarray(active_h), keep_eos, temps, top_ps, sub, *tables)
         self.stats["chunks"] += 1
         if self.draft is not None:
             # plain quanta advance target lanes past their draft

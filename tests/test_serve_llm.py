@@ -88,6 +88,29 @@ class TestServer:
                                       temperature=0.9)
         assert len(outs) == 2 and all(isinstance(o, str) for o in outs)
 
+    def test_ignore_eos_decodes_full_budget(self, gen):
+        # the load-benchmark contract: exactly max_new tokens decode, EOS
+        # or not, and finish_reason is always "length". The tiny random
+        # model hits EOS within a few tokens on some prompts — without
+        # ignore_eos the same prompt finishes with "stop" earlier.
+        with LLMServer(gen, slots=2, chunk=8) as srv:
+            futs = [srv.submit(p, max_new_tokens=24, ignore_eos=True)
+                    for p in PROMPTS]
+            for f in futs:
+                f.result(timeout=300)
+                assert getattr(f, "finish_reason") == "length"
+            assert srv.stats["tokens_out"] == 24 * len(PROMPTS)
+
+    def test_ignore_eos_stream_flows_past_eos(self, gen):
+        # streamed deltas must keep arriving after a mid-transcript EOS
+        # (decode() stops at EOS; the server stores PAD in its place)
+        deltas = []
+        with LLMServer(gen, slots=1, chunk=8) as srv:
+            fut = srv.submit(PROMPTS[0], max_new_tokens=40,
+                             on_text=deltas.append, ignore_eos=True)
+            out = fut.result(timeout=300)
+        assert "".join(deltas) == out
+
     def test_stats(self, gen):
         with LLMServer(gen, slots=2, chunk=8) as srv:
             srv.complete(PROMPTS[0], max_new_tokens=8)
