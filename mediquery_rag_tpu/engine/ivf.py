@@ -52,10 +52,16 @@ def _rebalance_overflow(assign, counts, top_ids, top_scores, cap_limit):
     full.
     """
     nlist = counts.shape[0]
-    # collect overflow: per overloaded cluster, evict the lowest-scoring rows
+    # collect overflow: per overloaded cluster, evict the lowest-scoring
+    # rows. One global sort gives every cluster's rows as a slice — a
+    # per-cluster np.where(assign == c) re-scanned all 10M rows per
+    # overloaded cluster (~50 s of layout_s at 10M with ~3K overfull
+    # clusters after the r5 balanced split).
+    order_all = np.argsort(assign, kind="stable")
+    slice_starts = np.concatenate(([0], np.cumsum(counts)))
     overflow_parts = []
     for c in np.where(counts > cap_limit)[0]:
-        rows = np.where(assign == c)[0]
+        rows = order_all[slice_starts[c]:slice_starts[c + 1]]
         order = np.argsort(-top_scores[rows, 0], kind="stable")
         overflow_parts.append(rows[order[cap_limit:]])
         counts[c] = cap_limit
@@ -272,7 +278,8 @@ class IVFIndex:
                 max(int(cfg.ivf_cap_factor * n / nlist), 32), 32)
             if cfg.ivf_split_oversized:
                 cents = split_oversized(sample, cents, cap_rows=cap_limit,
-                                        n_total=n)
+                                        n_total=n,
+                                        balance=max(cfg.ivf_balance, 0.1))
         r_alt = min(8, nlist)
         top_ids, top_scores = assign_clusters_topr(v32, cents, r=r_alt)
         top_ids, top_scores = np.asarray(top_ids), np.asarray(top_scores)
@@ -429,7 +436,8 @@ class IVFIndex:
                 max(int(cfg.ivf_cap_factor * n / nlist), 32), 32)
             if cfg.ivf_split_oversized:
                 cents = split_oversized(sample, cents, cap_rows=cap_limit,
-                                        n_total=n)
+                                        n_total=n,
+                                        balance=max(cfg.ivf_balance, 0.1))
         t_ph = _mark("kmeans_s", t_ph, sync=cents)
         del sample
 

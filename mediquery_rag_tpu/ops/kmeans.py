@@ -1,11 +1,12 @@
 """On-device spherical k-means — the IVF coarse quantizer trainer.
 
 Chroma's HNSW has no training phase; the TPU-native IVF index replaces graph
-construction with k-means clustering done entirely on the MXU: assignment is
-a [chunk, nlist] matmul + argmax, the centroid update is a one-hot matmul
-(``onehot.T @ x``) — no scatters, no host round trips. Build cost per Lloyd
-iteration is ~2*S*nlist*D FLOPs, i.e. milliseconds on a v5e chip for the
-BASELINE config-3 scale (1M x 768, nlist=1024).
+construction with k-means clustering done entirely on device: assignment is
+a [chunk, nlist] MXU matmul + argmax, the centroid update a scatter-add of
+the row data (an earlier one-hot matmul materialized ~13 GB of HBM traffic
+per Lloyd iteration at 262K x 4096). Build cost per Lloyd iteration is
+~2*S*nlist*D FLOPs — sub-second on a v5e chip at the 10M build's sample
+size, so the wall cost is compile + host control, not device work.
 """
 
 from __future__ import annotations
@@ -107,8 +108,9 @@ def split_oversized(
     cap_rows: int,
     n_total: int,
     margin: float = 0.85,
-    max_iters: int = 8,
+    max_iters: int = 16,
     polish_iters: int = 2,
+    balance: float = 0.1,
 ) -> jax.Array:
     """Balanced-split refinement: bound the largest cluster under the cap.
 
@@ -134,9 +136,39 @@ def split_oversized(
     s = sample.shape[0]
     nlist = cents.shape[0]
     cap_sample = cap_rows * s / n_total * margin
-    for _ in range(max_iters):
+    # all device work runs at FIXED shapes: the number of splits varies
+    # every iteration, and eager ops at a novel shape each cost ~1 s of
+    # remote compile through the relay (~6 s/iteration measured at 10M —
+    # the dominant build_streaming phase before this). Indices are padded
+    # to K_SPLIT = nlist//2 — the theoretical per-iteration maximum
+    # (every split consumes a victim), so the cap never drops splits the
+    # unbounded loop would have made; pad slots carry the OOB index nlist
+    # and are dropped by the scatter. The padded gathers/scatters cost
+    # ~6 MB at nlist=4096 — noise next to the assignment matmul.
+    K_SPLIT = nlist // 2
+
+    def pad_idx(a: np.ndarray, fill: int) -> jax.Array:
+        a = a[:K_SPLIT]
+        return jnp.asarray(np.pad(a, (0, K_SPLIT - a.size),
+                                  constant_values=fill).astype(np.int32))
+
+    # two polish regimes, best iterate wins. A size-balance penalty in the
+    # polish keeps split children apart when EVERY region is dense (10M
+    # clustered sample: overflow mass 0.20 of rows unpenalized vs 0.03
+    # penalized) — but on heavily SKEWED data the penalty lets sparse
+    # clusters poach from dense ones and drags child centroids out of the
+    # very balls they were split for (12K/128 test geometry: unpenalized
+    # bounds the max cluster, penalized leaves it 1.5x over). Neither
+    # setting wins both, so: a penalized phase, then an unpenalized phase,
+    # and every iterate is scored by its TRUE (unpenalized-assignment)
+    # overflow mass — the best one is returned.
+    best_mass, best_cents = np.inf, cents
+    for bal in [balance] * max_iters + [0.0] * max_iters:
         asg = np.asarray(assign_clusters(sample, cents))
         counts = np.bincount(asg, minlength=nlist)
+        mass = float(np.maximum(counts - cap_sample, 0).sum())
+        if mass < best_mass:
+            best_mass, best_cents = mass, cents
         over = np.where(counts > cap_sample)[0]
         if over.size == 0:
             break
@@ -155,19 +187,40 @@ def split_oversized(
         starts = np.searchsorted(asg[order], over, side="left")
         first = order[starts]
         mid = order[starts + counts[over] // 2]
-        m1 = sample[jnp.asarray(first)]
-        m2 = sample[jnp.asarray(mid)]
-        c_over = cents[jnp.asarray(over)]
-        c1 = _renorm(0.5 * (c_over + m1))
-        c2 = _renorm(0.5 * (c_over + m2))
-        cents = cents.at[jnp.asarray(over)].set(c1)
-        cents = cents.at[jnp.asarray(victims)].set(c2)
+        cents = _apply_split(cents, sample, pad_idx(over, nlist),
+                             pad_idx(victims, nlist), pad_idx(first, 0),
+                             pad_idx(mid, 0))
         if polish_iters:
             # polish INSIDE the loop: the next iteration's count check then
             # verifies the post-Lloyd sizes, so the exit condition really
             # means "no cluster exceeds the cap estimate"
             cents = kmeans(sample, jax.random.PRNGKey(0), nlist=nlist,
-                           iters=polish_iters, init=cents)
+                           iters=polish_iters, init=cents, balance=bal)
+    else:
+        # loop exhausted without converging: the final iterate was split +
+        # polished but never scored — score it
+        counts = np.bincount(np.asarray(assign_clusters(sample, cents)),
+                             minlength=nlist)
+        mass = float(np.maximum(counts - cap_sample, 0).sum())
+        if mass < best_mass:
+            best_mass, best_cents = mass, cents
+    # a convergence break scored the converged iterate (mass 0) as best
+    # just before breaking, so best_cents is correct on every exit path
+    return best_cents
+
+
+@jax.jit
+def _apply_split(cents, sample, over, victims, first, mid):
+    """One split application at fixed [K_SPLIT] index shapes. Pad slots
+    hold the OOB index ``nlist`` — their gather clips (harmless, the row
+    is never written) and their scatter drops."""
+    c_over = cents[over]                      # OOB gather clips
+    m1 = sample[first]
+    m2 = sample[mid]
+    c1 = _renorm(0.5 * (c_over + m1))
+    c2 = _renorm(0.5 * (c_over + m2))
+    cents = cents.at[over].set(c1, mode="drop")
+    cents = cents.at[victims].set(c2, mode="drop")
     return cents
 
 
