@@ -104,14 +104,23 @@ def run_config(server, schedule, chunk):
         try:
             fut.result(timeout=1200.0)
             rec.done = True
+            # prefer the server's own token timestamps: on_text only
+            # fires when tokens decode to VISIBLE text, and a random/
+            # under-trained model's greedy attractor token may be a
+            # noise id that never renders (6/40 requests in the first
+            # 7B run "failed" for exactly this reason)
+            if getattr(fut, "t_first_token", None) is not None:
+                rec.t_first = fut.t_first_token
+                rec.t_last = fut.t_done
         except Exception as e:                      # noqa: BLE001
             rec.err = repr(e)
     makespan = time.perf_counter() - t0
 
     # ignore_eos makes output token counts exact-by-construction
-    # (= max_new), so goodput is token-based. TPOT divides the stream span
-    # (first -> last delta) by the tokens it covers: deltas land at chunk
-    # boundaries, and the first delta already carries ~chunk tokens.
+    # (= max_new), so goodput is token-based. TPOT divides the token span
+    # (first token -> completion) by the tokens it covers: both stamps
+    # land at chunk boundaries, and the first already carries ~chunk
+    # tokens.
     ttft, tpot, toks = [], [], 0
     fails = 0
     for rec in recs.values():

@@ -1065,6 +1065,12 @@ class LLMServer:
                         self._clock += 1
                         sess.last_use = self._clock
                 req.future.finish_reason = finish   # read via getattr
+                # first/last-TOKEN timestamps (scheduler clock) — unlike
+                # on_text they fire even when the tokens decode to no
+                # visible text (pad/noise ids), so latency measurement
+                # does not depend on what the model happens to emit
+                req.future.t_first_token = req.t_first
+                req.future.t_done = now
                 try:
                     req.future.set_result(self.tok.decode(req.tokens))
                 except Exception:
